@@ -1,0 +1,82 @@
+"""Relational operator unit tests (semantics + plan shape at scale).
+
+Plan-shape assertions are the 100 TB design gate: filters must reach the
+parquet scan as PushedFilters, small dims must broadcast, aggregates must
+have a map-side partial step.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tutorial_iceberg_spark.io import load_table
+from tutorial_iceberg_spark.operators import relational as R
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_flagship_shape(spark, sf_dir):
+    df = R.flagship_event_type_agg(spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) == 5  # click/view/purchase/signup/error
+    assert rows[0]["cnt"] >= rows[-1]["cnt"]
+    total = sum(r["cnt"] for r in rows)
+    assert total == load_table(spark, sf_dir, "events").count()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = R.p4_range_filter(spark, sf_dir)
+    plan = plan_of(df)
+    assert "PushedFilters" in plan
+    assert "GreaterThan(value,100.0)" in plan
+
+
+def test_projection_prunes_columns(spark, sf_dir):
+    df = R.p1_projection(spark, sf_dir)
+    plan = plan_of(df)
+    # ReadSchema must not include untouched wide columns like props
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema and "props" not in read_schema[0]
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    df = R.j2_star_join_revenue(spark, sf_dir)
+    plan = plan_of(df)
+    # formatted explain lists each node in tree + detail section
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_agg_has_partial_step(spark, sf_dir):
+    df = R.flagship_event_type_agg(spark, sf_dir)
+    plan = plan_of(df)
+    assert "HashAggregate" in plan
+    assert "partial_count" in plan or "Functions [partial" in plan
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    df = R.o2_topk_event_types(spark, sf_dir)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_running_total_monotone(spark, sf_dir):
+    rows = R.w1_running_total(spark, sf_dir).collect()
+    cums = [r["cumulative_revenue"] for r in rows]
+    assert cums == sorted(cums)
+    assert abs(cums[-1] - sum(r["revenue"] for r in rows)) < 1e-6
+
+
+def test_semi_anti_partition_customer(spark, sf_dir):
+    customer = load_table(spark, sf_dir, "customer")
+    semi = R.j3_semi_join(spark, sf_dir).count()
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    assert semi == customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).count()

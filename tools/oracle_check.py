@@ -1,0 +1,123 @@
+"""Local replica of the driver's t2 correctness gate.
+
+Runs every registered query on Spark and its oracle on DuckDB over the same
+parquet tables, then compares row count, sorted column names, and an
+order-insensitive value multiset with BIT-EXACT float comparison (stricter
+than any plausible driver hash).
+
+Usage: python tools/oracle_check.py [sf_dir] [name_filter ...]
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+from tutorial_iceberg_spark.io import TABLES, table_path  # noqa: E402
+from tutorial_iceberg_spark.registry import all_queries  # noqa: E402
+from tutorial_iceberg_spark.session import get_spark  # noqa: E402
+
+
+def norm(v):
+    if v is None:
+        return "\x00NULL"
+    if isinstance(v, bool):
+        return f"b:{v}"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "f:nan"
+        return f"f:{v.hex()}"
+    if isinstance(v, int):
+        return f"i:{v}"
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return f"t:{v.isoformat()}"
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        return f"d:{v.normalize()}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm(x) for x in v) + "]"
+    if isinstance(v, bytes):
+        return f"x:{v.hex()}"
+    return f"s:{v}"
+
+
+def rows_multiset(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    return sorted("|".join(norm(r[i]) for i in order) for r in rows)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    filters = sys.argv[2:]
+
+    spark = get_spark(app_name="oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
+        )
+
+    specs = all_queries()
+    names = [n for n in specs if not filters or any(f in n for f in filters)]
+    passed, failed, rows_only = [], [], []
+    for name in names:
+        spec = specs[name]
+        t0 = time.time()
+        try:
+            df = spec.builder(spark, sf_dir)
+            s_rows = df.collect()
+            s_cols = df.columns
+        except Exception as e:
+            failed.append((name, f"SPARK ERROR: {type(e).__name__}: {e}"))
+            print(f"FAIL  {name}: spark error {e}")
+            continue
+        if spec.oracle is None:
+            rows_only.append(name)
+            print(f"ROWS  {name}: {len(s_rows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            rel = con.sql(spec.oracle)
+            d_cols = [c for c in rel.columns]
+            d_rows = rel.fetchall()
+        except Exception as e:
+            failed.append((name, f"DUCKDB ERROR: {e}"))
+            print(f"FAIL  {name}: duckdb error {e}")
+            continue
+
+        problems = []
+        if len(s_rows) != len(d_rows):
+            problems.append(f"rowcount spark={len(s_rows)} duckdb={len(d_rows)}")
+        if sorted(s_cols) != sorted(d_cols):
+            problems.append(f"columns spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
+        if not problems:
+            sm, dm = rows_multiset(s_rows, s_cols), rows_multiset(d_rows, d_cols)
+            if sm != dm:
+                diff = [(a, b) for a, b in zip(sm, dm) if a != b][:3]
+                problems.append(f"values differ; first diffs: {diff}")
+        if problems:
+            failed.append((name, "; ".join(problems)))
+            print(f"FAIL  {name}: {'; '.join(problems)}")
+        else:
+            passed.append(name)
+            print(f"PASS  {name}: {len(s_rows)} rows [{time.time()-t0:.1f}s]")
+
+    print(
+        f"\n== {len(passed)} passed, {len(failed)} failed, "
+        f"{len(rows_only)} rows-only, sf_dir={sf_dir}"
+    )
+    if failed:
+        print("failures:")
+        for n, p in failed:
+            print(f"  {n}: {p[:400]}")
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,544 @@
+"""Relational core: SURVEY.md §2.2-§2.6 (P/A/W/O/J operators).
+
+Each query is declared with the DataFrame API (Catalyst plans it: filter
+pushdown, column pruning, partial aggregation, broadcast joins are free) and
+paired with a DuckDB oracle. Reference citations per query point at the
+README snippet in /root/reference that exercises the construct.
+
+Scale notes are inline per operator: at 100 TB the interesting questions are
+(a) does the filter/projection reach the parquet scan, (b) is the
+aggregation map-side partial, (c) is each join broadcast or shuffle, and
+(d) does anything collect on the driver (nothing here does).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tutorial_iceberg_spark.io import load_table
+from tutorial_iceberg_spark.functions.numeric import davg, dec, dsum, o_davg, o_dsum
+from tutorial_iceberg_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# Flagship: the reference's core analytics pattern (README.md:583-592) —
+# per-event-type count / avg / sum, biggest first. Also the "simple
+# aggregation" benchmark shape (README.md:779-795).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "flagship_event_type_agg",
+    oracle=f"""
+        SELECT event_type,
+               COUNT(*) AS cnt,
+               {o_davg('value', 'avg_value')},
+               {o_dsum('value', 'sum_value')}
+        FROM events
+        GROUP BY event_type
+        ORDER BY cnt DESC, event_type
+    """,
+    doc="A1-A4+F2+O2: groupBy(event_type).agg(count,avg,sum) — README.md:583-592",
+    tags=("agg", "flagship"),
+)
+def flagship_event_type_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            davg("value", "avg_value"),
+            dsum("value", "sum_value"),
+        )
+        .orderBy(F.desc("cnt"), "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projections & filters (P1-P8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p1_projection",
+    oracle="SELECT event_type, value FROM events",
+    doc="P1 column projection — README.md:577; scan must prune to 2 columns",
+    tags=("projection",),
+)
+def p1_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").select("event_type", "value")
+
+
+@register(
+    "p2_computed_projection",
+    oracle="""
+        SELECT event_id,
+               value * 2 + 1 AS boosted,
+               'u_' || CAST(user_id AS VARCHAR) AS utag
+        FROM events
+    """,
+    doc="P2 computed projection + alias, F3 string concat — README.md:104, 587-588",
+    tags=("projection",),
+)
+def p2_computed_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        (F.col("value") * 2 + 1).alias("boosted"),
+        F.concat(F.lit("u_"), F.col("user_id").cast("string")).alias("utag"),
+    )
+
+
+@register(
+    "p3_eq_filter",
+    oracle="""
+        SELECT event_id, user_id, event_type, value
+        FROM events WHERE user_id = 42
+    """,
+    doc="P3 equality predicate (key lookup shape) — README.md:116, 684, 770",
+    tags=("filter", "bench-shape"),
+)
+def p3_eq_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.filter(F.col("user_id") == 42).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
+@register(
+    "p4_range_filter",
+    oracle="SELECT event_id, value FROM events WHERE value > 100",
+    doc="P4 range predicate, pushed to parquet scan — README.md:670",
+    tags=("filter",),
+)
+def p4_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.filter(F.col("value") > 100).select("event_id", "value")
+
+
+@register(
+    "p6_case_searched",
+    oracle="""
+        SELECT event_id,
+               CASE WHEN value < 50 THEN 'low'
+                    WHEN value < 200 THEN 'mid'
+                    ELSE 'high' END AS bucket
+        FROM events
+    """,
+    doc="P6 searched CASE WHEN — README.md:105",
+    tags=("projection",),
+)
+def p6_case_searched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.when(F.col("value") < 50, "low")
+        .when(F.col("value") < 200, "mid")
+        .otherwise("high")
+        .alias("bucket"),
+    )
+
+
+@register(
+    "p7_case_simple_cast",
+    oracle="""
+        SELECT event_id,
+               CASE CAST(event_id % 3 AS INTEGER)
+                    WHEN 0 THEN 'click' WHEN 1 THEN 'view'
+                    ELSE 'purchase' END AS synth_type
+        FROM events
+    """,
+    doc="P7 simple CASE on expression + P8 cast — README.md:192-196",
+    tags=("projection",),
+)
+def p7_case_simple_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    k = (F.col("event_id") % 3).cast("int")
+    return events.select(
+        "event_id",
+        F.when(k == 0, "click").when(k == 1, "view").otherwise("purchase").alias("synth_type"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (A1-A8) & time series
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a7_daily_timeseries",
+    oracle=f"""
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               COUNT(*) AS cnt,
+               {o_dsum('value', 'sum_value')},
+               {o_davg('value', 'avg_value')}
+        FROM events
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    doc="A5+A7+F4 time-bucketed agg with ordinal group/order — README.md:124-132, 597-607",
+    tags=("agg", "timeseries"),
+)
+def a7_daily_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count("*").alias("cnt"), dsum("value", "sum_value"), davg("value", "avg_value"))
+        .orderBy("day")
+    )
+
+
+@register(
+    "a6_day_type_agg",
+    oracle=f"""
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               event_type,
+               COUNT(*) AS cnt,
+               {o_dsum('value', 'sum_value')}
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    doc="A6 multi-key time x type agg — the 'complex aggregation' benchmark shape, README.md:798-818",
+    tags=("agg", "bench-shape"),
+)
+def a6_day_type_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"), F.col("event_type")
+        )
+        .agg(F.count("*").alias("cnt"), dsum("value", "sum_value"))
+        .orderBy("day", "event_type")
+    )
+
+
+@register(
+    "q1_lineitem_pricing",
+    oracle="""
+        SELECT l_returnflag,
+               l_linestatus,
+               CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(15,4))), 2) AS DOUBLE) AS sum_qty,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(15,4))), 2) AS DOUBLE) AS sum_base_price,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(15,4))
+                            * CAST(1 - l_discount AS DECIMAL(15,8))), 2) AS DOUBLE) AS sum_disc_price,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(15,4))
+                            * CAST((1 - l_discount) * (1 + l_tax) AS DECIMAL(15,8))), 2) AS DOUBLE) AS sum_charge,
+               (CAST(SUM(CAST(l_quantity AS DECIMAL(15,4))) AS DOUBLE) / COUNT(l_quantity)) AS avg_qty,
+               (CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,4))) AS DOUBLE) / COUNT(l_extendedprice)) AS avg_price,
+               (CAST(SUM(CAST(l_discount AS DECIMAL(15,8))) AS DOUBLE) / COUNT(l_discount)) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 pricing-summary shape over lineitem: the heavy scan+agg the star schema exists for",
+    tags=("agg", "flagship", "bench-shape"),
+)
+def q1_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp_ntz")
+    )
+    disc_factor = ((1 - F.col("l_discount")) * (1 + F.col("l_tax"))).cast("decimal(15,8)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            F.round(
+                F.sum(dec("l_extendedprice") * (1 - F.col("l_discount")).cast("decimal(15,8)")), 2
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.round(F.sum(dec("l_extendedprice") * disc_factor), 2)
+            .cast("double")
+            .alias("sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            (F.sum(F.col("l_discount").cast("decimal(15,8)")).cast("double") / F.count("l_discount")).alias(
+                "avg_disc"
+            ),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "a8_monthly_shipments",
+    oracle=f"""
+        SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
+               CAST(month(l_shipdate) AS INTEGER) AS month,
+               COUNT(*) AS cnt,
+               {o_dsum('l_extendedprice', 'sum_price')}
+        FROM lineitem
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    doc="A8+F5 per-year/month agg (partition-column group keys) — README.md:408-421, 631-639",
+    tags=("agg", "timeseries"),
+)
+def a8_monthly_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.year("l_shipdate").alias("year"), F.month("l_shipdate").alias("month")
+        )
+        .agg(F.count("*").alias("cnt"), dsum("l_extendedprice", "sum_price"))
+        .orderBy("year", "month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions (W1-W2)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w1_running_total",
+    oracle="""
+        WITH monthly AS (
+            SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS month,
+                   ROUND(SUM(CAST(l_extendedprice AS DECIMAL(15,4))), 2) AS rev
+            FROM lineitem
+            GROUP BY 1
+        )
+        SELECT month,
+               CAST(rev AS DOUBLE) AS revenue,
+               CAST(SUM(rev) OVER (ORDER BY month) AS DOUBLE) AS cumulative_revenue
+        FROM monthly
+        ORDER BY month
+    """,
+    doc="W1+W2 running total over a CTE of monthly revenue — README.md:611-627. "
+    "Cumulation stays in DECIMAL through the window so partial-sum order cannot drift.",
+    tags=("window",),
+)
+def w1_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(F.date_trunc("month", "l_shipdate").alias("month")).agg(
+        F.round(F.sum(dec("l_extendedprice")), 2).alias("rev")
+    )
+    # Default SQL frame for OVER(ORDER BY) is RANGE UNBOUNDED PRECEDING ->
+    # CURRENT ROW in both engines; months are unique so it equals ROWS.
+    w = Window.orderBy("month")
+    return monthly.select(
+        "month",
+        F.col("rev").cast("double").alias("revenue"),
+        F.sum("rev").over(w).cast("double").alias("cumulative_revenue"),
+    ).orderBy("month")
+
+
+@register(
+    "w3_rank_in_group",
+    oracle="""
+        SELECT day, event_type, cnt, rnk FROM (
+            SELECT CAST(day_d AS TIMESTAMP) AS day, event_type, cnt,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY day_d ORDER BY cnt DESC, event_type
+                   ) AS rnk
+            FROM (
+                SELECT date_trunc('day', ts) AS day_d, event_type, COUNT(*) AS cnt
+                FROM events GROUP BY 1, 2
+            ) g
+        ) ranked
+        WHERE rnk <= 2
+        ORDER BY day, rnk
+    """,
+    doc="W3 ranking window (top event types per day) — extension beyond reference (SURVEY §2.5 W3)",
+    tags=("window",),
+)
+def w3_rank_in_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.date_trunc("day", "ts").alias("day"), F.col("event_type")
+    ).agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("day").orderBy(F.desc("cnt"), "event_type")
+    return (
+        daily.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 2)
+        .orderBy("day", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / top-k (O1-O4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "o2_topk_event_types",
+    oracle="""
+        SELECT event_type, COUNT(*) AS cnt
+        FROM events
+        GROUP BY event_type
+        ORDER BY cnt DESC, event_type
+        LIMIT 3
+    """,
+    doc="O2+O4 ORDER BY DESC + LIMIT -> TakeOrderedAndProject (distributed top-k) — README.md:589-591",
+    tags=("sort",),
+)
+def o2_topk_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "event_type")
+        .limit(3)
+    )
+
+
+@register(
+    "s1_scan_order_limit",
+    oracle="""
+        SELECT * FROM lineitem
+        ORDER BY l_orderkey, l_linenumber
+        LIMIT 5
+    """,
+    doc="S1 direct parquet scan + O3 multi-key ORDER BY + O4 LIMIT — README.md:576-578, 637",
+    tags=("scan", "sort"),
+)
+def s1_scan_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.orderBy("l_orderkey", "l_linenumber").limit(5)
+
+
+# ---------------------------------------------------------------------------
+# Joins (J1-J3): the star schema the curriculum names (README.md:62) over
+# the driver's TPC-H-ish tables. Dims are broadcast (they stay small even at
+# 100 TB fact scale); the fact side never shuffles for these plans.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j2_star_join_revenue",
+    oracle=f"""
+        SELECT r_name, n_name,
+               COUNT(*) AS num_orders,
+               {o_dsum('o_totalprice', 'revenue')}
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+        ORDER BY r_name, n_name
+    """,
+    doc="J2 star-schema join chain (fact->dim->dim->dim), dims broadcast — SURVEY §2.3",
+    tags=("join", "flagship", "bench-shape"),
+)
+def j2_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = F.broadcast(load_table(spark, sf_dir, "customer"))
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count("*").alias("num_orders"), dsum("o_totalprice", "revenue"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+@register(
+    "j2_brand_revenue",
+    oracle="""
+        SELECT p_brand,
+               COUNT(*) AS cnt,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(15,4))
+                            * CAST(1 - l_discount AS DECIMAL(15,8))), 2) AS DOUBLE) AS disc_revenue
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+        ORDER BY p_brand
+    """,
+    doc="J2 fact x part dim with computed measure; broadcast hash join on the fact scan",
+    tags=("join",),
+)
+def j2_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = F.broadcast(load_table(spark, sf_dir, "part"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(
+                F.sum(dec("l_extendedprice") * (1 - F.col("l_discount")).cast("decimal(15,8)")),
+                2,
+            )
+            .cast("double")
+            .alias("disc_revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "j3_semi_join",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+        )
+    """,
+    doc="J3 left-semi join: customers with at least one urgent order — MERGE matched-arm shape",
+    tags=("join",),
+)
+def j3_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return customer.join(
+        urgent, customer.c_custkey == urgent.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "j3_anti_join",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_orderstatus = 'F'
+        )
+    """,
+    doc="J3 left-anti join: customers with no finished orders — MERGE not-matched-arm shape",
+    tags=("join",),
+)
+def j3_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    finished = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return customer.join(
+        finished, customer.c_custkey == finished.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions (F4-F7) not already covered above
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f7_interval_arith",
+    oracle="""
+        SELECT event_id,
+               ts + INTERVAL 1 DAY AS next_day,
+               ts - INTERVAL 1 HOUR AS prev_hour
+        FROM events
+    """,
+    doc="F7 timestamp +/- INTERVAL arithmetic — README.md:198, 375",
+    tags=("scalar",),
+)
+def f7_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.expr("ts + INTERVAL '1' DAY").alias("next_day"),
+        F.expr("ts - INTERVAL '1' HOUR").alias("prev_hour"),
+    )
