@@ -1,0 +1,71 @@
+"""Source/sink + plan-inspection tests: partition pruning is the key gate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tutorial_iceberg_spark.io import load_table
+from tutorial_iceberg_spark.plans.explain import bench, explain_str, scan_summary
+from tutorial_iceberg_spark.sources import sinks
+from tutorial_iceberg_spark.sources.generator import generate_events
+from tutorial_iceberg_spark.sources.parquet_meta import describe_parquet, rowgroup_stats
+from tutorial_iceberg_spark.io import table_path
+
+
+def test_partitioned_write_prunes_on_read(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").withColumns(
+        {"year": F.year("l_shipdate"), "month": F.month("l_shipdate")}
+    )
+    path = sinks.scratch_dir("prune_test")
+    sinks.write_partitioned(li, path, "year", "month")
+    back = spark.read.parquet(path)
+    pruned = back.filter((F.col("year") == 1998) & (F.col("month") == 6))
+    summary = scan_summary(pruned)
+    # partition predicates must land in PartitionFilters, not post-scan Filter
+    assert any("year" in f for f in summary.partition_filters)
+    assert any("month" in f for f in summary.partition_filters)
+    # and the pruned count must match a direct filter on the source
+    direct = load_table(spark, sf_dir, "lineitem").filter(
+        (F.year("l_shipdate") == 1998) & (F.month("l_shipdate") == 6)
+    )
+    assert pruned.count() == direct.count()
+
+
+def test_scan_summary_pushdown(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 100).select("event_id")
+    s = scan_summary(ev)
+    assert any("GreaterThan" in f for f in s.pushed_filters)
+    assert "props" not in s.read_schema
+    assert s.has_codegen
+
+
+def test_generator_deterministic(spark):
+    a = generate_events(spark, 500).collect()
+    b = generate_events(spark, 500).collect()
+    assert a == b
+    types = {r["event_type"] for r in a}
+    assert types == {"click", "view", "purchase"}
+
+
+def test_rowgroup_stats_and_describe(spark, sf_dir):
+    path = table_path(sf_dir, "lineitem")
+    stats = rowgroup_stats(spark, path)
+    total = (
+        stats.filter(F.col("path_in_schema") == "l_orderkey")
+        .agg(F.sum("num_values"))
+        .collect()[0][0]
+    )
+    assert total == load_table(spark, sf_dir, "lineitem").count()
+    desc = {r["column_name"]: r["column_type"] for r in describe_parquet(spark, path).collect()}
+    assert desc["l_quantity"] == "double"
+
+
+def test_bench_helper(spark, sf_dir):
+    secs, n = bench(load_table(spark, sf_dir, "events"))
+    assert n > 0 and secs >= 0
+
+
+def test_explain_str_modes(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events").groupBy("event_type").count()
+    assert "HashAggregate" in explain_str(df, "simple")
+    assert "== Physical Plan ==" in explain_str(df, "formatted")

@@ -1,0 +1,73 @@
+"""S9 Parquet metadata introspection: SURVEY.md §2.1 S9.
+
+The reference teaches the Parquet physical layout by querying
+``DESCRIBE SELECT * FROM '...parquet'`` and ``parquet_metadata(path)`` for
+per-row-group num_values / stats_min / stats_max (README.md:313-337) —
+that's the min/max-skipping story behind predicate pushdown
+(README.md:293-296). Spark has no SQL builtin for footer stats, so the
+engine exposes them via a small PyArrow helper surfaced as a DataFrame.
+
+The helper reads ONLY file footers (no data pages) on the driver — the same
+O(row-groups) planning-cost profile Iceberg manifests give, fine even for a
+table of thousands of files if called per-file.
+"""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+
+from tutorial_iceberg_spark.io import table_path
+from tutorial_iceberg_spark.registry import register
+
+ROWGROUP_SCHEMA = (
+    "row_group_id bigint, path_in_schema string, num_values bigint, "
+    "null_count bigint, total_compressed_size bigint"
+)
+
+
+def rowgroup_stats(spark: SparkSession, path: str) -> DataFrame:
+    """Per-(row group, column) footer statistics as a DataFrame."""
+    md = pq.ParquetFile(path).metadata
+    rows = []
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for c in range(g.num_columns):
+            col = g.column(c)
+            st = col.statistics
+            rows.append(
+                (
+                    rg,
+                    col.path_in_schema,
+                    st.num_values if st is not None else None,
+                    st.null_count if st is not None and st.has_null_count else None,
+                    col.total_compressed_size,
+                )
+            )
+    return spark.createDataFrame(rows, ROWGROUP_SCHEMA)
+
+
+def describe_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """DESCRIBE-style schema listing read from the Parquet footer
+    (README.md:313-316)."""
+    schema = pq.ParquetFile(path).schema_arrow
+    rows = [(f.name, str(f.type), f.nullable) for f in schema]
+    return spark.createDataFrame(rows, "column_name string, column_type string, nullable boolean")
+
+
+@register(
+    "s9_rowgroup_stats",
+    oracle="""
+        SELECT row_group_id, path_in_schema, num_values
+        FROM parquet_metadata('/root/testdata/sf0.01/lineitem.parquet')
+        ORDER BY row_group_id, path_in_schema
+    """,
+    doc="S9 parquet_metadata() row-group introspection — README.md:319-337. "
+    "Oracle pins sf0.01 (the driver's correctness SF, TESTDATA.md).",
+    tags=("metadata",),
+)
+def s9_rowgroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = rowgroup_stats(spark, table_path(sf_dir, "lineitem"))
+    return df.select("row_group_id", "path_in_schema", "num_values").orderBy(
+        "row_group_id", "path_in_schema"
+    )
