@@ -1,0 +1,248 @@
+"""Lakehouse invariant tests: D1-D16 semantics (SURVEY.md §5.4).
+
+Mirrors the reference's Week-4/5 exercise sequence (README.md:944-1028,
+1096-1166) against the Spark-native emulation: snapshot counts increment,
+time travel reproduces pre-update state, rollback moves the pointer,
+compaction preserves content, renames are metadata-only, defaults apply to
+old files only at read.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from tutorial_iceberg_spark.lakehouse.catalog import LakeCatalog
+from tutorial_iceberg_spark.lakehouse.table import LakeTable
+
+ORDERS_DDL = (
+    "order_id bigint, customer_id bigint, product_name string, "
+    "amount decimal(10,2), order_date date"
+)
+
+ROWS = [
+    (1, 101, "laptop", "1200.00", "2024-01-15"),
+    (2, 102, "mouse", "25.50", "2024-02-20"),
+    (3, 103, "keyboard", "75.00", "2024-02-25"),
+    (4, 101, "monitor", "350.00", "2024-03-10"),
+]
+
+
+@pytest.fixture()
+def cat(spark):
+    with tempfile.TemporaryDirectory() as wh:
+        yield LakeCatalog(spark, wh)
+
+
+def seed_df(spark, rows=ROWS):
+    df = spark.createDataFrame(
+        [(r[0], r[1], r[2], r[3], r[4]) for r in rows],
+        "order_id bigint, customer_id bigint, product_name string, amount string, order_date string",
+    )
+    return df.select(
+        "order_id",
+        "customer_id",
+        "product_name",
+        F.col("amount").cast("decimal(10,2)").alias("amount"),
+        F.col("order_date").cast("date").alias("order_date"),
+    )
+
+
+def test_create_insert_read(cat, spark):
+    t = cat.create_table("db.orders", ORDERS_DDL)
+    t.append(seed_df(spark))
+    got = {r["order_id"]: r for r in t.read().collect()}
+    assert len(got) == 4
+    assert str(got[1]["amount"]) == "1200.00"
+    assert t.meta.current_snapshot_id == 1
+
+
+def test_update_and_time_travel(cat, spark):
+    t = cat.create_table("db.orders", ORDERS_DDL)
+    t.append(seed_df(spark))
+    v1 = t.meta.current_snapshot_id
+    t.update("order_id = 1", {"amount": "CAST(1100.00 AS DECIMAL(10,2))"})
+    cur = {r["order_id"]: str(r["amount"]) for r in t.read().collect()}
+    assert cur[1] == "1100.00" and cur[2] == "25.50"
+    old = {r["order_id"]: str(r["amount"]) for r in t.read(snapshot_id=v1).collect()}
+    assert old[1] == "1200.00"  # D10: time travel sees pre-update state
+
+
+def test_delete_cow_prunes_untouched_files(cat, spark):
+    t = cat.create_table("db.orders", ORDERS_DDL)
+    t.append(seed_df(spark, ROWS[:2]))
+    t.append(seed_df(spark, ROWS[2:]))  # second file group
+    t.delete("order_id = 2")
+    assert sorted(r["order_id"] for r in t.read().collect()) == [1, 3, 4]
+    snap = t.meta.snapshot()
+    assert snap.summary["mode"] == "copy-on-write"
+    # file-granular CoW: the second append's files may carry over untouched
+    assert snap.summary["untouched-files"] >= 1
+
+
+def test_merge_upsert(cat, spark):
+    t = cat.create_table("db.orders", ORDERS_DDL)
+    t.append(seed_df(spark))
+    src = seed_df(
+        spark,
+        [
+            (2, 102, "mouse-pro", "35.00", "2024-02-21"),  # matched -> update
+            (9, 109, "webcam", "89.99", "2024-04-01"),  # not matched -> insert
+        ],
+    )
+    t.merge(src, on="order_id")
+    got = {r["order_id"]: r for r in t.read().collect()}
+    assert len(got) == 5
+    assert got[2]["product_name"] == "mouse-pro"
+    assert got[9]["product_name"] == "webcam"
+    assert got[1]["product_name"] == "laptop"
+
+
+def test_merge_duplicate_source_keys_rejected(cat, spark):
+    t = cat.create_table("db.orders", ORDERS_DDL)
+    t.append(seed_df(spark))
+    dup = seed_df(spark, [ROWS[0], ROWS[0]])
+    with pytest.raises(ValueError, match="duplicate"):
+        t.merge(dup, on="order_id")
+
+
+def test_schema_evolution_add_rename_default(cat, spark):
+    t = cat.create_table("db.orders", ORDERS_DDL)
+    t.append(seed_df(spark))
+    # D5+D7: add columns with defaults; no rewrite
+    files_before = [f.path for f in t.meta.snapshot().files]
+    t.add_column("discount_rate", "double")
+    t.add_column("version", "int", default=1)
+    t.add_column("region", "string", default="unknown")
+    assert [f.path for f in t.meta.snapshot().files] == files_before
+    row = t.read().filter(F.col("order_id") == 1).collect()[0]
+    assert row["discount_rate"] is None
+    assert row["version"] == 1 and row["region"] == "unknown"
+    # D6: rename is metadata-only; old files resolve via field ids
+    t.rename_column("product_name", "item_name")
+    assert [f.path for f in t.meta.snapshot().files] == files_before
+    names = {r["item_name"] for r in t.read().collect()}
+    assert "laptop" in names
+    # new writes under the new schema mix with old files
+    t.append(
+        t.read().limit(0).unionByName(
+            seed_df(spark, [(5, 105, "dock", "150.00", "2024-05-01")]).withColumnsRenamed(
+                {"product_name": "item_name"}
+            ).withColumns(
+                {"discount_rate": F.lit(0.1), "version": F.lit(2), "region": F.lit("emea")}
+            )
+        )
+    )
+    got = {r["order_id"]: r for r in t.read().collect()}
+    assert got[5]["item_name"] == "dock" and got[5]["version"] == 2
+    assert got[1]["version"] == 1  # old rows still defaulted
+
+
+def test_partition_evolution_and_pruning(cat, spark):
+    t = cat.create_table("db.orders", ORDERS_DDL)
+    t.append(seed_df(spark, ROWS[:2]))  # unpartitioned spec 0
+    t.add_partition_field("month(order_date)")
+    t.append(seed_df(spark, ROWS[2:]))  # partitioned spec 1
+    assert t.read().count() == 4
+    snap = t.meta.snapshot()
+    specs = {f.spec_id for f in snap.files}
+    assert specs == {0, 1}  # D8: old files unmoved under old spec
+    # pruning: scan on order_date month hits only matching partition files
+    md = t.meta
+    cands = t._candidates(md, snap, "order_date = DATE '2024-03-10'")
+    part_files = [f for f in snap.files if f.spec_id == 1]
+    pruned_out = [f for f in part_files if f not in cands]
+    assert pruned_out, "at least one partitioned file should be pruned"
+    assert t.scan("order_date = DATE '2024-03-10'").count() == 1
+
+
+def test_metadata_tables(cat, spark):
+    t = cat.create_table("db.orders", ORDERS_DDL)
+    t.append(seed_df(spark, ROWS[:2]))
+    t.append(seed_df(spark, ROWS[2:]))
+    hist = t.history().collect()
+    assert len(hist) == 2 and hist[-1]["is_current_ancestor"]
+    snaps = t.snapshots_df().collect()
+    assert [s["operation"] for s in snaps] == ["append", "append"]
+    assert t.partitions_df().agg(F.sum("record_count")).collect()[0][0] == 4
+    assert t.files_df().count() >= 2
+
+
+def test_rollback(cat, spark):
+    t = cat.create_table("db.orders", ORDERS_DDL)
+    t.append(seed_df(spark, ROWS[:2]))
+    v1 = t.meta.current_snapshot_id
+    t.append(seed_df(spark, ROWS[2:]))
+    assert t.read().count() == 4
+    t.rollback_to(v1)
+    assert t.read().count() == 2
+    assert len(t.meta.snapshots) == 2  # history kept (Iceberg semantics)
+
+
+def test_compaction_preserves_content(cat, spark):
+    t = cat.create_table("db.orders", ORDERS_DDL)
+    for r in ROWS:
+        t.append(seed_df(spark, [r]))  # 4 tiny files
+    before = sorted(map(str, t.read().collect()))
+    nfiles_before = len(t.meta.snapshot().files)
+    t.compact(target_files=1)
+    after = sorted(map(str, t.read().collect()))
+    assert before == after
+    assert len(t.meta.snapshot().files) < nfiles_before
+
+
+def test_expire_snapshots_and_orphans(cat, spark):
+    t = cat.create_table("db.orders", ORDERS_DDL)
+    t.append(seed_df(spark, ROWS[:1]))
+    t.append(seed_df(spark, ROWS[1:2]))
+    t.delete("order_id = 1")
+    assert len(t.meta.snapshots) == 3
+    deleted = t.expire_snapshots(keep_last=1)
+    assert len(t.meta.snapshots) == 1
+    assert deleted, "expired-only files should be physically removed"
+    assert t.read().count() == 1  # current state intact
+    # orphans: plant an unreferenced file
+    orphan = os.path.join(t.location, "data", "orphan.parquet")
+    seed_df(spark, ROWS[:1]).write.mode("overwrite").parquet(orphan + ".dir")
+    os.rename(
+        next(
+            os.path.join(orphan + ".dir", n)
+            for n in os.listdir(orphan + ".dir")
+            if n.endswith(".parquet")
+        ),
+        orphan,
+    )
+    removed = t.remove_orphan_files()
+    assert any("orphan.parquet" in p for p in removed)
+    assert t.read().count() == 1
+
+
+def test_merge_on_read_delete(cat, spark):
+    t = cat.create_table("db.orders", ORDERS_DDL)
+    t.append(seed_df(spark))
+    t.set_property("write.delete.mode", "merge-on-read")
+    t.set_property("write.delete.equality-columns", "order_id")
+    files_before = [f.path for f in t.meta.snapshot().files]
+    t.delete("customer_id = 101")  # orders 1 and 4
+    snap = t.meta.snapshot()
+    assert [f.path for f in snap.files] == files_before  # D15: no rewrite
+    assert snap.delete_files, "equality-delete file recorded"
+    assert sorted(r["order_id"] for r in t.read().collect()) == [2, 3]
+    # compaction resolves the deletes into plain files
+    t.compact()
+    assert not t.meta.snapshot().delete_files
+    assert sorted(r["order_id"] for r in t.read().collect()) == [2, 3]
+
+
+def test_catalog_listings(cat, spark):
+    cat.create_table("db.orders", ORDERS_DDL)
+    cat.create_table("db.events", "event_id bigint, payload string")
+    cat.create_table("analytics.daily", "day date, cnt bigint")
+    assert {r["namespace"] for r in cat.list_namespaces().collect()} == {"db", "analytics"}
+    assert {r["table_name"] for r in cat.list_tables("db").collect()} == {"orders", "events"}
+    meta = cat.table_metadata("db.orders")
+    assert meta["schema"]["order_id"] == "bigint"
+    assert meta["current_snapshot_id"] is None

@@ -1,0 +1,236 @@
+"""Lakehouse table metadata: the Iceberg-semantics core, Spark-native.
+
+The reference teaches Iceberg's metadata design (snapshots, manifests,
+schema/partition evolution, time travel — README.md:921-1028) on a real
+Iceberg 1.10 catalog. No Iceberg runtime jar exists in this environment
+(SURVEY.md §7), so the engine reproduces the *semantics* on plain parquet +
+versioned JSON metadata:
+
+- ``v{N}.metadata.json`` files + a ``version-hint.text`` pointer, committed
+  by atomic rename — the same single-writer commit protocol Iceberg's
+  HadoopCatalog uses.
+- Every snapshot carries its full data-file manifest with per-file row
+  counts, partition values, and column min/max stats. Query planning reads
+  ONLY this metadata — O(manifest) instead of O(directory listing), which is
+  the file-listing-cost lesson of README.md:469-487.
+- Schema fields carry immutable field IDs; data files record which schema
+  they were written under. Renames are metadata-only (README.md:979) and
+  adding a column with a default never rewrites data (README.md:1159-1166).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import asdict, dataclass, field
+from typing import Any
+
+FORMAT_VERSION = 1
+
+
+@dataclass
+class Field:
+    id: int
+    name: str
+    type: str  # Spark DDL type string, e.g. "bigint", "decimal(10,2)"
+    nullable: bool = True
+    # Iceberg-V3-style initial default: applied at READ time to files
+    # written before the column existed (README.md:1159-1166, D7).
+    initial_default: Any = None
+
+
+@dataclass
+class Schema:
+    schema_id: int
+    fields: list[Field]
+
+    def ddl(self) -> str:
+        return ", ".join(f"{f.name} {f.type}" for f in self.fields)
+
+    def by_id(self) -> dict[int, Field]:
+        return {f.id: f for f in self.fields}
+
+    def names(self) -> list[str]:
+        return [f.name for f in self.fields]
+
+
+@dataclass
+class PartitionField:
+    source: str  # source column NAME at spec creation time
+    source_id: int  # immutable field id of the source column
+    transform: str  # identity | year | month | day | bucket[N] | truncate[W]
+    name: str  # partition column name in the layout, e.g. "order_date_month"
+
+
+@dataclass
+class PartitionSpec:
+    spec_id: int
+    fields: list[PartitionField]
+
+
+@dataclass
+class DataFile:
+    path: str  # relative to table root
+    rows: int
+    bytes: int
+    schema_id: int
+    spec_id: int
+    partition: dict[str, str] = field(default_factory=dict)  # pcol -> value
+    # column name (at write time) -> [min, max] as JSON-safe strings
+    stats: dict[str, list] = field(default_factory=dict)
+
+
+@dataclass
+class DeleteFile:
+    """Equality-delete file for merge-on-read (D15, README.md:1096-1121):
+    rows matching these key values are invisible at read."""
+
+    path: str
+    rows: int
+    equality_columns: list[str]
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    parent_id: int | None
+    timestamp_ms: int
+    operation: str  # append | overwrite | delete | replace | rollback
+    schema_id: int
+    spec_id: int
+    files: list[DataFile]
+    delete_files: list[DeleteFile] = field(default_factory=list)
+    summary: dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass
+class TableMetadata:
+    table_uuid: str
+    name: str
+    location: str
+    schemas: list[Schema]
+    current_schema_id: int
+    partition_specs: list[PartitionSpec]
+    current_spec_id: int
+    snapshots: list[Snapshot]
+    current_snapshot_id: int | None
+    properties: dict[str, str]
+    last_field_id: int
+    last_snapshot_id: int
+
+    # -- convenience -------------------------------------------------
+    def schema(self, schema_id: int | None = None) -> Schema:
+        sid = self.current_schema_id if schema_id is None else schema_id
+        return next(s for s in self.schemas if s.schema_id == sid)
+
+    def spec(self, spec_id: int | None = None) -> PartitionSpec:
+        sid = self.current_spec_id if spec_id is None else spec_id
+        return next(s for s in self.partition_specs if s.spec_id == sid)
+
+    def snapshot(self, snapshot_id: int | None = None) -> Snapshot | None:
+        sid = self.current_snapshot_id if snapshot_id is None else snapshot_id
+        for s in self.snapshots:
+            if s.snapshot_id == sid:
+                return s
+        return None
+
+    def snapshot_as_of(self, ts_ms: int) -> Snapshot | None:
+        """Latest snapshot at-or-before ts_ms (D10 TIMESTAMP AS OF)."""
+        eligible = [s for s in self.snapshots if s.timestamp_ms <= ts_ms]
+        return max(eligible, key=lambda s: s.timestamp_ms, default=None)
+
+
+# ---------------------------------------------------------------------------
+# (De)serialization + atomic commit protocol
+# ---------------------------------------------------------------------------
+
+
+def _to_json(md: TableMetadata) -> str:
+    return json.dumps({"format_version": FORMAT_VERSION, **asdict(md)}, indent=1)
+
+
+def _from_json(text: str) -> TableMetadata:
+    d = json.loads(text)
+    d.pop("format_version", None)
+    d["schemas"] = [
+        Schema(schema_id=s["schema_id"], fields=[Field(**f) for f in s["fields"]])
+        for s in d["schemas"]
+    ]
+    d["partition_specs"] = [
+        PartitionSpec(spec_id=s["spec_id"], fields=[PartitionField(**f) for f in s["fields"]])
+        for s in d["partition_specs"]
+    ]
+    d["snapshots"] = [
+        Snapshot(
+            **{
+                **s,
+                "files": [DataFile(**f) for f in s["files"]],
+                "delete_files": [DeleteFile(**f) for f in s.get("delete_files", [])],
+            }
+        )
+        for s in d["snapshots"]
+    ]
+    return TableMetadata(**d)
+
+
+def metadata_dir(location: str) -> str:
+    return os.path.join(location, "metadata")
+
+
+def _hint_path(location: str) -> str:
+    return os.path.join(metadata_dir(location), "version-hint.text")
+
+
+def current_version(location: str) -> int:
+    try:
+        with open(_hint_path(location)) as f:
+            return int(f.read().strip())
+    except FileNotFoundError:
+        return 0
+
+
+def read_metadata(location: str) -> TableMetadata:
+    v = current_version(location)
+    if v == 0:
+        raise FileNotFoundError(f"no table at {location}")
+    with open(os.path.join(metadata_dir(location), f"v{v}.metadata.json")) as f:
+        return _from_json(f.read())
+
+
+def commit_metadata(location: str, md: TableMetadata) -> int:
+    """Atomic single-writer commit: write v{N+1}, then flip the hint via
+    os.replace (atomic on POSIX). A concurrent reader sees either vN or
+    vN+1, never a torn state."""
+    mdir = metadata_dir(location)
+    os.makedirs(mdir, exist_ok=True)
+    v = current_version(location) + 1
+    with open(os.path.join(mdir, f"v{v}.metadata.json"), "w") as f:
+        f.write(_to_json(md))
+    tmp = _hint_path(location) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(v))
+    os.replace(tmp, _hint_path(location))
+    return v
+
+
+def new_table_metadata(name: str, location: str, fields: list[Field], properties=None) -> TableMetadata:
+    return TableMetadata(
+        table_uuid=str(uuid.uuid4()),
+        name=name,
+        location=location,
+        schemas=[Schema(schema_id=0, fields=fields)],
+        current_schema_id=0,
+        partition_specs=[PartitionSpec(spec_id=0, fields=[])],
+        current_spec_id=0,
+        snapshots=[],
+        current_snapshot_id=None,
+        properties=dict(properties or {}),
+        last_field_id=max((f.id for f in fields), default=0),
+        last_snapshot_id=0,
+    )
+
+
+def now_ms() -> int:
+    return int(time.time() * 1000)

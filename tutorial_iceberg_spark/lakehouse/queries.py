@@ -1,1 +1,230 @@
-"""Placeholder — populated in a later phase."""
+"""Driver-facing lakehouse queries (D1-D16), oracle-checked.
+
+Each query builds a FRESH lakehouse table in a temp warehouse from a
+deterministic subset of the ``orders`` testdata, applies the lakehouse
+operation under test, and returns the final table state. Because every
+input subset is keyed on ``o_orderkey % k``, the end state is expressible
+in pure ANSI SQL — so even UPDATE / MERGE / time travel / compaction /
+merge-on-read deletes get full DuckDB value-hash checks, not just
+rows-only. Invariant coverage (snapshot counts, pruning, orphan cleanup)
+lives in tests/test_lakehouse.py.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tutorial_iceberg_spark.io import load_table
+from tutorial_iceberg_spark.lakehouse.table import LakeTable
+from tutorial_iceberg_spark.registry import register
+
+ORDERS_DDL = (
+    "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+    "o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string"
+)
+
+ORDERS_COLS = "o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority"
+
+
+def _fresh_table(spark: SparkSession, name: str, **kwargs) -> LakeTable:
+    wh = os.path.join(tempfile.gettempdir(), "tis_lake", name, uuid.uuid4().hex[:8])
+    os.makedirs(wh, exist_ok=True)
+    return LakeTable.create(spark, os.path.join(wh, "t"), ORDERS_DDL, name=name, **kwargs)
+
+
+def _orders_mod(spark: SparkSession, sf_dir: str, k: int, *residues: int) -> DataFrame:
+    df = load_table(spark, sf_dir, "orders")
+    return df.filter((F.col("o_orderkey") % k).isin(list(residues)))
+
+
+@register(
+    "lake_create_insert_read",
+    oracle=f"""
+        SELECT {ORDERS_COLS} FROM orders WHERE o_orderkey % 3 IN (0, 1)
+    """,
+    doc="D1+D16: CREATE TABLE (README.md:944-951) + two INSERT snapshots "
+    "(README.md:1136-1138) + read of current state",
+    tags=("lakehouse",),
+)
+def lake_create_insert_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _fresh_table(spark, "create_insert")
+    t.append(_orders_mod(spark, sf_dir, 3, 0))
+    t.append(_orders_mod(spark, sf_dir, 3, 1))
+    return t.read()
+
+
+@register(
+    "lake_update",
+    oracle=f"""
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 1.1
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders
+    """,
+    doc="D2 UPDATE ... SET ... WHERE (README.md:954-956) as copy-on-write rewrite",
+    tags=("lakehouse",),
+)
+def lake_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _fresh_table(spark, "update")
+    t.append(load_table(spark, sf_dir, "orders"))
+    t.update("o_orderstatus = 'O'", {"o_totalprice": "o_totalprice * 1.1"})
+    return t.read()
+
+
+@register(
+    "lake_delete",
+    oracle=f"""
+        SELECT {ORDERS_COLS} FROM orders WHERE o_orderpriority <> '1-URGENT'
+    """,
+    doc="D3 DELETE FROM ... WHERE (README.md:959-960), copy-on-write",
+    tags=("lakehouse",),
+)
+def lake_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _fresh_table(spark, "delete")
+    t.append(load_table(spark, sf_dir, "orders"))
+    t.delete("o_orderpriority = '1-URGENT'")
+    return t.read()
+
+
+@register(
+    "lake_merge_upsert",
+    oracle=f"""
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice * 2
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders
+        WHERE o_orderkey % 2 = 0
+           OR (o_orderkey % 2 = 1 AND o_orderkey % 5 = 0)
+    """,
+    doc="D4 MERGE INTO: WHEN MATCHED UPDATE SET * / WHEN NOT MATCHED INSERT * "
+    "(README.md:963-967). Target = even keys; source = (key%4=0 with doubled "
+    "price) matched-updates + (odd multiples of 5) inserts.",
+    tags=("lakehouse", "flagship"),
+)
+def lake_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _fresh_table(spark, "merge")
+    t.append(_orders_mod(spark, sf_dir, 2, 0))
+    orders = load_table(spark, sf_dir, "orders")
+    updates = orders.filter(F.col("o_orderkey") % 4 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    inserts = orders.filter(
+        ((F.col("o_orderkey") % 2) == 1) & ((F.col("o_orderkey") % 5) == 0)
+    )
+    t.merge(updates.unionByName(inserts), on="o_orderkey")
+    return t.read()
+
+
+@register(
+    "lake_time_travel",
+    oracle=f"""
+        SELECT {ORDERS_COLS} FROM orders WHERE o_orderkey % 3 = 0
+    """,
+    doc="D10 VERSION AS OF (README.md:1007-1010): read snapshot 1 after a "
+    "second append — must reproduce the pre-append state",
+    tags=("lakehouse",),
+)
+def lake_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _fresh_table(spark, "time_travel")
+    t.append(_orders_mod(spark, sf_dir, 3, 0))
+    t.append(_orders_mod(spark, sf_dir, 3, 1))
+    return t.read(snapshot_id=1)
+
+
+@register(
+    "lake_rollback",
+    oracle=f"""
+        SELECT {ORDERS_COLS} FROM orders WHERE o_orderkey % 3 = 0
+    """,
+    doc="D11 CALL rollback_to_snapshot (README.md:1013): pointer moves back, "
+    "history kept",
+    tags=("lakehouse",),
+)
+def lake_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _fresh_table(spark, "rollback")
+    t.append(_orders_mod(spark, sf_dir, 3, 0))
+    t.append(_orders_mod(spark, sf_dir, 3, 1))
+    t.rollback_to(1)
+    return t.read()
+
+
+@register(
+    "lake_schema_evolution",
+    oracle=f"""
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+               o_orderpriority AS priority,
+               1 AS version,
+               'unknown' AS region
+        FROM orders WHERE o_orderkey % 3 = 0
+    """,
+    doc="D5+D6+D7: ADD COLUMN with defaults (README.md:976, 1159-1166) + "
+    "RENAME COLUMN (README.md:979) — metadata-only, old files resolve via "
+    "field IDs, defaults materialize at read",
+    tags=("lakehouse",),
+)
+def lake_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _fresh_table(spark, "schema_evo")
+    t.append(_orders_mod(spark, sf_dir, 3, 0))
+    t.add_column("version", "int", default=1)
+    t.add_column("region", "string", default="unknown")
+    t.rename_column("o_orderpriority", "priority")
+    return t.read()
+
+
+@register(
+    "lake_compaction",
+    oracle=f"""
+        SELECT {ORDERS_COLS} FROM orders
+    """,
+    doc="D12 CALL rewrite_data_files (README.md:1022): 3 small appends "
+    "compacted into one file set; content byte-identical",
+    tags=("lakehouse",),
+)
+def lake_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _fresh_table(spark, "compact")
+    for r in (0, 1, 2):
+        t.append(_orders_mod(spark, sf_dir, 3, r))
+    t.compact(target_files=2)
+    return t.read()
+
+
+@register(
+    "lake_mor_delete",
+    oracle=f"""
+        SELECT {ORDERS_COLS} FROM orders WHERE o_orderstatus <> 'F'
+    """,
+    doc="D15 merge-on-read delete (README.md:1096-1121): equality-delete "
+    "file + anti-join at read; data files untouched",
+    tags=("lakehouse",),
+)
+def lake_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _fresh_table(spark, "mor_delete")
+    t.append(load_table(spark, sf_dir, "orders"))
+    t.set_property("write.delete.mode", "merge-on-read")
+    t.set_property("write.delete.equality-columns", "o_orderkey")
+    t.delete("o_orderstatus = 'F'")
+    return t.read()
+
+
+@register(
+    "lake_partitioned_scan",
+    oracle=f"""
+        SELECT {ORDERS_COLS} FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+    """,
+    doc="D8-adjacent: hidden partitioning month(o_orderdate) "
+    "(README.md:990-992) + manifest-pruned scan — only files whose partition "
+    "range can match are read (pytest asserts the pruning)",
+    tags=("lakehouse", "partition"),
+)
+def lake_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _fresh_table(spark, "part_scan", partition_by=["month(o_orderdate)"])
+    t.append(load_table(spark, sf_dir, "orders"))
+    return t.scan("o_orderdate >= TIMESTAMP '1999-01-01'")

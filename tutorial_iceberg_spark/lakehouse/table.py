@@ -1,0 +1,610 @@
+"""LakeTable: Iceberg-semantics table operations on Spark (D1-D16).
+
+Maps SURVEY.md §2.9 one-to-one; each method cites the reference snippet it
+reproduces. Design stance for 100 TB:
+
+- Planning is metadata-only: the snapshot manifest carries per-file
+  partition values + column min/max, so DELETE/UPDATE/scan prune candidate
+  files without listing directories or reading footers (README.md:469-487's
+  lesson).
+- Copy-on-write mutations rewrite ONLY candidate files that might contain
+  matches; merge-on-read (``write.delete.mode=merge-on-read``,
+  README.md:1112-1121) writes equality-delete files applied as an anti-join
+  at read.
+- All data movement is DataFrame ops — nothing collects rows on the driver
+  except file-footer stats at commit time (O(files), same as an Iceberg
+  commit writing manifest entries).
+
+Single-writer commit protocol; see metadata.commit_metadata.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from datetime import date, datetime
+from decimal import Decimal
+from typing import Any
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tutorial_iceberg_spark.lakehouse import metadata as M
+from tutorial_iceberg_spark.lakehouse import transforms as T
+
+
+def _json_safe(v: Any):
+    if isinstance(v, (datetime, date)):
+        return v.isoformat(sep=" ") if isinstance(v, datetime) else v.isoformat()
+    if isinstance(v, Decimal):
+        return str(v)
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, float) or isinstance(v, int) or isinstance(v, str) or v is None:
+        return v
+    return str(v)
+
+
+class LakeTable:
+    def __init__(self, spark: SparkSession, location: str):
+        self.spark = spark
+        self.location = location
+
+    # -- metadata access ----------------------------------------------
+    @property
+    def meta(self) -> M.TableMetadata:
+        return M.read_metadata(self.location)
+
+    def _commit(self, md: M.TableMetadata) -> None:
+        M.commit_metadata(self.location, md)
+
+    def _abs(self, rel: str) -> str:
+        return os.path.join(self.location, rel)
+
+    # -- create ---------------------------------------------------------
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        location: str,
+        schema_ddl: str,
+        name: str = "",
+        partition_by: list[str] | None = None,
+        properties: dict[str, str] | None = None,
+    ) -> "LakeTable":
+        """D1 CREATE TABLE ... USING iceberg — README.md:944-951."""
+        fields = []
+        empty = spark.createDataFrame([], schema_ddl)
+        for i, f in enumerate(empty.schema.fields, start=1):
+            fields.append(M.Field(id=i, name=f.name, type=f.dataType.simpleString()))
+        md = M.new_table_metadata(name or os.path.basename(location), location, fields, properties)
+        if partition_by:
+            pfields = []
+            by_name = {f.name: f for f in fields}
+            for decl in partition_by:
+                transform, col = T.parse_transform_decl(decl)
+                suffix = transform.split("[")[0]
+                pname = col if transform == "identity" else f"{col}_{suffix}"
+                pfields.append(
+                    M.PartitionField(
+                        source=col, source_id=by_name[col].id, transform=transform, name=pname
+                    )
+                )
+            md.partition_specs = [M.PartitionSpec(spec_id=0, fields=pfields)]
+        M.commit_metadata(location, md)
+        return cls(spark, location)
+
+    @classmethod
+    def load(cls, spark: SparkSession, location: str) -> "LakeTable":
+        M.read_metadata(location)  # raises if absent
+        return cls(spark, location)
+
+    # -- write path -------------------------------------------------------
+    def _align(self, df: DataFrame, schema: M.Schema) -> DataFrame:
+        cols = []
+        for f in schema.fields:
+            if f.name in df.columns:
+                cols.append(F.col(f.name).cast(f.type).alias(f.name))
+            elif f.initial_default is not None:
+                cols.append(F.lit(f.initial_default).cast(f.type).alias(f.name))
+            else:
+                cols.append(F.lit(None).cast(f.type).alias(f.name))
+        return df.select(*cols)
+
+    def _write_files(self, df: DataFrame, md: M.TableMetadata) -> list[M.DataFile]:
+        """Write one batch of data files; returns manifest entries with
+        footer stats. Partition columns are written as extra `_p_*` dirs so
+        logical columns stay in the data files (identity transforms too)."""
+        spec = md.spec()
+        rel_dir = os.path.join("data", uuid.uuid4().hex[:12])
+        out = self._abs(rel_dir)
+        writer_df = df
+        pcols = []
+        for pf in spec.fields:
+            pcol = f"_p_{pf.name}"
+            writer_df = writer_df.withColumn(pcol, T.transform_column(pf.transform, pf.source))
+            pcols.append(pcol)
+        w = writer_df.write.mode("overwrite")
+        if pcols:
+            writer_df = writer_df.repartition(*[F.col(c) for c in pcols])
+            w = writer_df.write.mode("overwrite").partitionBy(*pcols)
+        w.parquet(out)
+
+        files: list[M.DataFile] = []
+        for root, _dirs, names in os.walk(out):
+            for n in sorted(names):
+                if not n.endswith(".parquet"):
+                    continue
+                fpath = os.path.join(root, n)
+                rel = os.path.relpath(fpath, self.location)
+                partition: dict[str, str] = {}
+                for part in os.path.relpath(root, out).split(os.sep):
+                    if "=" in part:
+                        k, v = part.split("=", 1)
+                        partition[k.removeprefix("_p_")] = v
+                meta = pq.ParquetFile(fpath).metadata
+                stats: dict[str, list] = {}
+                for rg in range(meta.num_row_groups):
+                    g = meta.row_group(rg)
+                    for ci in range(g.num_columns):
+                        col = g.column(ci)
+                        try:
+                            st = col.statistics
+                            if st is None or not st.has_min_max:
+                                continue
+                            lo, hi = _json_safe(st.min), _json_safe(st.max)
+                        except Exception:
+                            # pyarrow can't surface stats for every physical
+                            # type (e.g. decimals); planning just won't prune
+                            # on those columns
+                            continue
+                        cur = stats.get(col.path_in_schema)
+                        if cur is None:
+                            stats[col.path_in_schema] = [lo, hi]
+                        else:
+                            stats[col.path_in_schema] = [min(cur[0], lo), max(cur[1], hi)]
+                files.append(
+                    M.DataFile(
+                        path=rel,
+                        rows=meta.num_rows,
+                        bytes=os.path.getsize(fpath),
+                        schema_id=md.current_schema_id,
+                        spec_id=md.current_spec_id,
+                        partition=partition,
+                        stats=stats,
+                    )
+                )
+        return files
+
+    def _new_snapshot(
+        self,
+        md: M.TableMetadata,
+        operation: str,
+        files: list[M.DataFile],
+        delete_files: list[M.DeleteFile] | None = None,
+        summary: dict | None = None,
+    ) -> None:
+        md.last_snapshot_id += 1
+        snap = M.Snapshot(
+            snapshot_id=md.last_snapshot_id,
+            parent_id=md.current_snapshot_id,
+            timestamp_ms=M.now_ms(),
+            operation=operation,
+            schema_id=md.current_schema_id,
+            spec_id=md.current_spec_id,
+            files=files,
+            delete_files=list(delete_files or []),
+            summary={"total-files": len(files), "total-rows": sum(f.rows for f in files), **(summary or {})},
+        )
+        md.snapshots.append(snap)
+        md.current_snapshot_id = snap.snapshot_id
+        self._commit(md)
+
+    # -- D16 INSERT / append ---------------------------------------------
+    def append(self, df: DataFrame) -> None:
+        """D16 INSERT INTO ... VALUES / append — README.md:1136-1138."""
+        md = self.meta
+        new_files = self._write_files(self._align(df, md.schema()), md)
+        cur = md.snapshot()
+        base = list(cur.files) if cur else []
+        dels = list(cur.delete_files) if cur else []
+        self._new_snapshot(md, "append", base + new_files, dels)
+
+    def insert_rows(self, rows: list[tuple]) -> None:
+        md = self.meta
+        df = self.spark.createDataFrame(rows, md.schema().ddl())
+        self.append(df)
+
+    # -- read path ---------------------------------------------------------
+    def _empty_df(self, schema: M.Schema) -> DataFrame:
+        return self.spark.createDataFrame([], schema.ddl())
+
+    def _read_files(self, md: M.TableMetadata, files: list[M.DataFile]) -> DataFrame:
+        current = md.schema()
+        if not files:
+            return self._empty_df(current)
+        by_schema: dict[int, list[M.DataFile]] = {}
+        for f in files:
+            by_schema.setdefault(f.schema_id, []).append(f)
+        parts: list[DataFrame] = []
+        for sid, group in by_schema.items():
+            written = md.schema(sid)
+            wnames = written.by_id()
+            raw = self.spark.read.parquet(*[self._abs(f.path) for f in group])
+            cols = []
+            for f in current.fields:
+                old = wnames.get(f.id)
+                if old is not None and old.name in raw.columns:
+                    cols.append(F.col(old.name).cast(f.type).alias(f.name))
+                else:
+                    # D7: read-time default for columns added after these
+                    # files were written (README.md:1159-1166)
+                    cols.append(F.lit(f.initial_default).cast(f.type).alias(f.name))
+            parts.append(raw.select(*cols))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def read(
+        self, snapshot_id: int | None = None, as_of_ms: int | None = None
+    ) -> DataFrame:
+        """Current-state read, or D10 time travel (VERSION AS OF /
+        TIMESTAMP AS OF — README.md:1007-1010)."""
+        md = self.meta
+        if as_of_ms is not None:
+            snap = md.snapshot_as_of(as_of_ms)
+        else:
+            snap = md.snapshot(snapshot_id)
+        if snap is None:
+            return self._empty_df(md.schema())
+        df = self._read_files(md, snap.files)
+        for dfi in snap.delete_files:
+            dels = self.spark.read.parquet(self._abs(dfi.path))
+            df = df.join(F.broadcast(dels), on=dfi.equality_columns, how="left_anti")
+        return df
+
+    def scan(self, pred_sql: str | None = None) -> DataFrame:
+        """Filtered read with manifest pruning: partition values + column
+        min/max decide which files can contain matches; only those are
+        scanned. The residual filter still applies (pruning is best-effort,
+        never load-bearing for correctness)."""
+        md = self.meta
+        snap = md.snapshot()
+        if snap is None:
+            return self._empty_df(md.schema())
+        files = snap.files
+        if pred_sql and not snap.delete_files:
+            files = self._candidates(md, snap, pred_sql)
+        df = self._read_files(md, files) if not snap.delete_files else self.read()
+        return df.filter(F.expr(pred_sql)) if pred_sql else df
+
+    def _candidates(
+        self, md: M.TableMetadata, snap: M.Snapshot, pred_sql: str
+    ) -> list[M.DataFile]:
+        conjuncts = T.parse_conjuncts(pred_sql)
+        if conjuncts is None:
+            return list(snap.files)
+        # predicate references current names; map back to write-time names
+        current_by_name = {f.name: f.id for f in md.schema().fields}
+        out = []
+        for f in snap.files:
+            written = md.schema(f.schema_id).by_id()
+            keep = True
+            for col, op, val in conjuncts:
+                fid = current_by_name.get(col)
+                wname = written[fid].name if fid in written else None
+                spec = md.spec(f.spec_id)
+                if not T.partition_may_match(spec.fields, f.partition, col, op, val):
+                    keep = False
+                    break
+                if wname and not T.stats_may_match(f.stats.get(wname), op, val):
+                    keep = False
+                    break
+            if keep:
+                out.append(f)
+        return out
+
+    # -- D2 UPDATE / D3 DELETE ---------------------------------------------
+    def delete(self, pred_sql: str) -> None:
+        """D3 DELETE FROM ... WHERE — README.md:959-960, 1117."""
+        md = self.meta
+        snap = md.snapshot()
+        if snap is None:
+            return
+        if md.properties.get("write.delete.mode") == "merge-on-read" and not snap.delete_files:
+            self._delete_mor(md, snap, pred_sql)
+            return
+        if snap.delete_files:
+            # existing MoR deletes: materialize, then full CoW rewrite
+            survivors = self.read().filter(~F.expr(pred_sql))
+            files = self._write_files(self._align(survivors, md.schema()), md)
+            self._new_snapshot(md, "delete", files, [], {"mode": "cow-materialize"})
+            return
+        candidates = self._candidates(md, snap, pred_sql)
+        cand_set = {f.path for f in candidates}
+        untouched = [f for f in snap.files if f.path not in cand_set]
+        rewritten: list[M.DataFile] = []
+        if candidates:
+            survivors = self._read_files(md, candidates).filter(~F.expr(pred_sql))
+            rewritten = self._write_files(survivors, md)
+        self._new_snapshot(
+            md, "delete", untouched + rewritten,
+            summary={"mode": "copy-on-write", "rewritten-files": len(candidates),
+                     "untouched-files": len(untouched)},
+        )
+
+    def _delete_mor(self, md: M.TableMetadata, snap: M.Snapshot, pred_sql: str) -> None:
+        """D15 merge-on-read delete: write an equality-delete file instead
+        of rewriting data (README.md:1096-1121)."""
+        eq_cols = md.properties.get(
+            "write.delete.equality-columns", md.schema().fields[0].name
+        ).split(",")
+        matches = self.read().filter(F.expr(pred_sql)).select(*eq_cols).distinct()
+        rel = os.path.join("data", f"delete-{uuid.uuid4().hex[:12]}")
+        matches.write.mode("overwrite").parquet(self._abs(rel))
+        nrows = matches.count()
+        dfile_paths = [
+            os.path.join(rel, n)
+            for n in sorted(os.listdir(self._abs(rel)))
+            if n.endswith(".parquet")
+        ]
+        dels = list(snap.delete_files) + [
+            M.DeleteFile(path=p, rows=nrows, equality_columns=eq_cols) for p in dfile_paths
+        ]
+        self._new_snapshot(md, "delete", list(snap.files), dels, {"mode": "merge-on-read"})
+
+    def update(self, pred_sql: str, set_exprs: dict[str, str]) -> None:
+        """D2 UPDATE ... SET ... WHERE — README.md:954-956. Copy-on-write at
+        file granularity: untouched files carry over by reference."""
+        md = self.meta
+        snap = md.snapshot()
+        if snap is None:
+            return
+        pred = F.expr(pred_sql)
+
+        def apply_updates(df: DataFrame) -> DataFrame:
+            return df.withColumns(
+                {c: F.when(pred, F.expr(e)).otherwise(F.col(c)) for c, e in set_exprs.items()}
+            )
+
+        if snap.delete_files:
+            updated = apply_updates(self.read())
+            files = self._write_files(self._align(updated, md.schema()), md)
+            self._new_snapshot(md, "overwrite", files, [], {"mode": "cow-materialize"})
+            return
+        candidates = self._candidates(md, snap, pred_sql)
+        cand_set = {f.path for f in candidates}
+        untouched = [f for f in snap.files if f.path not in cand_set]
+        rewritten: list[M.DataFile] = []
+        if candidates:
+            rewritten = self._write_files(apply_updates(self._read_files(md, candidates)), md)
+        self._new_snapshot(
+            md, "overwrite", untouched + rewritten,
+            summary={"mode": "copy-on-write", "rewritten-files": len(candidates)},
+        )
+
+    # -- D4 MERGE INTO -------------------------------------------------------
+    def merge(
+        self,
+        source: DataFrame,
+        on: str | list[str],
+        when_matched: str = "update_all",  # update_all | delete | none
+        when_not_matched: str = "insert_all",  # insert_all | none
+    ) -> None:
+        """D4 MERGE INTO t USING s ON t.k=s.k WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT * — README.md:963-967.
+
+        Set semantics: matched target rows are replaced by their source row
+        (by-name column assignment); unmatched source rows are inserted.
+        Round-1 scale note: this rewrites the table; the at-scale refinement
+        is pruning target files by the source's key min/max before rewrite.
+        """
+        md = self.meta
+        keys = [on] if isinstance(on, str) else list(on)
+        target = self.read()
+        src = self._align(source, md.schema())
+        if src.select(*keys).distinct().count() != src.count():
+            raise ValueError("MERGE source has duplicate join keys (ambiguous match)")
+        parts = [target.join(src, on=keys, how="left_anti")]  # untouched target
+        if when_matched == "update_all":
+            parts.append(src.join(target.select(*keys).distinct(), on=keys, how="left_semi"))
+        elif when_matched not in ("delete", "none"):
+            raise ValueError(f"unsupported matched action {when_matched!r}")
+        if when_not_matched == "insert_all":
+            parts.append(src.join(target.select(*keys).distinct(), on=keys, how="left_anti"))
+        result = parts[0]
+        for p in parts[1:]:
+            result = result.unionByName(p)
+        files = self._write_files(self._align(result, md.schema()), md)
+        self._new_snapshot(md, "overwrite", files, [], {"op": "merge"})
+
+    # -- D5/D6/D7 schema evolution ------------------------------------------
+    def _evolve_schema(self, new_fields: list[M.Field]) -> None:
+        md = self.meta
+        new_id = max(s.schema_id for s in md.schemas) + 1
+        md.schemas.append(M.Schema(schema_id=new_id, fields=new_fields))
+        md.current_schema_id = new_id
+        self._commit(md)
+
+    def add_column(self, name: str, type_: str, default: Any = None) -> None:
+        """D5 ADD COLUMN (README.md:976) / D7 ADD COLUMN ... DEFAULT — no
+        data rewrite; default materializes at read (README.md:1159-1166)."""
+        md = self.meta
+        if name in md.schema().names():
+            raise ValueError(f"column {name} exists")
+        md.last_field_id += 1
+        fields = list(md.schema().fields) + [
+            M.Field(id=md.last_field_id, name=name, type=type_, initial_default=_json_safe(default))
+        ]
+        new_id = max(s.schema_id for s in md.schemas) + 1
+        md.schemas.append(M.Schema(schema_id=new_id, fields=fields))
+        md.current_schema_id = new_id
+        self._commit(md)
+
+    def rename_column(self, old: str, new: str) -> None:
+        """D6 RENAME COLUMN — metadata-only via field IDs (README.md:979);
+        old data files keep the old name and still resolve (the exact
+        failure Parquet-only tables hit, README.md:500-508)."""
+        md = self.meta
+        fields = [
+            M.Field(f.id, new if f.name == old else f.name, f.type, f.nullable, f.initial_default)
+            for f in md.schema().fields
+        ]
+        if not any(f.name == new for f in fields):
+            raise ValueError(f"no column {old}")
+        new_id = max(s.schema_id for s in md.schemas) + 1
+        md.schemas.append(M.Schema(schema_id=new_id, fields=fields))
+        md.current_schema_id = new_id
+        self._commit(md)
+
+    # -- D8 partition evolution ----------------------------------------------
+    def add_partition_field(self, decl: str) -> None:
+        """D8 ALTER TABLE ADD PARTITION FIELD month(order_date) —
+        README.md:990-992. Existing files stay under their old spec; only
+        new writes use the new layout."""
+        md = self.meta
+        transform, col = T.parse_transform_decl(decl)
+        by_name = {f.name: f for f in md.schema().fields}
+        if col not in by_name:
+            raise ValueError(f"no column {col}")
+        suffix = transform.split("[")[0]
+        pname = col if transform == "identity" else f"{col}_{suffix}"
+        new_fields = list(md.spec().fields) + [
+            M.PartitionField(source=col, source_id=by_name[col].id, transform=transform, name=pname)
+        ]
+        new_spec = M.PartitionSpec(spec_id=max(s.spec_id for s in md.partition_specs) + 1, fields=new_fields)
+        md.partition_specs.append(new_spec)
+        md.current_spec_id = new_spec.spec_id
+        self._commit(md)
+
+    # -- D9 metadata tables ----------------------------------------------------
+    def history(self) -> DataFrame:
+        """t.history — README.md:982."""
+        md = self.meta
+        rows = [
+            (
+                datetime.fromtimestamp(s.timestamp_ms / 1000).isoformat(sep=" "),
+                s.snapshot_id,
+                s.parent_id,
+                s.snapshot_id == md.current_snapshot_id,
+            )
+            for s in md.snapshots
+        ]
+        return self.spark.createDataFrame(
+            rows, "made_current_at string, snapshot_id bigint, parent_id bigint, is_current_ancestor boolean"
+        )
+
+    def snapshots_df(self) -> DataFrame:
+        """t.snapshots — README.md:1004."""
+        md = self.meta
+        rows = [
+            (
+                datetime.fromtimestamp(s.timestamp_ms / 1000).isoformat(sep=" "),
+                s.snapshot_id,
+                s.parent_id,
+                s.operation,
+                str(s.summary),
+            )
+            for s in md.snapshots
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "committed_at string, snapshot_id bigint, parent_id bigint, operation string, summary string",
+        )
+
+    def partitions_df(self) -> DataFrame:
+        """t.partitions — README.md:995."""
+        md = self.meta
+        snap = md.snapshot()
+        agg: dict[str, list[int]] = {}
+        for f in snap.files if snap else []:
+            key = str(sorted(f.partition.items())) if f.partition else "{}"
+            cur = agg.setdefault(key, [0, 0])
+            cur[0] += f.rows
+            cur[1] += 1
+        rows = [(k, v[0], v[1]) for k, v in sorted(agg.items())]
+        return self.spark.createDataFrame(rows, "partition string, record_count bigint, file_count bigint")
+
+    def files_df(self) -> DataFrame:
+        md = self.meta
+        snap = md.snapshot()
+        rows = [
+            (f.path, f.rows, f.bytes, f.schema_id, f.spec_id, str(sorted(f.partition.items())))
+            for f in (snap.files if snap else [])
+        ]
+        return self.spark.createDataFrame(
+            rows, "file_path string, record_count bigint, file_size_bytes bigint, "
+            "schema_id int, spec_id int, partition string"
+        )
+
+    # -- D11 rollback ------------------------------------------------------------
+    def rollback_to(self, snapshot_id: int) -> None:
+        """D11 CALL rollback_to_snapshot — README.md:1013. Snapshots are
+        kept; only the current pointer moves (Iceberg semantics)."""
+        md = self.meta
+        if md.snapshot(snapshot_id) is None:
+            raise ValueError(f"no snapshot {snapshot_id}")
+        md.current_snapshot_id = snapshot_id
+        self._commit(md)
+
+    # -- D12 compaction ------------------------------------------------------------
+    def compact(self, target_files: int = 1) -> None:
+        """D12 CALL rewrite_data_files — README.md:1022. Reads the current
+        state (resolving MoR deletes), rewrites into ~target_files files per
+        partition; row-identical by construction."""
+        md = self.meta
+        df = self.read().repartition(target_files)
+        files = self._write_files(self._align(df, md.schema()), md)
+        self._new_snapshot(md, "replace", files, [], {"op": "compact"})
+
+    # -- D13/D14 maintenance ---------------------------------------------------------
+    def expire_snapshots(self, older_than_ms: int | None = None, keep_last: int = 1) -> list[str]:
+        """D13 CALL expire_snapshots — README.md:1025. Removes expired
+        snapshot entries and deletes files referenced only by them."""
+        md = self.meta
+        ordered = sorted(md.snapshots, key=lambda s: s.timestamp_ms)
+        keep: set[int] = {md.current_snapshot_id}
+        keep.update(s.snapshot_id for s in ordered[-keep_last:])
+        if older_than_ms is not None:
+            keep.update(s.snapshot_id for s in ordered if s.timestamp_ms >= older_than_ms)
+        kept = [s for s in md.snapshots if s.snapshot_id in keep]
+        removed = [s for s in md.snapshots if s.snapshot_id not in keep]
+        still_referenced = {
+            f.path for s in kept for f in s.files
+        } | {d.path for s in kept for d in s.delete_files}
+        deleted: list[str] = []
+        for s in removed:
+            for f in list(s.files) + list(s.delete_files):
+                if f.path not in still_referenced and os.path.exists(self._abs(f.path)):
+                    os.remove(self._abs(f.path))
+                    deleted.append(f.path)
+        md.snapshots = kept
+        self._commit(md)
+        return deleted
+
+    def remove_orphan_files(self) -> list[str]:
+        """D14 CALL remove_orphan_files — README.md:1028: files on disk not
+        referenced by any snapshot manifest."""
+        md = self.meta
+        referenced = {
+            f.path for s in md.snapshots for f in s.files
+        } | {d.path for s in md.snapshots for d in s.delete_files}
+        removed = []
+        data_dir = self._abs("data")
+        for root, _dirs, names in os.walk(data_dir):
+            for n in names:
+                fpath = os.path.join(root, n)
+                rel = os.path.relpath(fpath, self.location)
+                if n.endswith(".parquet") and rel not in referenced:
+                    os.remove(fpath)
+                    removed.append(rel)
+        return removed
+
+    # -- D15 properties ----------------------------------------------------------------
+    def set_property(self, key: str, value: str) -> None:
+        """SET TBLPROPERTIES — README.md:1112-1115."""
+        md = self.meta
+        md.properties[key] = value
+        self._commit(md)

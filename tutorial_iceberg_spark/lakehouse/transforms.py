@@ -1,0 +1,193 @@
+"""Partition transforms + metadata-level pruning.
+
+Iceberg's hidden partitioning (README.md:990-992: ``ALTER TABLE ... ADD
+PARTITION FIELD month(order_date)``) derives partition values from source
+columns via transforms, so queries never reference partition columns
+directly. This module provides each transform twice:
+
+- as a Spark Column expression (used when WRITING a snapshot), and
+- as a pure-Python value function (used when PLANNING: applying the
+  transform to a predicate literal to prune manifest entries without
+  touching data — the O(metadata) scan planning that matters at 100 TB).
+"""
+
+from __future__ import annotations
+
+import re
+from datetime import date, datetime
+from typing import Any, Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from tutorial_iceberg_spark.lakehouse.metadata import PartitionField
+
+_BUCKET_RE = re.compile(r"bucket\[(\d+)\]")
+_TRUNCATE_RE = re.compile(r"truncate\[(\d+)\]")
+_DECL_RE = re.compile(r"^\s*(\w+)\s*\(\s*(?:(\d+)\s*,\s*)?(\w+)\s*\)\s*$")
+
+
+def parse_transform_decl(decl: str) -> tuple[str, str]:
+    """'month(order_date)' -> ('month', 'order_date');
+    'bucket(16, id)' -> ('bucket[16]', 'id'); bare column -> identity."""
+    decl = decl.strip()
+    m = _DECL_RE.match(decl)
+    if not m:
+        return "identity", decl
+    fn, n, col = m.groups()
+    fn = fn.lower()
+    if fn in ("bucket", "truncate"):
+        if not n:
+            raise ValueError(f"{fn} transform needs a size: {decl!r}")
+        return f"{fn}[{n}]", col
+    if fn == "identity":
+        return "identity", col
+    if fn in ("year", "month", "day"):
+        return fn, col
+    raise ValueError(f"unknown partition transform: {decl!r}")
+
+
+def transform_column(transform: str, col: str) -> Column:
+    """Spark expression computing the partition value (write path)."""
+    c = F.col(col)
+    if transform == "identity":
+        return c.cast("string")
+    if transform == "year":
+        return F.year(c).cast("string")
+    if transform == "month":
+        return F.date_format(c, "yyyy-MM")
+    if transform == "day":
+        return F.date_format(c, "yyyy-MM-dd")
+    m = _BUCKET_RE.match(transform)
+    if m:
+        return F.pmod(F.xxhash64(c), int(m.group(1))).cast("string")
+    m = _TRUNCATE_RE.match(transform)
+    if m:
+        return F.substring(c.cast("string"), 1, int(m.group(1)))
+    raise ValueError(f"unknown transform {transform!r}")
+
+
+def _coerce_temporal(value: Any):
+    if isinstance(value, str):
+        try:
+            return datetime.fromisoformat(value)
+        except ValueError:
+            return value
+    return value
+
+
+def transform_value(transform: str, value: Any) -> str | None:
+    """Python-side transform of a predicate literal (planning path).
+    Returns None when the transform can't be applied to this literal."""
+    if transform == "identity":
+        return str(value)
+    v = _coerce_temporal(value)
+    if isinstance(v, (datetime, date)):
+        if transform == "year":
+            return str(v.year)
+        if transform == "month":
+            return f"{v.year:04d}-{v.month:02d}"
+        if transform == "day":
+            return f"{v.year:04d}-{v.month:02d}-{v.day:02d}"
+    m = _TRUNCATE_RE.match(transform)
+    if m:
+        return str(value)[: int(m.group(1))]
+    return None  # bucket: only equality-capable with the same hash fn; skip
+
+
+# ---------------------------------------------------------------------------
+# Minimal conjunctive predicate parser for metadata pruning.
+# Handles `col OP literal [AND ...]` (the shapes the curriculum uses:
+# README.md:954-960, 1117). Anything it can't parse is simply not pruned on
+# — correctness never depends on pruning.
+# ---------------------------------------------------------------------------
+
+_CMP_RE = re.compile(
+    r"^\s*(\w+)\s*(=|==|!=|<>|<=|>=|<|>)\s*"
+    r"(?:'([^']*)'|TIMESTAMP\s+'([^']*)'|DATE\s+'([^']*)'|(-?\d+(?:\.\d+)?))\s*$",
+    re.IGNORECASE,
+)
+
+
+def parse_conjuncts(pred_sql: str) -> list[tuple[str, str, Any]] | None:
+    """'a = 5 AND b > 2' -> [('a','=',5), ('b','>',2)]; None if unparseable."""
+    parts = re.split(r"\s+AND\s+", pred_sql.strip(), flags=re.IGNORECASE)
+    out = []
+    for p in parts:
+        m = _CMP_RE.match(p)
+        if not m:
+            return None
+        col, op, s1, s2, s3, num = m.groups()
+        if num is not None:
+            val: Any = float(num) if "." in num else int(num)
+        else:
+            val = s1 if s1 is not None else (s2 if s2 is not None else s3)
+        out.append((col, "=" if op == "==" else op, val))
+    return out
+
+
+def _cmp_key(value: Any):
+    v = _coerce_temporal(value)
+    if isinstance(v, datetime):
+        return v.isoformat(sep=" ")
+    return v
+
+
+def stats_may_match(stats_minmax: list | None, op: str, value: Any) -> bool:
+    """Can a file with [min, max] stats contain rows matching `op value`?
+    Conservative: unknown stats -> True."""
+    if not stats_minmax:
+        return True
+    lo, hi = stats_minmax
+    try:
+        v = _cmp_key(value)
+        lo, hi = _cmp_key(lo), _cmp_key(hi)
+        if isinstance(v, (int, float)) and isinstance(lo, str):
+            lo, hi = type(v)(float(lo)), type(v)(float(hi))
+        if isinstance(v, str) and isinstance(lo, (int, float)):
+            lo, hi = str(lo), str(hi)
+        if op in ("=", "=="):
+            return lo <= v <= hi
+        if op == "<":
+            return lo < v
+        if op == "<=":
+            return lo <= v
+        if op == ">":
+            return hi > v
+        if op == ">=":
+            return hi >= v
+        return True  # != can't prune on min/max
+    except TypeError:
+        return True
+
+
+def partition_may_match(
+    pfields: list[PartitionField],
+    partition: dict[str, str],
+    col: str,
+    op: str,
+    value: Any,
+) -> bool:
+    """Prune a file by its recorded partition values. Only equality and
+    range ops on transforms whose output preserves ordering (identity on
+    strings/ints via string compare caveat -> equality only; year/month/day
+    are zero-padded ISO so lexicographic == chronological)."""
+    for pf in pfields:
+        if pf.source != col:
+            continue
+        pval = partition.get(pf.name)
+        if pval is None:
+            continue
+        tv = transform_value(pf.transform, value)
+        if tv is None:
+            continue
+        if op in ("=", "=="):
+            if pval != tv:
+                return False
+        elif pf.transform in ("year", "month", "day"):
+            # coarse containment: file partition tv' vs literal's tv
+            if op in ("<", "<=") and pval > tv:
+                return False
+            if op in (">", ">=") and pval < tv:
+                return False
+    return True
