@@ -1,0 +1,120 @@
+"""Text-analysis + dedup operator tests (SURVEY.md §2.11 extensions).
+
+Correctness invariants plus plan-shape checks: these operators must stay
+JVM-side (no BatchEvalPython in any plan) and dedup must shuffle on the
+content hash, because at 100 TB those are the properties that matter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tutorial_iceberg_spark.io import load_table
+from tutorial_iceberg_spark.operators import dedup as D
+from tutorial_iceberg_spark.functions import text as T
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_exact_dedup_partitions_rows(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    groups = D.x_dedup_exact(spark, sf_dir)
+    rows = groups.collect()
+    # every document lands in exactly one hash group
+    assert sum(r["copies"] for r in rows) == docs.count()
+    # keep_id is a real doc_id from the table
+    ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert all(r["keep_id"] in ids for r in rows)
+
+
+def test_jaccard_bounds_and_self_similarity(spark, sf_dir):
+    rows = D.x_dedup_ngram_jaccard(spark, sf_dir).collect()
+    assert rows, "consecutive-pair join produced nothing"
+    assert all(0.0 <= r["jaccard"] <= 1.0 for r in rows)
+    # near-dup flag consistent with threshold
+    assert all(r["is_near_dup"] == (1 if r["jaccard"] >= 0.8 else 0) for r in rows)
+
+
+def test_simhash_hamming_bounds(spark, sf_dir):
+    rows = D.x_dedup_simhash(spark, sf_dir).collect()
+    assert rows
+    assert all(0 <= r["hamming"] <= 60 for r in rows)
+
+
+def test_identical_docs_are_lsh_candidates(spark, sf_dir):
+    """Planting exact duplicates must produce minhash-identical signatures,
+    hence guaranteed LSH candidacy and jaccard 1.0."""
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    dup = docs.withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000))
+    both = docs.unionByName(dup)
+    sig = D.minhash_signatures(both)
+    cand = D.lsh_candidate_pairs(sig)
+    pairs = {(r["left_id"], r["right_id"]) for r in cand.collect()}
+    for r in docs.select("doc_id").collect():
+        assert (r["doc_id"], r["doc_id"] + 10_000_000) in pairs
+
+
+def test_lsh_finds_high_jaccard_consecutive_pairs(spark, sf_dir):
+    """Recall sanity: every consecutive pair with true jaccard >= 0.9 should
+    be surfaced by the banded LSH (16 hashes / 4 bands -> ~97% at j=0.9)."""
+    exact = {
+        (r["left_id"], r["right_id"])
+        for r in D.x_dedup_ngram_jaccard(spark, sf_dir).collect()
+        if r["jaccard"] >= 0.9
+    }
+    lsh = {
+        (r["left_id"], r["right_id"])
+        for r in D.x_dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    missed = exact - lsh
+    assert len(missed) <= max(1, len(exact) // 10), f"LSH missed {missed}"
+
+
+def test_no_python_udfs_in_text_or_dedup_plans(spark, sf_dir):
+    for build in (
+        T.x_token_count,
+        T.x_quality_score,
+        T.x_langid_vote,
+        T.x_fingerprint,
+        D.x_dedup_exact,
+        D.x_dedup_simhash,
+        D.x_dedup_minhash_lsh,
+    ):
+        plan = plan_of(build(spark, sf_dir))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
+            build.__name__
+        )
+
+
+def test_token_count_matches_manual(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    manual = (
+        docs.select(F.size(F.split(F.trim("text"), r"\s+")).alias("n"))
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    total = sum(
+        r["total_tokens"] for r in T.x_token_count(spark, sf_dir).collect()
+    )
+    assert total == manual
+
+
+def test_fingerprint_is_whitespace_invariant(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(3)
+    mangled = docs.withColumn(
+        "text", F.concat(F.lit("  "), F.regexp_replace("text", " ", "   "))
+    )
+    fp = lambda d: {
+        r["doc_id"]: r["fingerprint"]
+        for r in d.select(
+            "doc_id",
+            F.md5(
+                F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+            ).alias("fingerprint"),
+        ).collect()
+    }
+    assert fp(docs) == fp(mangled)

@@ -1,1 +1,200 @@
-"""Placeholder — populated in a later phase."""
+"""Text-analysis operators for LLM training-data pipelines (north-star
+extension, SURVEY.md §2.11): token counting, quality scoring, n-gram
+language ID, document fingerprinting — all over the ``documents`` table.
+
+Everything is built from JVM-side pyspark.sql.functions (regexp/array ops
+inside whole-stage codegen) — zero Python UDFs, so the hot path stays
+vectorized at 100 TB: each operator is a single scan + narrow projection
+(plus one small groupBy where scores aggregate per language).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tutorial_iceberg_spark.io import load_table
+from tutorial_iceberg_spark.registry import register
+
+# Tokenization shared by every operator: whitespace split of trimmed text.
+# (DuckDB mirror: string_split_regex(trim(text), '\s+'))
+
+
+def tokens(col: str = "text") -> Column:
+    return F.split(F.trim(F.col(col)), r"\s+")
+
+
+@register(
+    "x_token_count",
+    oracle=r"""
+        SELECT lang,
+               COUNT(*) AS docs,
+               SUM(len(string_split_regex(trim(text), '\s+'))) AS total_tokens,
+               (CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS DOUBLE)
+                 / COUNT(*)) AS avg_tokens,
+               SUM(n_chars) AS total_chars
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    doc="Token counting (whitespace tokenizer) aggregated per language",
+    tags=("text", "extension"),
+)
+def x_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = F.size(tokens())
+    return (
+        docs.withColumn("ntok", ntok)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("ntok").alias("total_tokens"),
+            (F.sum("ntok").cast("double") / F.count("*")).alias("avg_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "x_quality_score",
+    oracle=r"""
+        SELECT doc_id,
+               ntok AS n_tokens,
+               npunct AS n_punct,
+               nstop AS n_stopwords,
+               (CAST(nstop AS DOUBLE) / ntok) AS stopword_ratio,
+               CASE WHEN ntok >= 20 AND ntok <= 1000
+                         AND (CAST(npunct AS DOUBLE) / ntok) < 0.3
+                    THEN 1 ELSE 0 END AS quality_pass
+        FROM (
+            SELECT doc_id,
+                   len(string_split_regex(trim(text), '\s+')) AS ntok,
+                   len(regexp_extract_all(text, '[.,;:!?]')) AS npunct,
+                   len(regexp_extract_all(' ' || text || ' ',
+                       ' (the|a|of|and|to|in|is|it) ')) AS nstop
+            FROM documents
+        ) t
+    """,
+    doc="Quality scoring: token count / punctuation density / stopword ratio "
+    "with a pass flag — the C4-style heuristic filter shape",
+    tags=("text", "extension"),
+)
+def x_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = F.size(tokens())
+    npunct = F.regexp_count(F.col("text"), F.lit(r"[.,;:!?]"))
+    # non-overlapping match semantics must agree with DuckDB's
+    # regexp_extract_all: pad and match ' word ' occurrences
+    nstop = F.regexp_count(
+        F.concat(F.lit(" "), F.col("text"), F.lit(" ")),
+        F.lit(r" (the|a|of|and|to|in|is|it) "),
+    )
+    t = docs.select(
+        "doc_id",
+        ntok.alias("ntok"),
+        npunct.alias("npunct"),
+        nstop.alias("nstop"),
+    )
+    return t.select(
+        "doc_id",
+        F.col("ntok").alias("n_tokens"),
+        F.col("npunct").alias("n_punct"),
+        F.col("nstop").alias("n_stopwords"),
+        (F.col("nstop").cast("double") / F.col("ntok")).alias("stopword_ratio"),
+        F.when(
+            (F.col("ntok") >= 20)
+            & (F.col("ntok") <= 1000)
+            & ((F.col("npunct").cast("double") / F.col("ntok")) < 0.3),
+            1,
+        )
+        .otherwise(0)
+        .alias("quality_pass"),
+    )
+
+
+# Language marker sets for the n-gram/stopword-voting heuristic. The
+# testdata's documents are synthetic, so accuracy vs the `lang` label is not
+# the point — the operator shape (vectorized marker voting at scan speed) is.
+_LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "die", "und"],
+    "fr": ["le", "la", "et"],
+    "es": ["el", "los", "de"],
+}
+
+
+@register(
+    "x_langid_vote",
+    oracle=r"""
+        SELECT lang AS labeled_lang, predicted, COUNT(*) AS docs
+        FROM (
+            SELECT lang,
+                   CASE GREATEST(en_h, de_h, fr_h, es_h)
+                        WHEN 0 THEN 'und'
+                        WHEN en_h THEN 'en'
+                        WHEN de_h THEN 'de'
+                        WHEN fr_h THEN 'fr'
+                        ELSE 'es' END AS predicted
+            FROM (
+                SELECT lang,
+                       len(regexp_extract_all(' ' || text || ' ', ' (the|and|of) ')) AS en_h,
+                       len(regexp_extract_all(' ' || text || ' ', ' (der|die|und) ')) AS de_h,
+                       len(regexp_extract_all(' ' || text || ' ', ' (le|la|et) ')) AS fr_h,
+                       len(regexp_extract_all(' ' || text || ' ', ' (el|los|de) ')) AS es_h
+                FROM documents
+            ) h
+        ) p
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    doc="Language-ID heuristic: per-language stopword-marker voting, argmax "
+    "with deterministic tie-break; confusion counts vs the labeled lang",
+    tags=("text", "extension"),
+)
+def x_langid_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    hits = {
+        lang: F.regexp_count(padded, F.lit(" (" + "|".join(m) + ") "))
+        for lang, m in _LANG_MARKERS.items()
+    }
+    h = docs.select("lang", *[v.alias(f"{k}_h") for k, v in hits.items()])
+    best = F.greatest(*[F.col(f"{k}_h") for k in _LANG_MARKERS])
+    # CASE GREATEST(...) WHEN 0 ... WHEN en_h ... replicates DuckDB's simple
+    # CASE: first arm whose value equals `best` wins (deterministic tie-break
+    # in declaration order)
+    pred = (
+        F.when(best == 0, "und")
+        .when(best == F.col("en_h"), "en")
+        .when(best == F.col("de_h"), "de")
+        .when(best == F.col("fr_h"), "fr")
+        .otherwise("es")
+    )
+    return (
+        h.select("lang", pred.alias("predicted"))
+        .groupBy(F.col("lang").alias("labeled_lang"), "predicted")
+        .agg(F.count("*").alias("docs"))
+        .orderBy("labeled_lang", "predicted")
+    )
+
+
+@register(
+    "x_fingerprint",
+    oracle=r"""
+        SELECT doc_id,
+               md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
+               substr(md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))), 1, 8) AS bucket
+        FROM documents
+    """,
+    doc="Document fingerprinting: md5 of whitespace-normalized lowercased "
+    "text + a shard bucket prefix — the exact-dedup / routing key",
+    tags=("text", "extension"),
+)
+def x_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    normalized = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    fp = F.md5(normalized)
+    return docs.select(
+        "doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 8).alias("bucket")
+    )

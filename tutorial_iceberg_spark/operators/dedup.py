@@ -1,0 +1,267 @@
+"""Deduplication operators for LLM training-data pipelines (SURVEY §2.11).
+
+Four escalating strategies over ``documents``:
+
+- exact: content-hash groupBy — one shuffle on a 64-hex key; trivially
+  scales (the hash is the shuffle key, so data skew == duplicate skew).
+- n-gram Jaccard: exact set similarity on 3-gram shingles, evaluated on
+  consecutive-id pairs (O(n) joins — the oracle-checkable form of the
+  pairwise verifier LSH uses).
+- SimHash: 60-bit locality-sensitive signature per doc from token hashes;
+  hamming distance on candidate pairs. Pure column algebra, no UDFs.
+- MinHash + LSH banding: the real at-scale near-dup pipeline — shingle ->
+  H minhashes -> B bands -> bucket-join -> verify candidates with true
+  Jaccard. Only candidate pairs (same band bucket) are ever compared, so
+  cost is O(n + candidate pairs), never O(n^2).
+
+All hash functions are md5-derived so results are deterministic and (for
+the first three) bit-identical to the DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tutorial_iceberg_spark.io import load_table
+from tutorial_iceberg_spark.registry import register
+
+
+def words(col: str = "text") -> Column:
+    return F.split(F.trim(F.col(col)), r"\s+")
+
+
+def shingles(col: str = "text", n: int = 3) -> Column:
+    """Distinct n-gram word shingles (DuckDB mirror: list_distinct over
+    array_to_string(w[i:i+n-1]))."""
+    w = words(col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+        )
+    )
+
+
+def hash64(col: Column, salt: str = "") -> Column:
+    """60-bit deterministic hash (first 15 hex of md5), cross-engine."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(salt), col)), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+
+
+@register(
+    "x_dedup_exact",
+    oracle="""
+        SELECT sha256(text) AS content_hash,
+               MIN(doc_id) AS keep_id,
+               COUNT(*) AS copies
+        FROM documents
+        GROUP BY 1
+        ORDER BY content_hash
+    """,
+    doc="Exact dedup: content-hash groupBy, keep lowest doc_id per group",
+    tags=("dedup", "extension"),
+)
+def x_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.sha2(F.col("text"), 256).alias("content_hash"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("copies"))
+        .orderBy("content_hash")
+    )
+
+
+@register(
+    "x_dedup_ngram_jaccard",
+    oracle=r"""
+        WITH sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       generate_series(1, greatest(len(w) - 2, 0)),
+                       i -> array_to_string(w[i:i+2], ' '))) AS s
+            FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                  FROM documents)
+        )
+        SELECT a.doc_id AS left_id,
+               b.doc_id AS right_id,
+               (CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.s, b.s)))) AS jaccard,
+               CASE WHEN (CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.s, b.s)))) >= 0.8
+                    THEN 1 ELSE 0 END AS is_near_dup
+        FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        ORDER BY left_id
+    """,
+    doc="3-gram shingle Jaccard similarity on consecutive-id pairs (the "
+    "oracle-checkable pairwise verifier; LSH below restricts which pairs "
+    "get this treatment at scale)",
+    tags=("dedup", "extension"),
+)
+def x_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", shingles().alias("s"))
+    a = docs.alias("a")
+    b = docs.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.s"), F.col("b.s")))
+    union = F.size(F.array_union(F.col("a.s"), F.col("b.s")))
+    jac = inter.cast("double") / union
+    return (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .select(
+            F.col("a.doc_id").alias("left_id"),
+            F.col("b.doc_id").alias("right_id"),
+            jac.alias("jaccard"),
+            F.when(jac >= 0.8, 1).otherwise(0).alias("is_near_dup"),
+        )
+        .orderBy("left_id")
+    )
+
+
+@register(
+    "x_dedup_simhash",
+    oracle=r"""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS token
+            FROM documents
+        ), th AS (
+            SELECT doc_id, CAST('0x' || substr(md5(token), 1, 15) AS BIGINT) AS h
+            FROM tok
+        ), bits AS (
+            SELECT doc_id, p.pos,
+                   SUM(CASE WHEN (h >> p.pos) & 1 = 1 THEN 1 ELSE -1 END) AS s
+            FROM th, (SELECT unnest(generate_series(0, 59)) AS pos) p
+            GROUP BY doc_id, p.pos
+        ), sh AS (
+            SELECT doc_id,
+                   SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << pos) ELSE 0 END) AS simhash
+            FROM bits GROUP BY doc_id
+        )
+        SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming,
+               CASE WHEN bit_count(xor(a.simhash, b.simhash)) <= 12
+                    THEN 1 ELSE 0 END AS is_near_dup
+        FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        ORDER BY left_id
+    """,
+    doc="SimHash near-dup: 60-bit signed-bit-vote signature from token "
+    "hashes; hamming distance on consecutive pairs. Pure column algebra "
+    "(explode -> bit votes -> reassemble), no UDF",
+    tags=("dedup", "extension"),
+)
+def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(words())).alias("token")
+    )
+    th = tok.select("doc_id", hash64(F.col("token")).alias("h"))
+    pos = spark.range(0, 60).select(F.col("id").cast("int").alias("pos"))
+    bits = (
+        th.crossJoin(F.broadcast(pos))
+        .groupBy("doc_id", "pos")
+        .agg(
+            F.sum(
+                F.when(F.expr("shiftright(h, pos)").bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias("s")
+        )
+    )
+    sh = bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), pos)")).otherwise(0)
+        ).alias("simhash")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .select(
+            F.col("a.doc_id").alias("left_id"),
+            F.col("b.doc_id").alias("right_id"),
+            hamming.alias("hamming"),
+            F.when(hamming <= 12, 1).otherwise(0).alias("is_near_dup"),
+        )
+        .orderBy("left_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH: the scale path. H minhash functions banded into B bands of
+# R rows; docs sharing any band bucket become candidates; candidates are
+# verified with true Jaccard. Not SQL-oracle-expressible in one statement
+# -> rows-only driver check + invariant pytest (LSH candidates must be a
+# superset of high-Jaccard consecutive pairs, see tests).
+# ---------------------------------------------------------------------------
+
+N_HASHES = 16
+N_BANDS = 4  # R = 4 rows per band
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """doc_id -> array<bigint> of N_HASHES minhash values (one explode +
+    one groupBy — linear in total shingle count)."""
+    ex = docs.select("doc_id", F.explode(shingles()).alias("sh"))
+    mins = [
+        F.min(hash64(F.col("sh"), salt=f"{i}:")).alias(f"m{i}") for i in range(N_HASHES)
+    ]
+    sig = ex.groupBy("doc_id").agg(*mins)
+    return sig.select(
+        "doc_id", F.array(*[F.col(f"m{i}") for i in range(N_HASHES)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+    """Band the signatures and self-join per bucket: only docs agreeing on
+    a full band ever meet. Output: distinct (left_id < right_id) pairs."""
+    r = N_HASHES // N_BANDS
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.concat_ws(",", *[F.col("sig")[bi * r + j].cast("string") for j in range(r)]).alias("key"),
+                    )
+                    for bi in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("left_id"), F.col("b.doc_id").alias("right_id"))
+        .distinct()
+    )
+
+
+@register(
+    "x_dedup_minhash_lsh",
+    oracle=None,  # multi-stage LSH pipeline: rows-only driver check
+    doc="MinHash(16)+LSH(4 bands): shingle -> signature -> band buckets -> "
+    "candidate pairs -> true-Jaccard verification >= 0.5. O(n + candidates), "
+    "the 100 TB near-dup path; verified against exact Jaccard in pytest",
+    tags=("dedup", "extension", "lsh"),
+)
+def x_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", shingles().alias("s"))
+    cand = lsh_candidate_pairs(minhash_signatures(docs))
+    a = sh.withColumnsRenamed({"doc_id": "left_id", "s": "ls"})
+    b = sh.withColumnsRenamed({"doc_id": "right_id", "s": "rs"})
+    jac = (
+        F.size(F.array_intersect(F.col("ls"), F.col("rs"))).cast("double")
+        / F.size(F.array_union(F.col("ls"), F.col("rs")))
+    )
+    return (
+        cand.join(a, "left_id")
+        .join(b, "right_id")
+        .select("left_id", "right_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+        .orderBy("left_id", "right_id")
+    )
