@@ -1,0 +1,75 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline set = the reference's three benchmark shapes (key lookup / simple
+agg / month x type agg, README.md:767-818) + the engine's heaviest flagship
+queries (TPC-H-ish pricing summary, star join, near-dup LSH) so the number
+tracks what actually dominates at scale. Each query is timed around a full
+``collect()`` (materialization included, like the reference's console.time
+around result print) after a session warm-up pass.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from tutorial_iceberg_spark.io import load_table  # noqa: E402
+from tutorial_iceberg_spark.registry import all_queries  # noqa: E402
+from tutorial_iceberg_spark.session import get_spark  # noqa: E402
+
+# Registry names, in bench order. bench-shape = reference mirror;
+# flagship = heaviest engine queries.
+HEADLINE = (
+    "p3_eq_filter",  # key-lookup shape (README.md:767-776)
+    "flagship_event_type_agg",  # simple agg shape (README.md:779-795)
+    "a6_day_type_agg",  # month x type shape (README.md:798-818)
+    "q1_lineitem_pricing",  # TPC-H Q1-ish wide agg over lineitem
+    "j2_star_join_revenue",  # multi-dim broadcast star join
+    "w1_running_total",  # window over monthly rollup
+    "x_dedup_exact",  # content-hash dedup shuffle
+    "x_dedup_minhash_lsh",  # minhash/LSH near-dup pipeline
+    "x_token_count",  # text-pipeline scan-speed agg
+    "f10_json_value",  # JSON extraction scan
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="bench")
+    specs = all_queries()
+
+    # Warm-up: JVM + parquet footer caches, one action per headline table.
+    for t in ("events", "lineitem", "documents"):
+        load_table(spark, sf_dir, t).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        builder = specs[name].builder
+        t0 = time.perf_counter()
+        n = len(builder(spark, sf_dir).collect())
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -200,8 +200,12 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     """doc_id -> array<bigint> of N_HASHES minhash values (one explode +
     one groupBy — linear in total shingle count)."""
     ex = docs.select("doc_id", F.explode(shingles()).alias("sh"))
+    # xxhash64(i, shingle): one cheap codegen'd hash per (function, shingle)
+    # pair — deterministic, and ~10x cheaper than md5+conv. Cross-engine
+    # parity is not needed here (LSH is rows-only checked), only stability.
     mins = [
-        F.min(hash64(F.col("sh"), salt=f"{i}:")).alias(f"m{i}") for i in range(N_HASHES)
+        F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"m{i}")
+        for i in range(N_HASHES)
     ]
     sig = ex.groupBy("doc_id").agg(*mins)
     return sig.select(
