@@ -1,1 +1,252 @@
-"""Placeholder — populated in a later phase."""
+"""Similarity search over the ``embeddings`` table (north-star extension,
+SURVEY.md §2.11): brute-force cosine top-k as the exact baseline, and an
+IVF (inverted-file) variant — spherical k-means coarse quantizer + cell
+probing — as the 100 TB scale path.
+
+Numeric discipline: every dot product is a sequential left-to-right float64
+fold (``F.aggregate`` over ``F.zip_with``), which is bit-identical to the
+DuckDB oracle's ``list_aggregate(list_transform(list_zip(...)), 'sum')`` —
+verified at hex level, so the brute-force query is fully hash-checkable
+including its float scores. (DuckDB's builtin ``list_dot_product`` runs in
+float32 and would NOT match.)
+
+Scale notes:
+- The query set is tiny and broadcast; scoring is a narrow map over the
+  base table (no shuffle), then one per-query top-k window over N*Q scored
+  rows. At 100 TB you cut that shuffle with the IVF path below: probe
+  nprobe/C of the data instead of all of it.
+- K-means fitting collects only the C x dim centroid matrix to the driver
+  (bounded model state, not data), assignment is a broadcast join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tutorial_iceberg_spark.io import load_table
+from tutorial_iceberg_spark.registry import register
+
+TOP_K = 10
+N_QUERIES = 5  # query set = vec_id < 5
+
+
+def dot(x: Column, y: Column) -> Column:
+    """Sequential float64 dot product — oracle-bit-exact (see module doc)."""
+    return F.aggregate(
+        F.zip_with(x, y, lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(x: Column) -> Column:
+    return F.sqrt(dot(x, x))
+
+
+# DuckDB fragment mirroring dot() bit-for-bit. `z` as the lambda var avoids
+# clashing with table aliases.
+def _sql_dot(x: str, y: str) -> str:
+    return (
+        f"list_aggregate(list_transform(list_zip({x}, {y}), "
+        "z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum')"
+    )
+
+
+@register(
+    "x_embed_label_stats",
+    oracle=f"""
+        SELECT label,
+               COUNT(*) AS vecs,
+               SUM(sqrt({_sql_dot('embedding', 'embedding')})) AS total_norm,
+               SUM(len(embedding)) AS total_dims
+        FROM embeddings
+        GROUP BY label
+        ORDER BY label
+    """,
+    doc="Per-label vector counts + total L2 norm (embedding-column sanity "
+    "profile; one scan, one small shuffle on label)",
+    tags=("vector", "extension"),
+)
+def x_embed_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", norm(F.col("embedding")).alias("nrm"), F.size("embedding").alias("d"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("vecs"),
+            F.sum("nrm").alias("total_norm"),
+            F.sum("d").alias("total_dims"),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "x_knn_brute_cosine",
+    oracle=f"""
+        WITH n AS (
+            SELECT vec_id, embedding,
+                   sqrt({_sql_dot('embedding', 'embedding')}) AS nrm
+            FROM embeddings
+        ), scored AS (
+            SELECT q.vec_id AS query_id,
+                   b.vec_id AS neighbor_id,
+                   {_sql_dot('q.embedding', 'b.embedding')} / (q.nrm * b.nrm) AS score
+            FROM n q JOIN n b ON b.vec_id <> q.vec_id
+            WHERE q.vec_id < {N_QUERIES}
+        )
+        SELECT query_id, rank, neighbor_id, score FROM (
+            SELECT query_id, neighbor_id, score,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY score DESC, neighbor_id) AS INT) AS rank
+            FROM scored) t
+        WHERE rank <= {TOP_K}
+        ORDER BY query_id, rank
+    """,
+    doc=f"Brute-force cosine top-{TOP_K} for {N_QUERIES} broadcast query "
+    "vectors: narrow scored scan + per-query top-k window; float scores "
+    "hash-match the oracle bit-for-bit",
+    tags=("vector", "extension", "bench-shape"),
+)
+def x_knn_brute_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    scored = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm"))).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", "score")
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF: spherical k-means coarse quantizer (C cells, few Lloyd iterations)
+# + nprobe-cell probing. The scale path: each query scores only ~nprobe/C
+# of the corpus. Model fitting collects C x dim floats to the driver per
+# iteration (bounded); the data path stays distributed. Rows-only driver
+# check; recall-vs-brute-force is pytest-gated.
+# ---------------------------------------------------------------------------
+
+N_CELLS = 16
+N_PROBE = 4
+KMEANS_ITERS = 3
+
+
+def _unit(col: Column) -> Column:
+    n = norm(col)
+    return F.transform(col, lambda v: v.cast("double") / n)
+
+
+def _assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """vec_id -> nearest centroid id by cosine (unit vectors: plain dot)."""
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cell", dot(F.col("u"), F.col("c_emb")).alias("s")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("cell"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell")
+    )
+
+
+def fit_ivf_cells(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """Spherical k-means over unit vectors; returns (cell, c_emb) centroids.
+
+    Init: first N_CELLS vec_ids (deterministic). Each Lloyd step is one
+    broadcast-join assignment + one posexplode/groupBy mean, with only the
+    C x dim centroid matrix ever collected.
+    """
+    u = emb.select("vec_id", _unit(F.col("embedding")).alias("u"))
+    cents = (
+        u.orderBy("vec_id")
+        .limit(N_CELLS)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("cell"),
+            F.col("u").alias("c_emb"),
+        )
+    )
+    for _ in range(KMEANS_ITERS):
+        assigned = _assign(u, cents).join(u, "vec_id")
+        means = (
+            assigned.select("cell", F.posexplode("u").alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("v").alias("m"))
+        )
+        rows = means.collect()  # C x dim scalars: bounded model state
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["m"]
+        data = [
+            (cell, [vals[p] for p in sorted(vals)]) for cell, vals in sorted(by_cell.items())
+        ]
+        cents = spark.createDataFrame(data, "cell INT, c_emb ARRAY<DOUBLE>")
+        # re-normalize centroids so cosine stays a plain dot
+        cents = cents.select("cell", _unit(F.col("c_emb")).alias("c_emb"))
+    return cents
+
+
+@register(
+    "x_ann_ivf_cosine",
+    oracle=None,  # iterative k-means + probing: rows-only driver check
+    doc=f"IVF ANN: spherical k-means ({N_CELLS} cells, {KMEANS_ITERS} Lloyd "
+    f"iters) + top-{N_PROBE}-cell probing, exact re-rank inside probed cells. "
+    f"Each query scores ~{N_PROBE}/{N_CELLS} of the corpus — the 100 TB "
+    "similarity-search path; recall vs brute force is pytest-gated",
+    tags=("vector", "extension", "ann"),
+)
+def x_ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = fit_ivf_cells(spark, emb)
+
+    u = emb.select("vec_id", _unit(F.col("embedding")).alias("u"))
+    inv = _assign(u, cents).join(u, "vec_id")  # inverted file: cell -> members
+
+    q = u.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("u").alias("q_u")
+    )
+    # probe list: top-nprobe cells per query
+    qc = q.crossJoin(F.broadcast(cents)).select(
+        "query_id", "q_u", "cell", dot(F.col("q_u"), F.col("c_emb")).alias("cs")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("cell"))
+    probes = (
+        qc.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= N_PROBE)
+        .select("query_id", "q_u", "cell")
+    )
+    # exact cosine re-rank restricted to probed cells
+    cand = inv.join(F.broadcast(probes), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        dot(F.col("q_u"), F.col("u")).alias("score"),
+    ).groupBy("query_id", "neighbor_id").agg(F.max("score").alias("score"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", "score")
+        .orderBy("query_id", "rank")
+    )
