@@ -1,0 +1,97 @@
+"""Streaming + multimodal tests.
+
+Streaming: the availableNow memory-sink result must equal the equivalent
+batch aggregation (micro-batch execution is an implementation detail, not a
+semantics change). Sessionization invariants: per-user event conservation,
+within-gap durations.
+
+Multimodal: Arrow batch shape, stubbed-decode determinism, partition
+preservation (mapInPandas must be narrow), and the explicit decode stub.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tutorial_iceberg_spark.io import load_table
+from tutorial_iceberg_spark.operators import multimodal as M
+from tutorial_iceberg_spark.streaming import events_stream as S
+
+
+def test_stream_agg_equals_batch(spark, sf_dir):
+    streamed = {
+        (r["window_start"], r["event_type"]): (r["cnt"], r["total_value"])
+        for r in S.x_stream_tumbling_agg(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    batch = {
+        (r["ws"], r["event_type"]): (r["cnt"], r["tv"])
+        for r in ev.groupBy(
+            F.date_trunc("hour", "ts").alias("ws"), "event_type"
+        )
+        .agg(F.count("*").alias("cnt"), F.sum("value").alias("tv"))
+        .collect()
+    }
+    assert set(streamed) == set(batch)
+    for k, (cnt, tv) in streamed.items():
+        assert cnt == batch[k][0]
+        assert abs(tv - batch[k][1]) < 1e-6
+
+
+def test_sessionize_conserves_events(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    sess = S.x_sessionize(spark, sf_dir)
+    assert sess.agg(F.sum("n_events")).collect()[0][0] == ev.count()
+    rows = sess.collect()
+    assert all(r["duration_s"] >= 0 for r in rows)
+    # session ids are dense 1..K per user
+    by_user: dict[int, list[int]] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r["session_id"])
+    for sids in by_user.values():
+        assert sorted(sids) == list(range(1, len(sids) + 1))
+
+
+def test_assets_schema_and_determinism(spark, sf_dir):
+    a = M.assets(spark, sf_dir)
+    assert dict(a.dtypes)["payload"] == "binary"
+    assert a.schema["meta"].dataType.names == ["format", "nbytes", "width", "height"]
+    one = a.filter(F.col("doc_id") == 1).collect()[0]
+    again = M.assets(spark, sf_dir).filter(F.col("doc_id") == 1).collect()[0]
+    assert one == again
+    assert one["media_type"] == "audio"  # doc_id 1 % 3 == 1
+
+
+def test_feature_extraction_shape(spark, sf_dir):
+    feats = M.extract_features(M.assets(spark, sf_dir).limit(20)).collect()
+    assert len(feats) == 20
+    for r in feats:
+        assert len(r["features"]) == M.FEATURE_DIM
+        assert abs(sum(r["features"]) - 1.0) < 1e-5  # L1-normalized histogram
+        assert r["n_frames"] == r["nbytes"] // 1024 + 1
+
+
+def test_map_in_pandas_is_narrow(spark, sf_dir):
+    a = M.assets(spark, sf_dir).repartition(7)
+    out = M.extract_features(a)
+    assert out.rdd.getNumPartitions() == 7  # no shuffle introduced
+
+
+def test_decode_stub_raises(spark, sf_dir):
+    with pytest.raises(NotImplementedError):
+        M.decode_asset(b"bytes", "image/fake")
+
+
+def test_fake_decode_matches_python(spark, sf_dir):
+    payload = "hello world".encode()
+    expected = M.fake_decode_features(payload)
+    row = (
+        M.extract_features(
+            M.assets(spark, sf_dir).limit(1).withColumn("payload", F.lit(payload))
+        )
+        .collect()[0]
+    )
+    assert [round(x, 6) for x in row["features"]] == [
+        round(x, 6) for x in expected
+    ]

@@ -1,1 +1,181 @@
-"""Placeholder — populated in a later phase."""
+"""Multimodal-column plumbing (north-star extension): image/audio/video as
+opaque ``binary`` columns with typed metadata, processed by Arrow-batched
+``mapInPandas`` — the shape a 100 TB media pipeline needs.
+
+No media tables ship in the testdata and no codec libraries ship in this
+container, so the *assets* are derived deterministically from ``documents``
+(payload = utf-8 bytes of the text; media_type round-robins image/audio/
+video) and the decode step is STUBBED: ``decode_asset`` raises
+``NotImplementedError`` while ``fake_decode_features`` provides the
+deterministic stand-in (a 16-bin byte histogram). Everything around the
+stub — schema, Arrow batch shape, UDF signature, partition preservation —
+is real and tested, so swapping in a true decoder (PIL/ffmpeg) changes one
+function.
+
+Scale notes: ``mapInPandas`` is a narrow transformation — no shuffle; each
+Arrow batch holds ``spark.sql.execution.arrow.maxRecordsPerBatch`` rows, so
+executor memory is bounded by batch size x max payload, not partition size.
+The metadata query is pure JVM (sha2/octet_length equivalents) and stays in
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from tutorial_iceberg_spark.io import load_table
+from tutorial_iceberg_spark.registry import register
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+MEDIA_TYPES = ("image", "audio", "video")
+FEATURE_DIM = 16
+
+
+def assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multimodal asset table derived from documents:
+    (doc_id, media_type, payload binary, meta struct<format,nbytes,width,height>)."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    media = (
+        F.when(F.col("doc_id") % 3 == 0, MEDIA_TYPES[0])
+        .when(F.col("doc_id") % 3 == 1, MEDIA_TYPES[1])
+        .otherwise(MEDIA_TYPES[2])
+    )
+    nbytes = F.octet_length(payload)
+    return docs.select(
+        "doc_id",
+        media.alias("media_type"),
+        payload.alias("payload"),
+        F.struct(
+            F.concat(media, F.lit("/fake")).alias("format"),
+            nbytes.alias("nbytes"),
+            (F.pmod(F.col("doc_id"), F.lit(4)) * 160 + 320).cast("int").alias("width"),
+            (F.pmod(F.col("doc_id"), F.lit(3)) * 120 + 240).cast("int").alias("height"),
+        ).alias("meta"),
+    )
+
+
+def decode_asset(payload: bytes, fmt: str) -> bytes:
+    """True decoder entry point — intentionally unimplemented: the container
+    ships no codec libraries. Swap in PIL/soundfile/ffmpeg here; the rest of
+    the pipeline (schema, batching, partitioning) is already real."""
+    raise NotImplementedError(
+        f"no codec for {fmt!r} in this environment - use fake_decode_features"
+    )
+
+
+def fake_decode_features(payload: bytes) -> list[float]:
+    """Deterministic decode stand-in: 16-bin byte histogram, L1-normalized.
+    Pure-python on bytes already in the Arrow batch — no extra deps."""
+    counts = [0] * FEATURE_DIM
+    for b in payload:
+        counts[b % FEATURE_DIM] += 1
+    total = float(len(payload)) or 1.0
+    return [c / total for c in counts]
+
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("nbytes", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+
+def extract_features(assets_df: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction: decode(stub) -> fixed-dim feature
+    vector + fake frame count. Narrow (partition-preserving), Arrow-batched."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            feats = [fake_decode_features(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "nbytes": [m["nbytes"] for m in pdf["meta"]],
+                    "n_frames": [
+                        (m["nbytes"] // 1024) + 1 for m in pdf["meta"]
+                    ],
+                    "features": feats,
+                }
+            )
+
+    return assets_df.mapInPandas(run, FEATURES_SCHEMA)
+
+
+@register(
+    "x_asset_metadata",
+    oracle="""
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image'
+                               WHEN 1 THEN 'audio'
+                               ELSE 'video' END AS media_type,
+               octet_length(encode(text)) AS nbytes,
+               sha256(text) AS payload_sha
+        FROM documents
+        ORDER BY doc_id
+    """,
+    doc="Multimodal asset catalog: typed binary payload + metadata struct; "
+    "content hash and sizes stay JVM-side (sha2/octet_length in codegen)",
+    tags=("multimodal", "extension"),
+)
+def x_asset_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = assets(spark, sf_dir)
+    return a.select(
+        "doc_id",
+        "media_type",
+        F.col("meta.nbytes").alias("nbytes"),
+        F.sha2(F.col("payload"), 256).alias("payload_sha"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "x_multimodal_features",
+    oracle="""
+        SELECT CASE doc_id % 3 WHEN 0 THEN 'image'
+                               WHEN 1 THEN 'audio'
+                               ELSE 'video' END AS media_type,
+               COUNT(*) AS n_assets,
+               SUM(octet_length(encode(text))) AS total_bytes,
+               SUM((octet_length(encode(text)) // 1024) + 1) AS total_frames
+        FROM documents
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    doc="Arrow-batched mapInPandas decode(stub)+featurize over binary "
+    "payloads, rolled up per media type. The per-asset feature vectors are "
+    "pytest-checked; the rollup (counts/bytes/frames) hash-matches the oracle",
+    tags=("multimodal", "extension", "pandas-udf"),
+)
+def x_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = extract_features(assets(spark, sf_dir))
+    return (
+        feats.groupBy("media_type")
+        .agg(
+            F.count("*").alias("n_assets"),
+            F.sum("nbytes").alias("total_bytes"),
+            F.sum("n_frames").alias("total_frames"),
+        )
+        .orderBy("media_type")
+    )

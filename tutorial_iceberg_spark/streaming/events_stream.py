@@ -1,1 +1,163 @@
-"""Placeholder — populated in a later phase."""
+"""Structured Streaming over the ``events`` table (SURVEY.md §1.1 notes the
+reference has no streaming surface — this is the driver-testdata extension
+flagged there: a stream-shaped `events` table processed with readStream,
+watermarks, and windowed aggregation).
+
+The registry contract needs a collectable batch DataFrame, so streaming
+queries run with ``trigger(availableNow=True)`` into an in-memory sink and
+return the sink's table: real streaming execution (micro-batch planner,
+stateful window operator, watermark tracking), deterministic final result —
+which makes even the streaming path DuckDB-oracle-checkable.
+
+Scale notes: a 1-hour tumbling window keyed by (window, event_type) has
+bounded state (windows x types); the 1-day watermark ages state out. The
+sessionization query is the classic gap-based lag/cumsum form — one shuffle
+on user_id, all window functions, no Python.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from tutorial_iceberg_spark.io import load_table, table_path
+from tutorial_iceberg_spark.registry import register
+
+SESSION_GAP_MIN = 30
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (schema from the batch
+    reader, including the ns->us timestamp normalization in io.load_table)."""
+    batch = load_table(spark, sf_dir, "events")
+    raw = (
+        spark.readStream.schema(
+            spark.read.parquet(table_path(sf_dir, "events")).schema
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    assert raw.schema == batch.schema
+    return raw
+
+
+def run_to_memory(stream_df: DataFrame, mode: str = "complete") -> DataFrame:
+    """Execute a streaming DataFrame to completion (availableNow) into a
+    memory sink; return the sink contents as a batch DataFrame."""
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    out = spark.table(name)
+    # materialize before the sink table is dropped from the catalog
+    out = spark.createDataFrame(out.collect(), out.schema) if out.isStreaming is False else out
+    return out
+
+
+@register(
+    "x_stream_tumbling_agg",
+    oracle="""
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+               event_type,
+               COUNT(*) AS cnt,
+               SUM(value) AS total_value
+        FROM events
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 3
+    """,
+    doc="Structured Streaming tumbling 1h window x event_type with a 1-day "
+    "watermark, run availableNow into a memory sink — real micro-batch "
+    "stateful execution whose final result hash-matches the batch oracle",
+    tags=("streaming", "extension"),
+)
+def x_stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    # the stateful window operator requires TIMESTAMP event time; session tz
+    # is pinned UTC so NTZ<->LTZ casts are identity on the wall clock
+    agg = (
+        ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"), F.sum("value").alias("total_value"))
+    )
+    out = run_to_memory(agg, mode="complete")
+    return out.select(
+        F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+        F.col("w.end").cast("timestamp_ntz").alias("window_end"),
+        "event_type",
+        "cnt",
+        "total_value",
+    ).orderBy("window_start", "event_type")
+
+
+@register(
+    "x_sessionize",
+    oracle=f"""
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             > INTERVAL '{SESSION_GAP_MIN} minutes'
+                        OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ), sessions AS (
+            SELECT user_id, ts,
+                   SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM flagged
+        )
+        SELECT user_id,
+               CAST(session_id AS INT) AS session_id,
+               COUNT(*) AS n_events,
+               CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_s
+        FROM sessions
+        GROUP BY user_id, session_id
+        ORDER BY user_id, session_id
+    """,
+    doc=f"Gap-based sessionization ({SESSION_GAP_MIN} min): lag/cumsum "
+    "window assignment + per-session rollup — one shuffle on user_id, "
+    "pure window functions (the batch twin of stateful streaming sessions)",
+    tags=("streaming", "window", "extension"),
+)
+def x_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("timestamp").cast("long") - F.lag(F.col("ts").cast("timestamp").cast("long")).over(wo)
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        F.when(gap.isNull() | (gap > SESSION_GAP_MIN * 60), 1).otherwise(0).alias(
+            "new_session"
+        ),
+    )
+    wc = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sessions = flagged.withColumn(
+        "session_id", F.sum("new_session").over(wc).cast("int")
+    )
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.max(F.col("ts").cast("timestamp").cast("long")) - F.min(F.col("ts").cast("timestamp").cast("long"))).alias(
+                "duration_s"
+            ),
+        )
+        .orderBy("user_id", "session_id")
+    )
