@@ -38,6 +38,9 @@ HEADLINE = (
     "x_dedup_minhash_lsh",  # minhash/LSH near-dup pipeline
     "x_token_count",  # text-pipeline scan-speed agg
     "f10_json_value",  # JSON extraction scan
+    "x_knn_brute_cosine",  # broadcast top-k cosine similarity
+    "x_sessionize",  # gap sessionization window chain
+    "x_stream_tumbling_agg",  # structured-streaming windowed agg
 )
 
 

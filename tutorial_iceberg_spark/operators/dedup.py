@@ -269,3 +269,57 @@ def x_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.5)
         .orderBy("left_id", "right_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup: semantic dedup over the embeddings table.
+# Same float64 fold as functions/vector.py, so scores hash-match DuckDB.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_dedup_embed_cosine",
+    oracle="""
+        WITH n AS (
+            SELECT vec_id, embedding,
+                   sqrt(list_aggregate(list_transform(list_zip(embedding, embedding),
+                        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum')) AS nrm
+            FROM embeddings
+        )
+        SELECT a.vec_id AS left_id,
+               b.vec_id AS right_id,
+               list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+                   z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum')
+                 / (a.nrm * b.nrm) AS cosine,
+               CASE WHEN list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+                        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum')
+                      / (a.nrm * b.nrm) >= 0.9
+                    THEN 1 ELSE 0 END AS is_near_dup
+        FROM n a JOIN n b ON b.vec_id = a.vec_id + 1
+        ORDER BY left_id
+    """,
+    doc="Embedding-cosine near-dup on consecutive-id pairs: the semantic "
+    "dedup verifier (bit-exact float64 cosine; at scale the IVF/LSH index in "
+    "functions/vector.py supplies the candidate pairs instead of id-adjacency)",
+    tags=("dedup", "vector", "extension"),
+)
+def x_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tutorial_iceberg_spark.functions.vector import dot, norm
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    return (
+        a.join(b, F.col("b.vec_id") == F.col("a.vec_id") + 1)
+        .select(
+            F.col("a.vec_id").alias("left_id"),
+            F.col("b.vec_id").alias("right_id"),
+            cos.alias("cosine"),
+            F.when(cos >= 0.9, 1).otherwise(0).alias("is_near_dup"),
+        )
+        .orderBy("left_id")
+    )
