@@ -99,7 +99,12 @@ def x_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "extension"),
 )
 def x_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", shingles().alias("s"))
+    n_part = spark.sparkContext.defaultParallelism
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(n_part, F.col("doc_id"))
+        .select("doc_id", shingles().alias("s"))
+    )
     a = docs.alias("a")
     b = docs.alias("b")
     inter = F.size(F.array_intersect(F.col("a.s"), F.col("b.s")))
@@ -151,7 +156,9 @@ def x_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
+    # repartition before the token-explode fan-out (see minhash_signatures)
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    tok = docs.repartition(n_part, F.col("doc_id")).select(
         "doc_id", F.explode(F.array_distinct(words())).alias("token")
     )
     th = tok.select("doc_id", hash64(F.col("token")).alias("h"))
@@ -199,7 +206,16 @@ N_BANDS = 4  # R = 4 rows per band
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """doc_id -> array<bigint> of N_HASHES minhash values (one explode +
     one groupBy — linear in total shingle count)."""
-    ex = docs.select("doc_id", F.explode(shingles()).alias("sh"))
+    # The shingle explode fans out ~1000x, so the scan's file-split
+    # partitioning (often 1 split for a small compacted file) starves the
+    # hash stage; repartitioning by doc_id first spreads the fan-out over
+    # the full cluster before the expensive part begins. The explicit
+    # partition count keeps AQE from coalescing on pre-explode byte size
+    # (tiny input, huge fan-out).
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    ex = docs.repartition(n_part, F.col("doc_id")).select(
+        "doc_id", F.explode(shingles()).alias("sh")
+    )
     # xxhash64(i, shingle): one cheap codegen'd hash per (function, shingle)
     # pair — deterministic, and ~10x cheaper than md5+conv. Cross-engine
     # parity is not needed here (LSH is rows-only checked), only stability.
@@ -254,18 +270,33 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
 )
 def x_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", shingles().alias("s"))
-    cand = lsh_candidate_pairs(minhash_signatures(docs))
-    a = sh.withColumnsRenamed({"doc_id": "left_id", "s": "ls"})
-    b = sh.withColumnsRenamed({"doc_id": "right_id", "s": "rs"})
+    # shingling is the CPU-heavy step everywhere in this pipeline; spread it
+    # over the cluster before computing it (the raw-text shuffle is cheap
+    # relative to recomputing shingles on one file-split's worth of cores)
+    n_part = spark.sparkContext.defaultParallelism
+    sh = docs.repartition(n_part, F.col("doc_id")).select(
+        "doc_id", shingles().alias("s")
+    )
+    cand = F.broadcast(lsh_candidate_pairs(minhash_signatures(docs)))
+    # Verification: the heavy shingle-array table is STREAMED (never
+    # broadcast, never shuffled) against the tiny broadcast candidate set —
+    # once for each pair side — leaving two candidate-sized intermediates
+    # whose final equi-join is trivial. Candidates << corpus by LSH design;
+    # if they ever approach corpus size the banding parameters are wrong,
+    # not the join strategy.
+    ls_tab = sh.join(cand, sh.doc_id == F.col("left_id")).select(
+        "left_id", "right_id", F.col("s").alias("ls")
+    )
+    rs_tab = sh.join(cand, sh.doc_id == F.col("right_id")).select(
+        "left_id", "right_id", F.col("s").alias("rs")
+    )
+    pairs = ls_tab.join(F.broadcast(rs_tab), ["left_id", "right_id"])
     jac = (
         F.size(F.array_intersect(F.col("ls"), F.col("rs"))).cast("double")
         / F.size(F.array_union(F.col("ls"), F.col("rs")))
     )
     return (
-        cand.join(a, "left_id")
-        .join(b, "right_id")
-        .select("left_id", "right_id", jac.alias("jaccard"))
+        pairs.select("left_id", "right_id", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.5)
         .orderBy("left_id", "right_id")
     )

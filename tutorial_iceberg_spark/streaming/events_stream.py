@@ -48,19 +48,31 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw
 
 
+# State-store instances are one per shuffle partition, fixed at the query's
+# first micro-batch. For a bounded availableNow replay the window state is
+# tiny, so a low count wins (measured 1.5-2x at sf0.1); a long-lived
+# production stream would instead size this to total executor cores.
+STREAM_SHUFFLE_PARTITIONS = 8
+
+
 def run_to_memory(stream_df: DataFrame, mode: str = "complete") -> DataFrame:
     """Execute a streaming DataFrame to completion (availableNow) into a
     memory sink; return the sink contents as a batch DataFrame."""
     name = f"sink_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
     spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     out = spark.table(name)
     # materialize before the sink table is dropped from the catalog
     out = spark.createDataFrame(out.collect(), out.schema) if out.isStreaming is False else out
