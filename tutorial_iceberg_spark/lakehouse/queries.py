@@ -228,3 +228,36 @@ def lake_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _fresh_table(spark, "part_scan", partition_by=["month(o_orderdate)"])
     t.append(load_table(spark, sf_dir, "orders"))
     return t.scan("o_orderdate >= TIMESTAMP '1999-01-01'")
+
+
+@register(
+    "lake_metadata_tables",
+    oracle="""
+        SELECT 1 AS seq, 'append' AS operation,
+               (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 = 0) AS row_cnt
+        UNION ALL
+        SELECT 2, 'append',
+               (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 IN (0, 1))
+        UNION ALL
+        SELECT 3, 'delete',
+               (SELECT COUNT(*) FROM orders
+                WHERE o_orderkey % 3 IN (0, 1) AND o_orderstatus <> 'F')
+        ORDER BY seq
+    """,
+    doc="D9 metadata tables (t.history / t.snapshots, README.md:982-1004): "
+    "snapshot log ordinals + operations, each joined with its time-travel "
+    "(D10) row count — the lineage a VALUES-form oracle can pin exactly",
+    tags=("lakehouse", "metadata"),
+)
+def lake_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _fresh_table(spark, "metadata_tables")
+    t.append(_orders_mod(spark, sf_dir, 3, 0))
+    t.append(_orders_mod(spark, sf_dir, 3, 1))
+    t.delete("o_orderstatus = 'F'")
+    snaps = [
+        (i + 1, s.operation, t.read(snapshot_id=s.snapshot_id).count())
+        for i, s in enumerate(t.meta.snapshots)
+    ]
+    return spark.createDataFrame(
+        snaps, "seq int, operation string, row_cnt bigint"
+    ).orderBy("seq")

@@ -542,3 +542,79 @@ def f7_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("ts + INTERVAL '1' DAY").alias("next_day"),
         F.expr("ts - INTERVAL '1' HOUR").alias("prev_hour"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL entry point (SURVEY §3 EP1): the reference's main path is literal SQL
+# strings (DuckDB runAndReadAll, README.md:568-592). These run through
+# spark.sql over registered views — same Catalyst plan as the DataFrame
+# forms, proving both query surfaces are first-class.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sql_cte_window_ordinal",
+    oracle="""
+        WITH monthly AS (
+            SELECT CAST(DATE_TRUNC('month', ts) AS TIMESTAMP) AS month,
+                   ROUND(SUM(value), 2) AS revenue
+            FROM events
+            GROUP BY 1
+        )
+        SELECT month,
+               revenue,
+               ROUND(SUM(revenue) OVER (ORDER BY month
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                   AS cumulative_revenue
+        FROM monthly
+        ORDER BY 1
+    """,
+    doc="A5+W1+W2 via the SQL entry point: the reference's cumulative-"
+    "revenue CTE + window + GROUP BY ordinal (README.md:611-627) executed "
+    "as a literal spark.sql string over registered views",
+    tags=("sql-entry", "window", "agg"),
+)
+def sql_cte_window_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tutorial_iceberg_spark.io import register_views
+
+    register_views(spark, sf_dir, tables=("events",))
+    return spark.sql(
+        """
+        WITH monthly AS (
+            SELECT DATE_TRUNC('month', ts) AS month,
+                   ROUND(SUM(value), 2) AS revenue
+            FROM events
+            GROUP BY 1
+        )
+        SELECT month,
+               revenue,
+               ROUND(SUM(revenue) OVER (ORDER BY month
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                   AS cumulative_revenue
+        FROM monthly
+        ORDER BY 1
+        """
+    )
+
+
+@register(
+    "sql_literal_path_scan",
+    oracle="""
+        SELECT o_orderstatus, COUNT(*) AS cnt
+        FROM orders
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    doc="S1 SQL form: query a parquet path literally — Spark's "
+    "parquet.`/path` mirrors DuckDB's SELECT ... FROM './file.parquet' "
+    "(README.md:576-578)",
+    tags=("sql-entry", "scan"),
+)
+def sql_literal_path_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tutorial_iceberg_spark.io import table_path
+
+    path = table_path(sf_dir, "orders")
+    return spark.sql(
+        f"SELECT o_orderstatus, COUNT(*) AS cnt "
+        f"FROM parquet.`{path}` GROUP BY 1 ORDER BY 1"
+    )
