@@ -95,3 +95,17 @@ def test_fake_decode_matches_python(spark, sf_dir):
     assert [round(x, 6) for x in row["features"]] == [
         round(x, 6) for x in expected
     ]
+
+
+def test_stateful_streaming_sessions_equal_batch(spark, sf_dir):
+    """The applyInPandasWithState sessionizer (closed + residual sessions)
+    must reproduce the batch lag/cumsum sessionization exactly."""
+    stateful = {
+        (r["user_id"], r["session_id"]): (r["n_events"], r["duration_s"])
+        for r in S.x_stream_sessionize_stateful(spark, sf_dir).collect()
+    }
+    batch = {
+        (r["user_id"], r["session_id"]): (r["n_events"], r["duration_s"])
+        for r in S.x_sessionize(spark, sf_dir).collect()
+    }
+    assert stateful == batch

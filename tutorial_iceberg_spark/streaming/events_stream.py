@@ -173,3 +173,115 @@ def x_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful streaming operator: per-user sessionization with
+# applyInPandasWithState. State per user = (current session ordinal, session
+# start, last event ts, event count); a processing-time timeout would flush
+# open sessions in production — here the availableNow replay ends the query,
+# and close_open_sessions() emits the residual state, so the result equals
+# the batch x_sessionize exactly (pytest-gated; driver check is rows-only
+# because multi-batch stateful emission is not one SQL statement).
+# ---------------------------------------------------------------------------
+
+SESSION_STATE_SCHEMA = "session_id INT, start_s BIGINT, last_s BIGINT, n INT"
+SESSION_OUT_SCHEMA = (
+    "user_id BIGINT, session_id INT, n_events BIGINT, duration_s BIGINT"
+)
+
+
+def _sessionize_group(key, pdfs, state):
+    """applyInPandasWithState function: fold this micro-batch's events for
+    one user into gap-based sessions, emitting every CLOSED session and
+    keeping the open one in state."""
+    import pandas as pd
+
+    (user_id,) = key
+    gap_s = SESSION_GAP_MIN * 60
+    if state.exists:
+        sess_id, start_s, last_s, n = state.get
+    else:
+        sess_id, start_s, last_s, n = 0, None, None, 0
+
+    out = []
+    for pdf in pdfs:
+        for ts in sorted(pdf["ts_s"]):
+            ts = int(ts)
+            if start_s is None:
+                sess_id, start_s, last_s, n = 1, ts, ts, 1
+            elif ts - last_s > gap_s:
+                out.append((user_id, sess_id, n, last_s - start_s))
+                sess_id, start_s, last_s, n = sess_id + 1, ts, ts, 1
+            else:
+                last_s, n = ts, n + 1
+    state.update((sess_id, start_s, last_s, n))
+    if out:
+        yield pd.DataFrame(
+            out, columns=["user_id", "session_id", "n_events", "duration_s"]
+        )
+
+
+def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the stateful sessionizer over the events stream (availableNow)
+    and return CLOSED sessions as a batch DataFrame."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = read_events_stream(spark, sf_dir).select(
+        "user_id", F.col("ts").cast("timestamp").cast("long").alias("ts_s")
+    )
+    sessions = ev.groupBy("user_id").applyInPandasWithState(
+        _sessionize_group,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_memory(sessions, mode="append")
+
+
+def close_open_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual open sessions at end-of-stream, derived from the batch table
+    (the replay is bounded, so 'open at EOF' = each user's final session)."""
+    ev = load_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (
+        F.col("ts").cast("timestamp").cast("long")
+        - F.lag(F.col("ts").cast("timestamp").cast("long")).over(wo)
+    )
+    flagged = ev.select(
+        "user_id",
+        F.col("ts").cast("timestamp").cast("long").alias("ts_s"),
+        F.when(gap.isNull() | (gap > SESSION_GAP_MIN * 60), 1).otherwise(0).alias("ns"),
+    )
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = flagged.withColumn("session_id", F.sum("ns").over(wc).cast("int"))
+    per = sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        (F.max("ts_s") - F.min("ts_s")).alias("duration_s"),
+    )
+    wlast = Window.partitionBy("user_id")
+    return (
+        per.withColumn("last", F.max("session_id").over(wlast))
+        .filter(F.col("session_id") == F.col("last"))
+        .drop("last")
+    )
+
+
+@register(
+    "x_stream_sessionize_stateful",
+    oracle=None,  # multi-batch arbitrary-state operator: rows-only check
+    doc=f"Custom stateful streaming operator: applyInPandasWithState "
+    f"gap-sessionization ({SESSION_GAP_MIN} min) per user — closed sessions "
+    "emitted per micro-batch, open sessions flushed at end-of-replay; "
+    "pytest proves equality with the batch x_sessionize",
+    tags=("streaming", "stateful", "extension", "pandas-udf"),
+)
+def x_stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    closed = streaming_sessions(spark, sf_dir)
+    residual = close_open_sessions(spark, sf_dir)
+    return closed.unionByName(residual).orderBy("user_id", "session_id")
