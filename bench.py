@@ -32,6 +32,7 @@ HEADLINE = (
     "flagship_event_type_agg",  # simple agg shape (README.md:779-795)
     "a6_day_type_agg",  # month x type shape (README.md:798-818)
     "q1_lineitem_pricing",  # TPC-H Q1-ish wide agg over lineitem
+    "q3_shipping_priority",  # fact-to-fact shuffle join + top-k
     "j2_star_join_revenue",  # multi-dim broadcast star join
     "w1_running_total",  # window over monthly rollup
     "x_dedup_exact",  # content-hash dedup shuffle

@@ -80,3 +80,37 @@ def test_semi_anti_partition_customer(spark, sf_dir):
     assert semi == customer.join(
         orders, customer.c_custkey == orders.o_custkey, "left_semi"
     ).count()
+
+
+def test_q3_fact_join_is_shuffle_dim_is_broadcast(spark, sf_dir):
+    # At sf0.001 everything fits the auto-broadcast threshold, so simulate
+    # scale: with auto-broadcast off, the fact-fact join must degrade to a
+    # shuffle join while the EXPLICIT customer broadcast hint still holds.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(R.q3_shipping_priority(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" in plan  # the hinted customer dim
+    rows = R.q3_shipping_priority(spark, sf_dir).collect()
+    assert len(rows) == 10
+    revs = [r["revenue"] for r in rows]
+    assert revs == sorted(revs, reverse=True)
+
+
+def test_approx_distinct_within_5pct_of_exact(spark, sf_dir):
+    from pyspark.sql import functions as F2
+    from tutorial_iceberg_spark.io import load_table as lt
+
+    exact = {r["event_type"]: r["exact_users"] for r in R.a9_distinct_users(spark, sf_dir).collect()}
+    approx = {
+        r["event_type"]: r["a"]
+        for r in lt(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F2.approx_count_distinct("user_id", rsd=0.02).alias("a"))
+        .collect()
+    }
+    for k, ex in exact.items():
+        assert abs(approx[k] - ex) / ex <= 0.05, (k, ex, approx[k])

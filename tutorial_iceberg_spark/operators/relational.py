@@ -618,3 +618,93 @@ def sql_literal_path_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT o_orderstatus, COUNT(*) AS cnt "
         f"FROM parquet.`{path}` GROUP BY 1 ORDER BY 1"
     )
+
+
+# ---------------------------------------------------------------------------
+# Fact-to-fact join (the shape broadcast can't save): orders |><| lineitem
+# both exceed broadcast size at any real SF, so this is a shuffle
+# (sort-merge) join on l_orderkey — THE dominant join pattern at 100 TB.
+# The customer dim stays broadcast. AQE handles skew splitting.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+        SELECT l_orderkey,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(15,4))
+                            * CAST(1 - l_discount AS DECIMAL(15,8))), 2) AS DOUBLE)
+                   AS revenue,
+               o_orderdate
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1995-03-15'
+          AND l_shipdate > TIMESTAMP '1995-03-15'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 10
+    """,
+    doc="TPC-H Q3 shipping-priority shape: broadcast customer filter + "
+    "fact-to-fact shuffle join orders |><| lineitem + top-10 revenue. The "
+    "at-scale join pattern (sort-merge on the order key, AQE skew handling)",
+    tags=("join", "agg", "flagship", "bench-shape"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1995-03-15").cast("timestamp_ntz")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    rev = F.round(
+        F.sum(dec("l_extendedprice") * (1 - F.col("l_discount")).cast("decimal(15,8)")),
+        2,
+    ).cast("double")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(rev.alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "a9_distinct_users",
+    oracle="""
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS exact_users,
+               COUNT(*) AS events
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    doc="Exact distinct-count per group (two-phase shuffle). The approximate "
+    "HLL twin (approx_count_distinct, constant memory at any scale) is "
+    "pytest-gated within 5% of this exact result",
+    tags=("agg", "distinct"),
+)
+def a9_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.count("*").alias("events"),
+        )
+        .orderBy("event_type")
+    )
