@@ -50,9 +50,18 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     specs = all_queries()
 
-    # Warm-up: JVM + parquet footer caches, one action per headline table.
+    # Warm-up: run every headline query once at the smallest SF. This warms
+    # JVM JIT, whole-stage-codegen caches, and the streaming machinery while
+    # touching none of the benchmark SF's data, so the timed runs measure
+    # steady-state query cost rather than first-compile overhead.
+    warm_sf = "/root/testdata/sf0.001"
     for t in ("events", "lineitem", "documents"):
         load_table(spark, sf_dir, t).count()
+    for name in HEADLINE:
+        try:
+            specs[name].builder(spark, warm_sf).collect()
+        except Exception as e:  # never let warm-up sink the bench
+            print(f"# warmup {name} failed: {e}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

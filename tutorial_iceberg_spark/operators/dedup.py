@@ -202,28 +202,46 @@ def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_HASHES = 16
 N_BANDS = 4  # R = 4 rows per band
 
+# Universal-hash permutation family over a Mersenne prime: each shingle is
+# string-hashed ONCE (xxhash64), then the N_HASHES minhash functions are
+# h_i(x) = (a_i*x + b_i) mod P — integer multiply-adds, not repeated string
+# hashing. Constants are fixed (seeded) for run-to-run determinism.
+_P = 2_147_483_647  # 2^31 - 1; (P-1)*a + b < 2^62, no bigint overflow
+import random as _random
+
+_rng = _random.Random(42)
+_A = [_rng.randrange(1, _P) for _ in range(N_HASHES)]
+_B = [_rng.randrange(0, _P) for _ in range(N_HASHES)]
+
+
+def hashed_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, h): one 31-bit hash per distinct shingle per doc.
+
+    The shingle explode fans out ~1000x, so the scan's file-split
+    partitioning (often 1 split for a small compacted file) would starve
+    the pipeline; repartitioning by doc_id first spreads the fan-out over
+    the full cluster before the expensive part begins. The explicit
+    partition count keeps AQE from coalescing on pre-explode byte size
+    (tiny input, huge fan-out)."""
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.repartition(n_part, F.col("doc_id"))
+        .select("doc_id", F.explode(shingles()).alias("sh"))
+        .select("doc_id", F.pmod(F.xxhash64("sh"), F.lit(_P)).alias("h"))
+    )
+
+
+def _min_perms():
+    return [
+        F.min(F.pmod(F.col("h") * _A[i] + _B[i], F.lit(_P))).alias(f"m{i}")
+        for i in range(N_HASHES)
+    ]
+
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """doc_id -> array<bigint> of N_HASHES minhash values (one explode +
     one groupBy — linear in total shingle count)."""
-    # The shingle explode fans out ~1000x, so the scan's file-split
-    # partitioning (often 1 split for a small compacted file) starves the
-    # hash stage; repartitioning by doc_id first spreads the fan-out over
-    # the full cluster before the expensive part begins. The explicit
-    # partition count keeps AQE from coalescing on pre-explode byte size
-    # (tiny input, huge fan-out).
-    n_part = docs.sparkSession.sparkContext.defaultParallelism
-    ex = docs.repartition(n_part, F.col("doc_id")).select(
-        "doc_id", F.explode(shingles()).alias("sh")
-    )
-    # xxhash64(i, shingle): one cheap codegen'd hash per (function, shingle)
-    # pair — deterministic, and ~10x cheaper than md5+conv. Cross-engine
-    # parity is not needed here (LSH is rows-only checked), only stability.
-    mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"m{i}")
-        for i in range(N_HASHES)
-    ]
-    sig = ex.groupBy("doc_id").agg(*mins)
+    sig = hashed_shingles(docs).groupBy("doc_id").agg(*_min_perms())
     return sig.select(
         "doc_id", F.array(*[F.col(f"m{i}") for i in range(N_HASHES)]).alias("sig")
     )
@@ -270,25 +288,41 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
 )
 def x_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    # shingling is the CPU-heavy step everywhere in this pipeline; spread it
-    # over the cluster before computing it (the raw-text shuffle is cheap
-    # relative to recomputing shingles on one file-split's worth of cores)
-    n_part = spark.sparkContext.defaultParallelism
-    sh = docs.repartition(n_part, F.col("doc_id")).select(
-        "doc_id", shingles().alias("s")
+    # ONE explode+hash pass feeds everything: the same aggregation computes
+    # the minhash signature AND the hashed-shingle set (for verification).
+    # Jaccard over 64->31-bit hashed shingles equals string Jaccard up to
+    # hash collisions — and bigint arrays intersect far cheaper than the
+    # original string shingles.
+    # The signature+set table is consumed twice (banding, verification).
+    # Persist it rather than recompute the explode+hash pipeline: it is the
+    # INDEX (one row per doc: 16 ints + the hash set), orders of magnitude
+    # smaller than the corpus text; MEMORY_AND_DISK spills gracefully — at
+    # extreme scale you would materialize it to a temp parquet instead,
+    # which is the same trade expressed durably.
+    from pyspark import StorageLevel
+
+    agg = (
+        hashed_shingles(docs)
+        .groupBy("doc_id")
+        .agg(*_min_perms(), F.collect_set("h").alias("hset"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    cand = F.broadcast(lsh_candidate_pairs(minhash_signatures(docs)))
-    # Verification: the heavy shingle-array table is STREAMED (never
-    # broadcast, never shuffled) against the tiny broadcast candidate set —
-    # once for each pair side — leaving two candidate-sized intermediates
-    # whose final equi-join is trivial. Candidates << corpus by LSH design;
-    # if they ever approach corpus size the banding parameters are wrong,
-    # not the join strategy.
-    ls_tab = sh.join(cand, sh.doc_id == F.col("left_id")).select(
-        "left_id", "right_id", F.col("s").alias("ls")
+    sig = agg.select(
+        "doc_id", F.array(*[F.col(f"m{i}") for i in range(N_HASHES)]).alias("sig")
     )
-    rs_tab = sh.join(cand, sh.doc_id == F.col("right_id")).select(
-        "left_id", "right_id", F.col("s").alias("rs")
+    cand = F.broadcast(lsh_candidate_pairs(sig))
+    sets = agg.select("doc_id", "hset")
+    # Verification: the shingle-set table is STREAMED (never broadcast,
+    # never shuffled) against the tiny broadcast candidate set — once per
+    # pair side — leaving two candidate-sized intermediates whose final
+    # equi-join is trivial. Candidates << corpus by LSH design; if they
+    # ever approach corpus size the banding parameters are wrong, not the
+    # join strategy.
+    ls_tab = sets.join(cand, sets.doc_id == F.col("left_id")).select(
+        "left_id", "right_id", F.col("hset").alias("ls")
+    )
+    rs_tab = sets.join(cand, sets.doc_id == F.col("right_id")).select(
+        "left_id", "right_id", F.col("hset").alias("rs")
     )
     pairs = ls_tab.join(F.broadcast(rs_tab), ["left_id", "right_id"])
     jac = (

@@ -80,7 +80,10 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cores}]")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local[N] runs everything in the driver JVM: size it for N cores'
+        # worth of concurrent shuffle/agg state, not the 1g driver default
+        # a real cluster would use (executors carry the memory there).
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in ENGINE_RUNTIME_CONF.items():

@@ -74,8 +74,10 @@ def run_to_memory(stream_df: DataFrame, mode: str = "complete") -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     out = spark.table(name)
-    # materialize before the sink table is dropped from the catalog
+    # materialize, then drop the sink's catalog entry so its JVM-held rows
+    # are collectable by GC (repeated streaming runs must not leak heap)
     out = spark.createDataFrame(out.collect(), out.schema) if out.isStreaming is False else out
+    spark.catalog.dropTempView(name)
     return out
 
 
