@@ -69,3 +69,28 @@ def test_explain_str_modes(spark, sf_dir):
     df = load_table(spark, sf_dir, "events").groupBy("event_type").count()
     assert "HashAggregate" in explain_str(df, "simple")
     assert "== Physical Plan ==" in explain_str(df, "formatted")
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """The whole point of bucketing: the fact-fact join must compile to a
+    sort-merge join with NO shuffle (Exchange) on either side."""
+    from tutorial_iceberg_spark.sources.bucketing import s10_bucketed_join
+
+    # simulate scale: at sf0.001 auto-broadcast would hide the bucket join
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = s10_bucketed_join(spark, sf_dir)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    tree = plan.split("\n\n")[0]  # the indented tree block
+    assert "SortMergeJoin" in tree
+    # nothing below the join may shuffle: the aggregation/sort above it
+    # legitimately exchange, the bucketed scans must not
+    below_join = tree.split("SortMergeJoin", 1)[1]
+    assert "Exchange" not in below_join, below_join
+    rows = df.collect()
+    assert len(rows) == 5  # order priorities

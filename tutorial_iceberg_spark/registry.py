@@ -58,6 +58,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from tutorial_iceberg_spark.functions import json_fns  # noqa: F401
     from tutorial_iceberg_spark.functions import text  # noqa: F401
     from tutorial_iceberg_spark.functions import vector  # noqa: F401
+    from tutorial_iceberg_spark.sources import bucketing  # noqa: F401
     from tutorial_iceberg_spark.sources import sinks  # noqa: F401
     from tutorial_iceberg_spark.sources import generator  # noqa: F401
     from tutorial_iceberg_spark.sources import parquet_meta  # noqa: F401
