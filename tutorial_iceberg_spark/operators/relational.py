@@ -708,3 +708,53 @@ def a9_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew salting: when one join key dominates (a celebrity user, a default
+# value), that key's entire volume lands on one task. Salting splits it:
+# replicate the dim side S ways, scatter the fact side with a deterministic
+# salt, join on (key, salt). AQE's skew-join splitting (enabled in
+# session.py) handles moderate skew automatically; explicit salting is the
+# hand-tool for the pathological cases AQE can't split (e.g. one key >>
+# one partition even after splitting).
+# ---------------------------------------------------------------------------
+
+N_SALT = 8
+
+
+@register(
+    "j4_salted_skew_join",
+    oracle="""
+        SELECT c_mktsegment,
+               COUNT(*) AS n_orders,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(15,4))), 2) AS DOUBLE)
+                   AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+    doc=f"Skew-salted equi-join: dim replicated x{N_SALT}, fact scattered "
+    "with a deterministic salt, join on (key, salt) — result provably "
+    "identical to the plain join (same oracle). The manual fix for key "
+    "skew beyond what AQE skew-splitting handles",
+    tags=("join", "skew"),
+)
+def j4_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    salts = spark.range(N_SALT).select(F.col("id").cast("int").alias("salt"))
+    dim = customer.select("c_custkey", "c_mktsegment").crossJoin(F.broadcast(salts))
+    fact = orders.withColumn("salt", F.pmod(F.col("o_orderkey"), F.lit(N_SALT)).cast("int"))
+    return (
+        fact.join(
+            dim,
+            (fact.o_custkey == dim.c_custkey) & (fact.salt == dim.salt),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum(dec("o_totalprice")), 2).cast("double").alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
