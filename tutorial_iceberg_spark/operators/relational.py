@@ -758,3 +758,33 @@ def j4_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "a10_value_percentiles",
+    oracle="""
+        SELECT event_type,
+               quantile_cont(value, [0.5, 0.9, 0.99]) AS pcts,
+               MIN(value) AS min_value,
+               MAX(value) AS max_value
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    doc="Exact interpolated percentiles (p50/p90/p99) per group — "
+    "bit-identical to DuckDB quantile_cont. At extreme scale swap for "
+    "approx_percentile (t-digest, constant memory) — exact percentile "
+    "collects per-group values",
+    tags=("agg", "percentile"),
+)
+def a10_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, array(0.5, 0.9, 0.99))").alias("pcts"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("event_type")
+    )
