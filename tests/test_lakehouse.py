@@ -246,3 +246,21 @@ def test_catalog_listings(cat, spark):
     meta = cat.table_metadata("db.orders")
     assert meta["schema"]["order_id"] == "bigint"
     assert meta["current_snapshot_id"] is None
+
+
+def test_concurrent_commit_conflict_detected(cat, spark):
+    """Two writers racing for the same version: the loser must get
+    CommitConflictError (optimistic CAS), never silently clobber."""
+    import os
+    import pytest
+    from tutorial_iceberg_spark.lakehouse import metadata as M
+
+    t = cat.create_table("db.conflict", ORDERS_DDL)
+    t.append(seed_df(spark))
+    v = M.current_version(t.location)
+    # simulate a concurrent writer claiming v+1 first
+    claimed = os.path.join(M.metadata_dir(t.location), f"v{v + 1}.metadata.json")
+    with open(claimed, "w") as f:
+        f.write("{}")
+    with pytest.raises(M.CommitConflictError):
+        M.commit_metadata(t.location, t.meta)

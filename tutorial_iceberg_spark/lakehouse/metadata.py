@@ -199,14 +199,29 @@ def read_metadata(location: str) -> TableMetadata:
         return _from_json(f.read())
 
 
+class CommitConflictError(Exception):
+    """Another writer committed the version this writer was about to write.
+    Callers re-read current metadata, rebase their change, and retry —
+    Iceberg's optimistic-concurrency protocol."""
+
+
 def commit_metadata(location: str, md: TableMetadata) -> int:
-    """Atomic single-writer commit: write v{N+1}, then flip the hint via
-    os.replace (atomic on POSIX). A concurrent reader sees either vN or
-    vN+1, never a torn state."""
+    """Optimistic atomic commit: claim v{N+1} with an exclusive create
+    (POSIX O_EXCL — the compare-and-swap), then flip the hint via
+    os.replace. A concurrent reader sees either vN or vN+1, never a torn
+    state; a concurrent WRITER loses the create race and gets
+    CommitConflictError instead of silently clobbering the other commit."""
     mdir = metadata_dir(location)
     os.makedirs(mdir, exist_ok=True)
     v = current_version(location) + 1
-    with open(os.path.join(mdir, f"v{v}.metadata.json"), "w") as f:
+    vpath = os.path.join(mdir, f"v{v}.metadata.json")
+    try:
+        fd = os.open(vpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError as e:
+        raise CommitConflictError(
+            f"version {v} at {location} was committed concurrently"
+        ) from e
+    with os.fdopen(fd, "w") as f:
         f.write(_to_json(md))
     tmp = _hint_path(location) + ".tmp"
     with open(tmp, "w") as f:
