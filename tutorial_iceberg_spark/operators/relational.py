@@ -392,15 +392,18 @@ def o2_topk_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s1_scan_order_limit",
     oracle="""
         SELECT * FROM lineitem
-        ORDER BY l_orderkey, l_linenumber
+        ORDER BY ALL
         LIMIT 5
     """,
-    doc="S1 direct parquet scan + O3 multi-key ORDER BY + O4 LIMIT — README.md:576-578, 637",
+    doc="S1 direct parquet scan + O3 multi-key ORDER BY + O4 LIMIT — "
+    "README.md:576-578, 637. Total order over every column: the synthetic "
+    "lineitem has duplicate (orderkey, linenumber) pairs, and a top-k under "
+    "a non-total order is engine-nondeterministic at the boundary",
     tags=("scan", "sort"),
 )
 def s1_scan_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.orderBy("l_orderkey", "l_linenumber").limit(5)
+    return li.orderBy(*li.columns).limit(5)
 
 
 # ---------------------------------------------------------------------------

