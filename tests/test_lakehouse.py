@@ -264,3 +264,34 @@ def test_concurrent_commit_conflict_detected(cat, spark):
         f.write("{}")
     with pytest.raises(M.CommitConflictError):
         M.commit_metadata(t.location, t.meta)
+
+
+def test_append_rebases_on_conflict(cat, spark):
+    """A commit that loses the version CAS (stale version read -> O_EXCL
+    failure) must rebase and retry; both writers' rows survive."""
+    from tutorial_iceberg_spark.lakehouse import metadata as M
+
+    t = cat.create_table("db.rebase", ORDERS_DDL)
+    t.append(seed_df(spark))
+
+    real_version = M.current_version
+    stale = {"armed": True}
+
+    def stale_once(location):
+        v = real_version(location)
+        if stale["armed"]:
+            stale["armed"] = False
+            return v - 1  # simulate reading the hint just before a winner flipped it
+        return v
+
+    t2 = type(t).load(spark, t.location)
+    M.current_version = stale_once  # armed AFTER load: append's own metadata
+    try:                            # read is the one that goes stale
+        t2.append(seed_df(spark, rows=[(10, 104, "webcam", "60.00", "2024-04-01")]))
+    finally:
+        M.current_version = real_version
+    assert not stale["armed"], "stale read never consumed - race not exercised"
+    rows = {r["order_id"] for r in t.read().collect()}
+    assert 10 in rows and 1 in rows
+    # exactly one new snapshot on top of the seed append
+    assert t.meta.current_snapshot_id == 2

@@ -119,6 +119,10 @@ class TableMetadata:
     properties: dict[str, str]
     last_field_id: int
     last_snapshot_id: int
+    # The metadata version this object was READ at (0 = not yet committed).
+    # Commits are CAS'd against loaded_version, not the current hint: a
+    # writer holding stale metadata must conflict, not silently clobber.
+    loaded_version: int = 0
 
     # -- convenience -------------------------------------------------
     def schema(self, schema_id: int | None = None) -> Schema:
@@ -196,7 +200,9 @@ def read_metadata(location: str) -> TableMetadata:
     if v == 0:
         raise FileNotFoundError(f"no table at {location}")
     with open(os.path.join(metadata_dir(location), f"v{v}.metadata.json")) as f:
-        return _from_json(f.read())
+        md = _from_json(f.read())
+    md.loaded_version = v
+    return md
 
 
 class CommitConflictError(Exception):
@@ -206,14 +212,15 @@ class CommitConflictError(Exception):
 
 
 def commit_metadata(location: str, md: TableMetadata) -> int:
-    """Optimistic atomic commit: claim v{N+1} with an exclusive create
+    """Optimistic atomic commit: claim v{base+1} with an exclusive create
     (POSIX O_EXCL — the compare-and-swap), then flip the hint via
-    os.replace. A concurrent reader sees either vN or vN+1, never a torn
-    state; a concurrent WRITER loses the create race and gets
-    CommitConflictError instead of silently clobbering the other commit."""
+    os.replace. The version is derived from ``md.loaded_version`` — the
+    state this writer actually READ — so a writer holding stale metadata
+    conflicts instead of silently clobbering a commit it never saw. A
+    concurrent reader sees either vN or vN+1, never a torn state."""
     mdir = metadata_dir(location)
     os.makedirs(mdir, exist_ok=True)
-    v = current_version(location) + 1
+    v = md.loaded_version + 1
     vpath = os.path.join(mdir, f"v{v}.metadata.json")
     try:
         fd = os.open(vpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -227,6 +234,7 @@ def commit_metadata(location: str, md: TableMetadata) -> int:
     with open(tmp, "w") as f:
         f.write(str(v))
     os.replace(tmp, _hint_path(location))
+    md.loaded_version = v
     return v
 
 

@@ -202,14 +202,29 @@ class LakeTable:
         self._commit(md)
 
     # -- D16 INSERT / append ---------------------------------------------
+    APPEND_RETRIES = 5
+
     def append(self, df: DataFrame) -> None:
-        """D16 INSERT INTO ... VALUES / append — README.md:1136-1138."""
+        """D16 INSERT INTO ... VALUES / append — README.md:1136-1138.
+
+        Optimistic-concurrency retry (Iceberg's fast-append protocol): the
+        data files are written exactly once; on a commit conflict only the
+        metadata step rebases — re-read current state, re-point the new
+        snapshot at the latest parent, retry the CAS commit."""
         md = self.meta
         new_files = self._write_files(self._align(df, md.schema()), md)
-        cur = md.snapshot()
-        base = list(cur.files) if cur else []
-        dels = list(cur.delete_files) if cur else []
-        self._new_snapshot(md, "append", base + new_files, dels)
+        last_err: Exception | None = None
+        for _ in range(self.APPEND_RETRIES):
+            cur = md.snapshot()
+            base = list(cur.files) if cur else []
+            dels = list(cur.delete_files) if cur else []
+            try:
+                self._new_snapshot(md, "append", base + new_files, dels)
+                return
+            except M.CommitConflictError as e:
+                last_err = e
+                md = self.meta  # rebase on the winner's metadata
+        raise last_err  # type: ignore[misc]
 
     def insert_rows(self, rows: list[tuple]) -> None:
         md = self.meta
