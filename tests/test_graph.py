@@ -1,0 +1,80 @@
+"""Connected-components + similarity-join tests: the distributed CC result
+must equal a driver-side union-find over the same edge set, on both the
+real similarity graph and synthetic worst-case shapes (long chains, which
+stress the O(log n) pointer-jumping convergence)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tutorial_iceberg_spark.operators import graph as G
+
+
+def union_find(nodes, edges):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical = min id per component: run find to full compression, then
+    # map every root to the min member
+    comp_members: dict[int, list[int]] = {}
+    for n in nodes:
+        comp_members.setdefault(find(n), []).append(n)
+    out = {}
+    for members in comp_members.values():
+        m = min(members)
+        for n in members:
+            out[n] = m
+    return out
+
+
+def test_cc_matches_union_find_on_real_graph(spark, sf_dir):
+    edges_df = G.cosine_edges(spark, sf_dir).select("left_id", "right_id")
+    edges = [(r.left_id, r.right_id) for r in edges_df.collect()]
+    nodes = [
+        r.vec_id
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id")
+        .collect()
+    ]
+    assert edges, "threshold should produce a non-trivial graph"
+    expected = union_find(nodes, edges)
+    got = {
+        r.vec_id: r.component
+        for r in G.x_dedup_semantic_cc(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+@pytest.mark.parametrize(
+    "edges,n",
+    [
+        ([(i, i + 1) for i in range(30)], 31),  # one long chain
+        ([(0, 1), (2, 3), (3, 4), (10, 11)], 12),  # islands + singletons
+        ([], 5),  # no edges: all singletons
+        ([(0, 1), (1, 2), (2, 0)], 3),  # cycle
+    ],
+)
+def test_cc_synthetic_shapes(spark, edges, n):
+    nodes_df = spark.range(n).select(F.col("id"))
+    edges_df = spark.createDataFrame(
+        edges or [(None, None)], "src long, dst long"
+    ).filter(F.col("src").isNotNull())
+    labels = G.connected_components(nodes_df, edges_df)
+    got = {r.id: r.comp for r in labels.collect()}
+    assert got == union_find(list(range(n)), edges)
+
+
+def test_sim_join_symmetric_bounds(spark, sf_dir):
+    rows = G.x_sim_join_threshold(spark, sf_dir).collect()
+    assert all(r.left_id < r.right_id for r in rows)
+    assert all(G.COSINE_EDGE_THRESHOLD <= r.cosine <= 1.0 + 1e-9 for r in rows)

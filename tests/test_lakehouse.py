@@ -295,3 +295,30 @@ def test_append_rebases_on_conflict(cat, spark):
     assert 10 in rows and 1 in rows
     # exactly one new snapshot on top of the seed append
     assert t.meta.current_snapshot_id == 2
+
+
+def test_incremental_read_returns_only_appended(cat, spark):
+    t = cat.create_table("db.inc", ORDERS_DDL)
+    t.append(seed_df(spark, rows=ROWS[:2]))
+    first = t.meta.current_snapshot_id
+    t.append(seed_df(spark, rows=ROWS[2:3]))
+    t.append(seed_df(spark, rows=ROWS[3:4]))
+    inc = {r["order_id"] for r in t.incremental_read(first).collect()}
+    assert inc == {3, 4}
+    # bounded range: only the middle append
+    mid = t.meta.snapshots[1].snapshot_id
+    inc2 = {r["order_id"] for r in t.incremental_read(first, mid).collect()}
+    assert inc2 == {3}
+    # empty range
+    assert t.incremental_read(t.meta.current_snapshot_id).count() == 0
+
+
+def test_incremental_read_rejects_non_append_range(cat, spark):
+    t = cat.create_table("db.inc2", ORDERS_DDL)
+    t.append(seed_df(spark))
+    first = t.meta.current_snapshot_id
+    t.delete("order_id = 2")
+    with pytest.raises(ValueError, match="non-append"):
+        t.incremental_read(first)
+    with pytest.raises(ValueError, match="not an ancestor"):
+        t.incremental_read(999)

@@ -198,3 +198,88 @@ def x_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 8).alias("bucket")
     )
+
+
+@register(
+    "x_repetition_filter",
+    oracle=r"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+            FROM documents
+        ), uni AS (
+            SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY doc_id, t
+        ), ua AS (
+            SELECT doc_id, SUM(c) AS ntok, COUNT(*) AS ndistinct, MAX(c) AS topc
+            FROM uni GROUP BY doc_id
+        ), bg AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, greatest(len(w) - 1, 0)),
+                       i -> array_to_string(w[i:i+1], ' '))) AS b
+            FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                  FROM documents)
+        ), bi AS (
+            SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b
+        ), ba AS (
+            SELECT doc_id, SUM(c) AS nbigram, MAX(c) AS topbc
+            FROM bi GROUP BY doc_id
+        )
+        SELECT ua.doc_id,
+               ua.ntok AS n_tokens,
+               (CAST(ua.ndistinct AS DOUBLE) / ua.ntok) AS distinct_ratio,
+               (CAST(ua.topc AS DOUBLE) / ua.ntok) AS top_token_frac,
+               (CAST(ba.topbc AS DOUBLE) / ba.nbigram) AS top_bigram_frac,
+               CASE WHEN (CAST(ua.topc AS DOUBLE) / ua.ntok) > 0.12
+                      OR (CAST(ba.topbc AS DOUBLE) / ba.nbigram) > 0.06
+                    THEN 1 ELSE 0 END AS is_repetitive
+        FROM ua JOIN ba ON ba.doc_id = ua.doc_id
+        ORDER BY ua.doc_id
+    """,
+    doc="Repetition-based quality filter (Gopher-style): per-doc distinct "
+    "ratio, most-common unigram/bigram mass fractions, and a repetitive "
+    "flag. Explode -> two-level partial agg, everything keyed on doc_id so "
+    "the shuffles are narrow and skew == document length skew",
+    tags=("text", "extension"),
+)
+def x_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # pre-spread the explode fan-out (same rationale as dedup.hashed_shingles)
+    n_part = spark.sparkContext.defaultParallelism
+    docs = docs.repartition(n_part, F.col("doc_id"))
+    w = tokens()
+    uni = (
+        docs.select("doc_id", F.explode(w).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("ntok"),
+            F.count("*").alias("ndistinct"),
+            F.max("c").alias("topc"),
+        )
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(w) - 1, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(w, i, 2)),
+    )
+    bi = (
+        docs.select("doc_id", F.explode(bigrams).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("nbigram"), F.max("c").alias("topbc"))
+    )
+    top_tok = F.col("topc").cast("double") / F.col("ntok")
+    top_bg = F.col("topbc").cast("double") / F.col("nbigram")
+    return (
+        uni.join(bi, "doc_id")
+        .select(
+            "doc_id",
+            F.col("ntok").alias("n_tokens"),
+            (F.col("ndistinct").cast("double") / F.col("ntok")).alias("distinct_ratio"),
+            top_tok.alias("top_token_frac"),
+            top_bg.alias("top_bigram_frac"),
+            F.when((top_tok > 0.12) | (top_bg > 0.06), 1).otherwise(0).alias("is_repetitive"),
+        )
+        .orderBy("doc_id")
+    )

@@ -261,3 +261,23 @@ def lake_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         snaps, "seq int, operation string, row_cnt bigint"
     ).orderBy("seq")
+
+
+@register(
+    "lake_incremental_read",
+    oracle=f"""
+        SELECT {ORDERS_COLS} FROM orders WHERE o_orderkey % 4 IN (1, 2)
+    """,
+    doc="Incremental append scan (Iceberg start-snapshot-id/end-snapshot-id "
+    "semantics): three appends, changelog between snapshot 1 and snapshot 3 "
+    "returns exactly the rows the two later appends added — the CDC feed "
+    "for incremental downstream ETL; planning is metadata-only",
+    tags=("lakehouse", "incremental"),
+)
+def lake_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _fresh_table(spark, "incremental")
+    t.append(_orders_mod(spark, sf_dir, 4, 0))
+    t.append(_orders_mod(spark, sf_dir, 4, 1))
+    t.append(_orders_mod(spark, sf_dir, 4, 2))
+    first = t.meta.snapshots[0].snapshot_id
+    return t.incremental_read(from_snapshot_id=first)

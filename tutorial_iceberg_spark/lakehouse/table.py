@@ -280,6 +280,51 @@ class LakeTable:
             df = df.join(F.broadcast(dels), on=dfi.equality_columns, how="left_anti")
         return df
 
+    def incremental_read(
+        self, from_snapshot_id: int, to_snapshot_id: int | None = None
+    ) -> DataFrame:
+        """Changelog read: rows appended after ``from`` up to ``to``.
+
+        Mirrors Iceberg's incremental append scan
+        (``spark.read.option("start-snapshot-id", ...)``): walks the
+        parent chain from ``to`` back to ``from`` and unions the data
+        files each append added. Like Iceberg, raises if any snapshot in
+        the range is not a plain append (overwrite/delete/replace
+        rewrites have no row-level changelog without full diffing).
+        Planning cost is metadata-only — no data file is opened until the
+        returned DataFrame executes, and only the appended files are ever
+        scanned (the CDC-feed primitive for downstream incremental ETL).
+        """
+        md = self.meta
+        to_snap = md.snapshot(to_snapshot_id)
+        if to_snap is None:
+            raise ValueError("to_snapshot_id does not exist")
+        chain: list[M.Snapshot] = []
+        cur = to_snap
+        while cur is not None and cur.snapshot_id != from_snapshot_id:
+            chain.append(cur)
+            cur = md.snapshot(cur.parent_id) if cur.parent_id is not None else None
+        if cur is None:
+            raise ValueError(
+                f"snapshot {from_snapshot_id} is not an ancestor of "
+                f"{to_snap.snapshot_id}"
+            )
+        bad = [s.snapshot_id for s in chain if s.operation != "append"]
+        if bad:
+            raise ValueError(f"non-append snapshots in range: {bad}")
+        new_files: list[M.DataFile] = []
+        seen: set[str] = set()
+        for snap in reversed(chain):  # oldest appended first
+            parent = md.snapshot(snap.parent_id) if snap.parent_id is not None else None
+            parent_paths = {f.path for f in parent.files} if parent else set()
+            for f in snap.files:
+                if f.path not in parent_paths and f.path not in seen:
+                    seen.add(f.path)
+                    new_files.append(f)
+        if not new_files:
+            return self._empty_df(md.schema())
+        return self._read_files(md, new_files)
+
     def scan(self, pred_sql: str | None = None) -> DataFrame:
         """Filtered read with manifest pruning: partition values + column
         min/max decide which files can contain matches; only those are

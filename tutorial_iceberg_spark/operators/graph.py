@@ -1,0 +1,231 @@
+"""Graph-shaped dedup operators: similarity join + connected components.
+
+The missing piece between pairwise near-dup detection (operators/dedup.py,
+functions/vector.py) and an actual deduplicated corpus is *transitive
+grouping*: if A~B and B~C, all three are one duplicate cluster and exactly
+one representative survives. That is connected components over the
+similarity graph — the SemDedup / NearDup pipeline shape:
+
+    embeddings -> threshold similarity self-join (edges)
+               -> connected components (clusters)
+               -> keep min-id per cluster (canonical)
+
+Spark-first design:
+
+- The similarity join here is the exact baseline (broadcast nested-loop
+  over ``vec_id < vec_id`` with a float64 cosine predicate) so it is
+  bit-checkable against a DuckDB oracle. At 100 TB the identical operator
+  runs with the IVF candidate generator in functions/vector.py
+  (``x_ann_ivf_cosine``) supplying the pairs instead of all-pairs — the
+  verification predicate and everything downstream is unchanged.
+- Connected components is min-label propagation with pointer jumping
+  (label <- min(neighbours' labels); label <- label(label)), which
+  converges in O(log n) rounds, each round a pair of shuffle joins. This
+  is the standard large-graph CC shape (cf. Kiveris et al., "Connected
+  Components in MapReduce and Beyond" — the two-phase star operations are
+  an equivalent optimization). Per-round state is one (node, label) row
+  per node — far smaller than the corpus — and each round ends in a
+  ``localCheckpoint`` so the plan/lineage stays O(1) deep regardless of
+  iteration count (on a cluster this would be a checkpoint to durable
+  storage or an intermediate parquet).
+
+Reference parity: the reference has no graph operators (SURVEY.md §2.3
+J4); this is §2.11 extension surface (north star), grouped with dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tutorial_iceberg_spark.io import load_table
+from tutorial_iceberg_spark.registry import register
+
+# Edge threshold for the semantic-similarity graph. The synthetic
+# embeddings are near-orthogonal (max pairwise cosine ~0.51), so a
+# production-style 0.9 near-dup cut yields the empty graph; 0.40 produces
+# a non-trivial component structure (chains and small clusters) that
+# actually exercises transitive closure at every scale factor.
+COSINE_EDGE_THRESHOLD = 0.40
+
+_O_DOT = (
+    "list_aggregate(list_transform(list_zip({a}, {b}), "
+    "z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum')"
+)
+
+_O_EDGES = f"""
+    WITH n AS (
+        SELECT vec_id, embedding,
+               sqrt({_O_DOT.format(a='embedding', b='embedding')}) AS nrm
+        FROM embeddings
+    ), e AS (
+        SELECT a.vec_id AS left_id, b.vec_id AS right_id,
+               {_O_DOT.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm) AS cosine
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+    )
+"""
+
+
+def cosine_edges(
+    spark: SparkSession, sf_dir: str, threshold: float = COSINE_EDGE_THRESHOLD
+) -> DataFrame:
+    """All (left_id < right_id) embedding pairs with cosine >= threshold.
+
+    Baseline form: one side broadcast, nested-loop with the cosine computed
+    as a JVM-side higher-order expression (zip_with + aggregate, float64 —
+    bit-identical folds on both engines, see functions/vector.py). The
+    O(n^2) pair space never materializes: the predicate filters inside the
+    join operator. Scale path: swap the pair generator for the IVF/LSH
+    candidate join; this function's contract (columns, predicate) is the
+    fixed interface.
+    """
+    from tutorial_iceberg_spark.functions.vector import dot, norm
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    return (
+        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("left_id"),
+            F.col("b.vec_id").alias("right_id"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+@register(
+    "x_sim_join_threshold",
+    oracle=f"""
+        {_O_EDGES}
+        SELECT left_id, right_id, cosine
+        FROM e
+        WHERE cosine >= {COSINE_EDGE_THRESHOLD}
+        ORDER BY left_id, right_id
+    """,
+    doc="Threshold similarity self-join over embeddings (bit-exact float64 "
+    "cosine): the edge generator for semantic dedup. Baseline all-pairs "
+    "broadcast form; IVF candidates replace the pair space at scale",
+    tags=("vector", "dedup", "extension"),
+)
+def x_sim_join_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_edges(spark, sf_dir).orderBy("left_id", "right_id")
+
+
+# ---------------------------------------------------------------------------
+# Connected components
+# ---------------------------------------------------------------------------
+
+MAX_CC_ROUNDS = 12  # pointer jumping halves path lengths: 2^12 >> any corpus
+
+
+def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Min-label-propagation CC: (id) x (src, dst) -> (id, component).
+
+    ``nodes`` must have one ``id`` column covering every vertex (isolated
+    vertices allowed); ``edges`` is directed (src, dst) and is symmetrized
+    here. Each round: every node takes the min label over itself and its
+    neighbours, then labels compress one pointer hop (label <- label's
+    label). Converges when a round changes nothing — checked with a
+    LIMIT-1 existence query, not a full count.
+    """
+    sym = edges.select(
+        F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+    )
+    sym = sym.unionByName(
+        sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = nodes.select(
+        F.col("id").cast("long").alias("id"), F.col("id").cast("long").alias("comp")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(MAX_CC_ROUNDS):
+        # neighbour min: each edge forwards the src label to dst
+        msgs = (
+            sym.join(labels, sym.src == labels.id)
+            .select(F.col("dst").alias("id"), "comp")
+        )
+        new = (
+            labels.unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+        )
+        # pointer jumping: comp <- comp(comp). comp(y) <= y always, so this
+        # only ever lowers labels and preserves component membership.
+        x, y = new.alias("x"), new.alias("y")
+        new = (
+            x.join(y, F.col("x.comp") == F.col("y.id"), "left")
+            .select(
+                F.col("x.id").alias("id"),
+                F.coalesce(F.col("y.comp"), F.col("x.comp")).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"CC did not converge in {MAX_CC_ROUNDS} rounds")
+    return labels
+
+
+@register(
+    "x_dedup_semantic_cc",
+    oracle=f"""
+        WITH RECURSIVE n AS (
+            SELECT vec_id, embedding,
+                   sqrt({_O_DOT.format(a='embedding', b='embedding')}) AS nrm
+            FROM embeddings
+        ), e AS (
+            SELECT a.vec_id AS left_id, b.vec_id AS right_id
+            FROM n a JOIN n b ON a.vec_id < b.vec_id
+            WHERE {_O_DOT.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm)
+                  >= {COSINE_EDGE_THRESHOLD}
+        ), sym AS (
+            SELECT left_id AS src, right_id AS dst FROM e
+            UNION ALL
+            SELECT right_id, left_id FROM e
+        ), reach(node, label) AS (
+            SELECT vec_id, vec_id FROM embeddings
+            UNION
+            SELECT s.dst, r.label FROM reach r JOIN sym s ON s.src = r.node
+        )
+        SELECT node AS vec_id,
+               MIN(label) AS component,
+               CASE WHEN node = MIN(label) THEN 1 ELSE 0 END AS is_canonical
+        FROM reach
+        GROUP BY node
+        ORDER BY vec_id
+    """,
+    doc="Semantic-dedup clustering: connected components over the cosine "
+    "similarity graph via min-label propagation + pointer jumping "
+    "(O(log n) rounds, O(nodes) state/round). Canonical = min vec_id per "
+    "component — the SemDedup 'which duplicate survives' step. Oracle is "
+    "a DuckDB recursive-CTE transitive closure",
+    tags=("dedup", "vector", "graph", "extension"),
+)
+def x_dedup_semantic_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    nodes = emb.select(F.col("vec_id").alias("id"))
+    edges = cosine_edges(spark, sf_dir).select(
+        F.col("left_id").alias("src"), F.col("right_id").alias("dst")
+    )
+    labels = connected_components(nodes, edges)
+    return labels.select(
+        F.col("id").alias("vec_id"),
+        F.col("comp").alias("component"),
+        F.when(F.col("id") == F.col("comp"), 1).otherwise(0).alias("is_canonical"),
+    ).orderBy("vec_id")

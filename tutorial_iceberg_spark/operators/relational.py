@@ -791,3 +791,65 @@ def a10_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "a10_rollup_revenue",
+    oracle=f"""
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS year,
+               o_orderpriority,
+               COUNT(*) AS cnt,
+               {o_dsum('o_totalprice', 'revenue')}
+        FROM orders
+        GROUP BY ROLLUP (CAST(year(o_orderdate) AS INTEGER), o_orderpriority)
+        ORDER BY year NULLS LAST, o_orderpriority NULLS LAST
+    """,
+    doc="A9-adjacent ROLLUP: hierarchical subtotals (year, priority) -> "
+    "(year) -> grand total in one pass — Spark expands grouping sets into "
+    "a single hash aggregate, so this costs one shuffle like a plain "
+    "groupBy, not three scans",
+    tags=("agg", "rollup"),
+)
+def a10_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup(
+            F.year("o_orderdate").cast("int").alias("year"), "o_orderpriority"
+        )
+        .agg(F.count("*").alias("cnt"), dsum("o_totalprice", "revenue"))
+        .orderBy(F.asc_nulls_last("year"), F.asc_nulls_last("o_orderpriority"))
+    )
+
+
+@register(
+    "w4_lag_delta",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+                   {o_dsum('o_totalprice', 'revenue')}
+            FROM orders
+            GROUP BY 1
+        )
+        SELECT day, revenue,
+               revenue - LAG(revenue) OVER (ORDER BY day) AS delta,
+               LEAD(revenue) OVER (ORDER BY day) AS next_revenue
+        FROM daily
+        ORDER BY day
+    """,
+    doc="W3-family analytic window: day-over-day revenue delta via LAG/LEAD "
+    "over a daily rollup CTE — single total-order window over an already "
+    "tiny aggregate (days << rows), so the unpartitioned sort is safe",
+    tags=("window",),
+)
+def w4_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    ).agg(dsum("o_totalprice", "revenue"))
+    w = Window.orderBy("day")
+    return daily.select(
+        "day",
+        "revenue",
+        (F.col("revenue") - F.lag("revenue").over(w)).alias("delta"),
+        F.lead("revenue").over(w).alias("next_revenue"),
+    ).orderBy("day")

@@ -54,6 +54,7 @@ def all_queries() -> dict[str, QuerySpec]:
     full registry."""
     # Imports are deferred so `import tutorial_iceberg_spark` stays cheap.
     from tutorial_iceberg_spark.operators import dedup  # noqa: F401
+    from tutorial_iceberg_spark.operators import graph  # noqa: F401
     from tutorial_iceberg_spark.operators import relational  # noqa: F401
     from tutorial_iceberg_spark.functions import json_fns  # noqa: F401
     from tutorial_iceberg_spark.functions import text  # noqa: F401
