@@ -853,3 +853,114 @@ def w4_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("revenue") - F.lag("revenue").over(w)).alias("delta"),
         F.lead("revenue").over(w).alias("next_revenue"),
     ).orderBy("day")
+
+
+@register(
+    "q4_priority_with_returns",
+    oracle="""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: EXISTS-correlated subquery as a left-semi join "
+    "(J3) feeding a priority rollup. Both inputs are filtered before the "
+    "shuffle; the semi join carries only orderkeys, never lineitem payload",
+    tags=("join", "semi", "agg"),
+)
+def q4_priority_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    returned = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(
+            returned, orders.o_orderkey == returned.l_orderkey, "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q18_large_volume_orders",
+    oracle=f"""
+        SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+               o.o_totalprice,
+               {o_dsum('l.l_quantity', 'total_qty')}
+        FROM customer c
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey
+            HAVING SUM(CAST(l_quantity AS DECIMAL(15,4))) > 200
+        )
+        GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+        ORDER BY o.o_totalprice DESC, o.o_orderkey
+    """,
+    doc="TPC-H Q18 shape: self-aggregating IN-subquery (groupBy + HAVING "
+    "-> left-semi join) restricting a 3-table star join. The heavy "
+    "lineitem pre-aggregation happens before any join; customer is the "
+    "broadcast dim",
+    tags=("join", "agg", "subquery"),
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("qty"))
+        .filter(F.col("qty") > 200)
+        .select("l_orderkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").join(
+        big.withColumnRenamed("l_orderkey", "bk"),
+        F.col("o_orderkey") == F.col("bk"),
+        "left_semi",
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum("l_quantity", "total_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+    )
+
+
+@register(
+    "u1_set_ops",
+    oracle="""
+        SELECT user_id, 'both' AS tag FROM (
+            SELECT user_id FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'purchase')
+        UNION ALL
+        SELECT user_id, 'click_only' FROM (
+            SELECT user_id FROM events WHERE event_type = 'click'
+            EXCEPT
+            SELECT user_id FROM events WHERE event_type = 'purchase')
+        ORDER BY tag, user_id
+    """,
+    doc="Set operations (SURVEY §2.7, extension beyond reference): "
+    "INTERSECT / EXCEPT / UNION ALL audience segmentation — clickers who "
+    "did vs did not purchase. Distinct-based set semantics on both engines",
+    tags=("setops",),
+)
+def u1_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    both = clicks.intersect(buys).select("user_id", F.lit("both").alias("tag"))
+    only = clicks.subtract(buys).select("user_id", F.lit("click_only").alias("tag"))
+    return both.unionByName(only).orderBy("tag", "user_id")

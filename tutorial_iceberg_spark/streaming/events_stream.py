@@ -287,3 +287,45 @@ def x_stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed = streaming_sessions(spark, sf_dir)
     residual = close_open_sessions(spark, sf_dir)
     return closed.unionByName(residual).orderBy("user_id", "session_id")
+
+
+@register(
+    "x_stream_sliding_agg",
+    oracle="""
+        WITH expanded AS (
+            SELECT time_bucket(INTERVAL '30 minutes', ts)
+                     - o.k * INTERVAL '30 minutes' AS window_start,
+                   event_type, value
+            FROM events, (SELECT unnest(generate_series(0, 1)) AS k) o
+        )
+        SELECT window_start,
+               window_start + INTERVAL '1 hour' AS window_end,
+               event_type,
+               COUNT(*) AS cnt,
+               SUM(value) AS total_value
+        FROM expanded
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 3
+    """,
+    doc="Structured Streaming sliding window (1h length / 30min slide) x "
+    "event_type: every event lands in exactly window/slide = 2 windows, so "
+    "state is 2x the tumbling case and still bounded by the watermark. "
+    "Oracle expands the overlap with a 2-row offset cross join",
+    tags=("streaming", "extension"),
+)
+def x_stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"), F.sum("value").alias("total_value"))
+    )
+    out = run_to_memory(agg, mode="complete")
+    return out.select(
+        F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+        F.col("w.end").cast("timestamp_ntz").alias("window_end"),
+        "event_type",
+        "cnt",
+        "total_value",
+    ).orderBy("window_start", "event_type")
