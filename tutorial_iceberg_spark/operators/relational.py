@@ -964,3 +964,191 @@ def u1_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = clicks.intersect(buys).select("user_id", F.lit("both").alias("tag"))
     only = clicks.subtract(buys).select("user_id", F.lit("click_only").alias("tag"))
     return both.unionByName(only).orderBy("tag", "user_id")
+
+
+@register(
+    "q2_min_price_per_part",
+    oracle="""
+        SELECT p.p_partkey, p.p_name, l.l_suppkey,
+               l.l_extendedprice AS min_price
+        FROM part p
+        JOIN lineitem l ON l.l_partkey = p.p_partkey
+        WHERE p.p_size >= 48
+          AND l.l_extendedprice = (
+              SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+              WHERE l2.l_partkey = p.p_partkey)
+        ORDER BY p.p_partkey, l.l_suppkey
+    """,
+    doc="TPC-H Q2 shape: correlated scalar MIN subquery decorrelated into a "
+    "per-key pre-aggregation joined back (J2+A-min). The min table has "
+    "part-level cardinality, so the join back to lineitem shuffles both "
+    "sides on l_partkey once; ties on the min price keep every matching "
+    "supplier, same as the correlated form",
+    tags=("join", "subquery", "agg"),
+)
+def q2_min_price_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    mins = li.groupBy("l_partkey").agg(F.min("l_extendedprice").alias("minp"))
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") >= 48)
+        .select("p_partkey", "p_name")
+    )
+    return (
+        li.join(mins, "l_partkey")
+        .filter(F.col("l_extendedprice") == F.col("minp"))
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "l_suppkey",
+            F.col("l_extendedprice").alias("min_price"),
+        )
+        .orderBy("p_partkey", "l_suppkey")
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+              FROM customer c
+              LEFT OUTER JOIN orders o
+                ON c.c_custkey = o.o_custkey
+               AND o.o_orderpriority <> '1-URGENT'
+              GROUP BY c.c_custkey) per_cust
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    doc="TPC-H Q13 shape: left outer join with a compound join predicate "
+    "(customers with zero matching orders survive as count 0), then a "
+    "second aggregation over the first's output. The outer agg input is "
+    "customer-cardinality — tiny relative to the fact table — so the "
+    "second shuffle is negligible at any scale",
+    tags=("join", "outer", "agg"),
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "q16_supplier_cnt",
+    oracle="""
+        SELECT p.p_brand, p.p_type,
+               COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_size IN (10, 20, 30, 40)
+          AND l.l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p.p_brand, p.p_type
+        ORDER BY supplier_cnt DESC, p.p_brand, p.p_type
+    """,
+    doc="TPC-H Q16 shape: NOT IN over a non-nullable key = broadcast "
+    "left-anti join (J3), brand/type dim join, COUNT(DISTINCT) per group. "
+    "The anti join and the part filter both run before the distinct "
+    "aggregation, so the expand-for-distinct shuffle sees only surviving "
+    "rows",
+    tags=("join", "anti", "agg", "distinct"),
+)
+def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size").isin(10, 20, 30, 40))
+        .select("p_partkey", "p_brand", "p_type")
+    )
+    return (
+        li.join(
+            F.broadcast(bad_supp),
+            li.l_suppkey == bad_supp.s_suppkey,
+            "left_anti",
+        )
+        .join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type")
+    )
+
+
+@register(
+    "q21_sole_returning_supplier",
+    oracle="""
+        SELECT s.s_name, COUNT(*) AS numwait
+        FROM supplier s
+        JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s.s_name
+    """,
+    doc="TPC-H Q21 shape: EXISTS + NOT EXISTS self-correlations on the fact "
+    "table, rewritten as ONE order-level aggregate (distinct suppliers, "
+    "distinct returning suppliers) joined back — one extra shuffle of "
+    "lineitem instead of the naive plan's two self-joins. EXISTS(other "
+    "supplier) == n_supp >= 2; NOT EXISTS(other returning supplier) == "
+    "n_ret_supp == 1, since l1 itself returns",
+    tags=("join", "semi", "anti", "agg"),
+)
+def q21_sole_returning_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    ordstats = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_ret_supp"),
+    )
+    fin_orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    l1 = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    )
+    return (
+        l1.join(
+            ordstats.filter(
+                (F.col("n_supp") >= 2) & (F.col("n_ret_supp") == 1)
+            ).select("l_orderkey"),
+            "l_orderkey",
+        )
+        .join(fin_orders, l1.l_orderkey == fin_orders.o_orderkey, "left_semi")
+        .join(F.broadcast(supp), l1.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
