@@ -10,7 +10,7 @@ vectorized at 100 TB: each operator is a single scan + narrow projection
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tutorial_iceberg_spark.io import load_table
@@ -282,4 +282,163 @@ def x_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when((top_tok > 0.12) | (top_bg > 0.06), 1).otherwise(0).alias("is_repetitive"),
         )
         .orderBy("doc_id")
+    )
+
+
+@register(
+    "x_keyword_extract",
+    oracle=r"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+        ),
+        df AS (
+            SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term
+        ),
+        ranked AS (
+            SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                   ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                      ORDER BY tf.tf DESC, tf.term) AS rk
+            FROM tf JOIN df USING (term)
+            WHERE df.df * 2 <= (SELECT COUNT(*) FROM documents)
+        )
+        SELECT doc_id, term, tf, df FROM ranked WHERE rk <= 3
+        ORDER BY doc_id, tf DESC, term
+    """,
+    doc="Keyword extraction (SURVEY §2.11 text): per-doc top-3 terms by "
+    "term frequency, with corpus-frequent terms (document frequency > 50% "
+    "of docs) dropped as stopwords. Integer-only tf/df ranking — the "
+    "tf-idf ordering without cross-engine float log. Scale: explode -> two "
+    "hash aggs (map-side partial) -> broadcast of the small df table -> "
+    "per-doc window; the exploded token stream never sorts globally",
+    tags=("text", "extension"),
+)
+def x_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar driver value: one count job, no data pull
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = (
+        tok.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") * 2 <= F.lit(n_docs))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tf"), "term")
+    return (
+        tf.join(F.broadcast(df), "term")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", "df")
+        .orderBy("doc_id", F.desc("tf"), "term")
+    )
+
+
+@register(
+    "x_pii_scrub",
+    oracle=r"""
+        WITH raw AS (
+            -- the synthetic corpus is PII-free, so salt every 3rd doc with a
+            -- deterministic email+URL; the same salting runs on both engines
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                             || '@mail.example.com or https://ex.example/d/'
+                             || CAST(doc_id AS VARCHAR) || ' now'
+                        ELSE text END AS text
+            FROM documents
+        )
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                   'https?://[^ ]+', '<URL>', 'g') AS clean_text,
+               len(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+               len(regexp_extract_all(text, 'https?://[^ ]+')) AS n_urls
+        FROM raw
+        WHERE len(regexp_extract_all(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) > 0
+           OR len(regexp_extract_all(text, 'https?://[^ ]+')) > 0
+        ORDER BY doc_id
+    """,
+    doc="PII scrubbing (SURVEY §2.11 text): redact emails and URLs with "
+    "typed placeholder tokens and count redactions per doc; emit only "
+    "touched docs. The PII-free synthetic corpus is salted (every 3rd doc, "
+    "deterministically, on both engines) so the scrub provably fires. Pure "
+    "regexp_replace/regexp_count inside whole-stage codegen — a single "
+    "narrow scan->project->filter, trivially partition-parallel at any "
+    "scale",
+    tags=("text", "extension"),
+)
+def x_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    url = r"https?://[^ ]+"
+    docs = load_table(spark, sf_dir, "documents")
+    salted = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or https://ex.example/d/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" now"),
+        ),
+    ).otherwise(F.col("text"))
+    raw = docs.select("doc_id", salted.alias("text"))
+    n_emails = F.regexp_count(F.col("text"), F.lit(email))
+    n_urls = F.regexp_count(F.col("text"), F.lit(url))
+    return (
+        raw.select(
+            "doc_id",
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), email, "<EMAIL>"),
+                url,
+                "<URL>",
+            ).alias("clean_text"),
+            n_emails.alias("n_emails"),
+            n_urls.alias("n_urls"),
+        )
+        .filter((F.col("n_emails") > 0) | (F.col("n_urls") > 0))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "x_quota_sample",
+    oracle="""
+        WITH ranked AS (
+            SELECT doc_id, lang, source, n_chars,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+            FROM documents
+        )
+        SELECT doc_id, lang, source, n_chars FROM ranked WHERE rk <= 20
+        ORDER BY lang, doc_id
+    """,
+    doc="Deterministic stratified quota sampling (training-mix balancing, "
+    "SURVEY §2.11): at most 20 docs per language, chosen by md5(doc_id) "
+    "order — a seedless uniform-ish draw that is reproducible across "
+    "engines, retries, and AQE re-plans. One hash-partition window per "
+    "stratum; no driver-side sampling loop, no global sort of the corpus",
+    tags=("text", "sampling", "extension"),
+)
+def x_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("lang", "doc_id")
     )

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from tutorial_iceberg_spark.functions.numeric import dsum, o_dsum
 from tutorial_iceberg_spark.io import load_table, table_path
 from tutorial_iceberg_spark.registry import register
 
@@ -329,3 +330,119 @@ def x_stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt",
         "total_value",
     ).orderBy("window_start", "event_type")
+
+
+@register(
+    "x_stream_dedup",
+    oracle="""
+        SELECT DISTINCT user_id,
+               time_bucket(INTERVAL '1 day', ts) AS day
+        FROM events
+        ORDER BY user_id, day
+    """,
+    doc="Streaming deduplication with bounded state: "
+    "dropDuplicatesWithinWatermark on (user_id, day) — first event per user "
+    "per day survives; state for a key is dropped once the watermark passes "
+    "it, so a forever-running stream holds ~(active users x watermark "
+    "horizon) keys instead of all history. Emitting only the key columns "
+    "makes the result order-insensitive and oracle-checkable",
+    tags=("streaming", "dedup", "extension"),
+)
+def x_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    deduped = (
+        ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 day")
+        .withColumn("day", F.date_trunc("day", F.col("ts")))
+        .dropDuplicatesWithinWatermark(["user_id", "day"])
+    )
+    out = run_to_memory(deduped, mode="append")
+    return out.select(
+        "user_id", F.col("day").cast("timestamp_ntz").alias("day")
+    ).orderBy("user_id", "day")
+
+
+@register(
+    "x_stream_enrich_join",
+    oracle=f"""
+        SELECT c.c_mktsegment, COUNT(*) AS cnt,
+               {o_dsum('e.value', 'total_value')}
+        FROM events e
+        JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY c.c_mktsegment
+        ORDER BY c.c_mktsegment
+    """,
+    doc="Stream-static enrichment join: the events stream joins the static "
+    "customer dimension (broadcast — the stream side never shuffles for the "
+    "join) and aggregates revenue per market segment. The static side is "
+    "re-resolved per micro-batch, which is exactly how slowly-changing dims "
+    "are refreshed in production streams; decimal-path SUM keeps the result "
+    "invariant to micro-batch boundaries and partition order",
+    tags=("streaming", "join", "extension"),
+)
+def x_stream_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    agg = (
+        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("cnt"), dsum("value", "total_value"))
+    )
+    out = run_to_memory(agg, mode="complete")
+    return out.orderBy("c_mktsegment")
+
+
+@register(
+    "x_stream_lakehouse_sink",
+    oracle=f"""
+        SELECT event_type, COUNT(*) AS cnt,
+               {o_dsum('value', 'total_value')}
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    doc="Streaming ingestion into the ACID lakehouse layer: foreachBatch "
+    "appends each micro-batch as a lakehouse snapshot commit (D16 append "
+    "path with optimistic-concurrency CAS), then the final table state is "
+    "read back and aggregated. This is the standard exactly-once lakehouse "
+    "sink pattern: the batch write is atomic-per-commit, and a replayed "
+    "micro-batch would re-run the idempotent append inside a new snapshot",
+    tags=("streaming", "lakehouse", "extension"),
+)
+def x_stream_lakehouse_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from tutorial_iceberg_spark.lakehouse.table import LakeTable
+
+    ev = read_events_stream(spark, sf_dir)
+    root = os.path.join(
+        tempfile.gettempdir(), "tis_stream_sink", uuid.uuid4().hex[:8]
+    )
+    os.makedirs(root, exist_ok=True)
+    table = LakeTable.create(
+        spark,
+        os.path.join(root, "events_ingest"),
+        "event_id bigint, ts timestamp_ntz, user_id bigint, "
+        "event_type string, value double, props string",
+        name="events_ingest",
+    )
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        table.append(batch_df)
+
+    q = (
+        ev.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", os.path.join(root, "_chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        table.read()
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"), dsum("value", "total_value"))
+        .orderBy("event_type")
+    )
