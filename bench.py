@@ -42,6 +42,9 @@ HEADLINE = (
     "x_knn_brute_cosine",  # broadcast top-k cosine similarity
     "x_sessionize",  # gap sessionization window chain
     "x_stream_tumbling_agg",  # structured-streaming windowed agg
+    "q21_sole_returning_supplier",  # double self-correlation via order-level agg
+    "q13_customer_distribution",  # outer join + two-level agg
+    "x_keyword_extract",  # explode -> tf/df -> windowed top-k
 )
 
 

@@ -311,9 +311,11 @@ def x_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Keyword extraction (SURVEY §2.11 text): per-doc top-3 terms by "
     "term frequency, with corpus-frequent terms (document frequency > 50% "
     "of docs) dropped as stopwords. Integer-only tf/df ranking — the "
-    "tf-idf ordering without cross-engine float log. Scale: explode -> two "
-    "hash aggs (map-side partial) -> broadcast of the small df table -> "
-    "per-doc window; the exploded token stream never sorts globally",
+    "tf-idf ordering without cross-engine float log. Scale: ONE explode -> "
+    "tf hash agg (map-side partial); df derives from the tf table (rows "
+    "there are unique per (doc,term), so df = COUNT(*) per term) instead "
+    "of a second explode pass; small df table broadcast into the per-doc "
+    "window; the exploded token stream never sorts globally",
     tags=("text", "extension"),
 )
 def x_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -325,8 +327,8 @@ def x_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df = (
-        tok.groupBy("term")
-        .agg(F.countDistinct("doc_id").alias("df"))
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
         .filter(F.col("df") * 2 <= F.lit(n_docs))
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tf"), "term")

@@ -1119,16 +1119,22 @@ def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     "distinct returning suppliers) joined back — one extra shuffle of "
     "lineitem instead of the naive plan's two self-joins. EXISTS(other "
     "supplier) == n_supp >= 2; NOT EXISTS(other returning supplier) == "
-    "n_ret_supp == 1, since l1 itself returns",
+    "n_ret_supp == 1, since l1 itself returns. The distinct counts are "
+    "computed as a two-level agg (per (order,supplier) partial, then per "
+    "order) rather than countDistinct, which would Expand the fact table "
+    "2x before the shuffle",
     tags=("join", "semi", "anti", "agg"),
 )
 def q21_sole_returning_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    ordstats = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_ret_supp"),
+    per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+        ).alias("is_ret")
+    )
+    ordstats = per_supp.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum("is_ret").alias("n_ret_supp"),
     )
     fin_orders = (
         load_table(spark, sf_dir, "orders")
@@ -1152,3 +1158,134 @@ def q21_sole_returning_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
     )
+
+
+@register(
+    "a11_pivot_monthly_types",
+    oracle=f"""
+        SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS month,
+               {o_dsum("CASE WHEN event_type = 'click' THEN value END", 'click')},
+               {o_dsum("CASE WHEN event_type = 'error' THEN value END", 'error')},
+               {o_dsum("CASE WHEN event_type = 'purchase' THEN value END", 'purchase')},
+               {o_dsum("CASE WHEN event_type = 'signup' THEN value END", 'signup')},
+               {o_dsum("CASE WHEN event_type = 'view' THEN value END", 'view')}
+        FROM events
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    doc="PIVOT: month x event_type value matrix via groupBy().pivot() with "
+    "an EXPLICIT value list — no driver-side distinct pre-pass over the "
+    "fact table, so planning stays O(1) at 100 TB and the pivot compiles "
+    "to one pass of conditional aggregates (exactly the oracle's CASE "
+    "form). Decimal-path sums keep cells order-invariant",
+    tags=("agg", "pivot"),
+)
+def a11_pivot_monthly_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    types = ["click", "error", "purchase", "signup", "view"]
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("month", "ts").alias("month"))
+        .pivot("event_type", types)
+        .agg(F.round(F.sum(dec("value")), 2).cast("double"))
+        .orderBy("month")
+    )
+
+
+@register(
+    "a12_unpivot_returnflag",
+    oracle=f"""
+        WITH wide AS (
+            SELECT l_returnflag,
+                   {o_dsum('l_quantity', 'sum_qty')},
+                   {o_dsum('l_extendedprice', 'sum_price')},
+                   {o_dsum('l_discount', 'sum_disc')}
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS amount FROM wide
+        UNION ALL
+        SELECT l_returnflag, 'sum_price', sum_price FROM wide
+        UNION ALL
+        SELECT l_returnflag, 'sum_disc', sum_disc FROM wide
+        ORDER BY l_returnflag, metric
+    """,
+    doc="UNPIVOT/melt: wide per-returnflag aggregate matrix relationalized "
+    "to (key, metric, amount) long form with DataFrame.unpivot — the "
+    "inverse of a11's pivot. The unpivot runs on the already-aggregated "
+    "3-row table, so the explode-by-metric costs nothing at any scale",
+    tags=("agg", "unpivot"),
+)
+def a12_unpivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_price"),
+        dsum("l_discount", "sum_disc"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"],
+        ["sum_qty", "sum_price", "sum_disc"],
+        "metric",
+        "amount",
+    ).orderBy("l_returnflag", "metric")
+
+
+@register(
+    "a13_exact_dist_stats",
+    oracle="""
+        WITH s AS (
+            SELECT event_type,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(15,4))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(value AS DECIMAL(15,4))
+                            * CAST(value AS DECIMAL(15,4))) AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST(user_id AS DECIMAL(15,4))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(user_id AS DECIMAL(15,4))
+                            * CAST(user_id AS DECIMAL(15,4))) AS DOUBLE) AS syy,
+                   CAST(SUM(CAST(value AS DECIMAL(15,4))
+                            * CAST(user_id AS DECIMAL(15,4))) AS DOUBLE) AS sxy
+            FROM events GROUP BY event_type
+        )
+        SELECT event_type, n,
+               sx / n AS mean_value,
+               sqrt((n * sxx - sx * sx) / (n * (n - 1.0))) AS stddev_value,
+               (n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+                 AS corr_value_user
+        FROM s
+        ORDER BY event_type
+    """,
+    doc="Distribution statistics with bit-reproducible results: mean / "
+    "sample stddev / Pearson correlation derived from exact DECIMAL moment "
+    "sums (sx, sxx, sy, syy, sxy) with the closed-form double arithmetic "
+    "done identically on both engines. Unlike stddev_samp/corr builtins "
+    "(Welford-style, partition-order-dependent in the last ulp), decimal "
+    "moments are associative — the result is invariant to partitioning, "
+    "AQE re-plans, and retries, which is what you want for a 100 TB "
+    "metrics job that must be byte-stable across runs",
+    tags=("agg", "stats"),
+)
+def a13_exact_dist_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v, u = dec("value"), dec("user_id")
+    s = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(v).cast("double").alias("sx"),
+        F.sum(v * v).cast("double").alias("sxx"),
+        F.sum(u).cast("double").alias("sy"),
+        F.sum(u * u).cast("double").alias("syy"),
+        F.sum(v * u).cast("double").alias("sxy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    return s.select(
+        "event_type",
+        "n",
+        (sx / n).alias("mean_value"),
+        F.sqrt((n * sxx - sx * sx) / (n * (n - F.lit(1.0)))).alias(
+            "stddev_value"
+        ),
+        (
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+        ).alias("corr_value_user"),
+    ).orderBy("event_type")

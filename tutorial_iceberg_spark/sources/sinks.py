@@ -141,3 +141,33 @@ def s5_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"), dsum("l_extendedprice", "sum_price"))
         .orderBy("month")
     )
+
+
+@register(
+    "s11_jsonl_roundtrip",
+    oracle=f"""
+        SELECT lang, source, COUNT(*) AS cnt, SUM(n_chars) AS total_chars
+        FROM documents
+        GROUP BY lang, source
+        ORDER BY lang, source
+    """,
+    doc="JSONL sink + source roundtrip (SURVEY §2.1 extension): documents "
+    "written as newline-delimited JSON — the interchange format of every "
+    "LLM training-data pipeline — and read back with an explicit schema "
+    "(no sampling-based inference pass over 100 TB), then aggregated. "
+    "Identity of the roundtrip is what the oracle checks: the aggregate "
+    "over the read-back must equal the aggregate over the parquet original",
+    tags=("sink", "source", "extension"),
+)
+def s11_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    path = scratch_dir("jsonl_documents")
+    docs.write.mode("overwrite").json(path)
+    back = spark.read.schema(
+        "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).json(path)
+    return (
+        back.groupBy("lang", "source")
+        .agg(F.count("*").alias("cnt"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("lang", "source")
+    )
