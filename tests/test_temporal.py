@@ -1,0 +1,77 @@
+"""Temporal join operator tests: semantics + the plan shapes that make
+them viable at 100 TB (no nested-loop joins, bounded shuffle count)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tutorial_iceberg_spark.io import load_table
+from tutorial_iceberg_spark.operators import temporal as T
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_asof_attribution_semantics(spark, sf_dir):
+    out = T.x_asof_attribution(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    n_purch = ev.filter(F.col("event_type") == "purchase").count()
+    assert len(out) == n_purch  # left semantics: every purchase survives
+    # spot-check one attributed row against a direct computation
+    attributed = [r for r in out if r["click_ts"] is not None]
+    assert attributed, "expected at least one purchase with a prior click"
+    r = attributed[0]
+    best = (
+        ev.filter(
+            (F.col("event_type") == "click")
+            & (F.col("user_id") == r["user_id"])
+            & (F.col("ts") <= r["ts"])
+        )
+        .orderBy(F.desc("ts"))
+        .limit(1)
+        .collect()[0]
+    )
+    assert best["ts"] == r["click_ts"]
+    assert abs(best["value"] - r["click_value"]) < 1e-12
+    # un-attributed rows really have no prior click
+    bare = [x for x in out if x["click_ts"] is None]
+    if bare:
+        b = bare[0]
+        assert (
+            ev.filter(
+                (F.col("event_type") == "click")
+                & (F.col("user_id") == b["user_id"])
+                & (F.col("ts") <= b["ts"])
+            ).count()
+            == 0
+        )
+
+
+def test_asof_is_single_window_pass(spark, sf_dir):
+    plan = plan_of(T.x_asof_attribution(spark, sf_dir))
+    assert "NestedLoop" not in plan
+    # one Window operator over user_id does the as-of matching
+    assert plan.count("Window") >= 1
+
+
+def test_range_join_avoids_nested_loop(spark, sf_dir):
+    df = T.x_range_join_bucketed(spark, sf_dir)
+    plan = plan_of(df)
+    assert "NestedLoop" not in plan, "range join degenerated to BNLJ"
+    assert "Join" in plan
+    # residual range predicate rides the equi-join, bucket fan-out is 2
+    out = df.collect()
+    ev = load_table(spark, sf_dir, "events")
+    assert len(out) == ev.filter(F.col("event_type") == "purchase").count()
+    # window counts can never exceed the user's total clicks
+    clicks_per_user = dict(
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .count()
+        .collect()
+    )
+    for r in out[:50]:
+        assert r["clicks_last_hour"] <= clicks_per_user.get(r["user_id"], 0)

@@ -1,0 +1,167 @@
+"""Temporal join operators: as-of join and bounded range join.
+
+Spark has no native ASOF or range join (SURVEY.md §2.3 J4 notes the
+*reference* doesn't either — these are north-star training-pipeline
+extensions: event attribution and time-windowed feature engineering over
+the ``events`` table). Both are built as compositions of existing
+DataFrame ops per the custom-operator ladder (prompt/§2.11):
+
+- **as-of**: union the two tagged streams, one window pass per user
+  (`last(..., ignoreNulls)` over rows-unbounded-preceding). ONE shuffle on
+  the join key, one sort within partitions — never a per-row point lookup
+  and never a nested-loop join. Skew is bounded by per-user event counts.
+- **range**: explode the build side into coarse time buckets sized to the
+  range width, so every candidate pair shares an exact (key, bucket)
+  equi-join key and the residual range predicate is a post-join filter.
+  This is the standard trick that keeps Catalyst on a hash/sort-merge
+  join instead of BroadcastNestedLoop; bucket fan-out is exactly 2 for a
+  window equal to the bucket width.
+
+DuckDB (the oracle engine) *does* have native ASOF JOIN — so the as-of
+semantics get a real cross-engine differential check, not a self-check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tutorial_iceberg_spark.io import load_table
+from tutorial_iceberg_spark.registry import register
+
+
+@register(
+    "x_asof_attribution",
+    oracle="""
+        WITH c AS (
+            SELECT user_id, ts AS click_ts, MAX(value) AS click_value
+            FROM events WHERE event_type = 'click'
+            GROUP BY user_id, ts
+        ),
+        p AS (
+            SELECT event_id, user_id, ts, value AS purchase_value
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT p.event_id, p.user_id, p.ts, p.purchase_value,
+               c.click_ts, c.click_value
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND p.ts >= c.click_ts
+        ORDER BY p.event_id
+    """,
+    doc="AS-OF join (last-touch attribution): every purchase is joined to "
+    "the same user's most recent click at-or-before it, NULL when none "
+    "exists. Implemented as tagged-union + one last(ignoreNulls) window "
+    "pass — one shuffle on user_id total; the oracle uses DuckDB's native "
+    "ASOF LEFT JOIN, so this is a true cross-engine semantic check. "
+    "Clicks are pre-deduped per (user, ts) with MAX(value) on both "
+    "engines to pin tie behavior at any scale",
+    tags=("temporal", "join", "extension"),
+)
+def x_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+        .select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("kind"),
+            F.lit(None).cast("bigint").alias("event_id"),
+            F.lit(None).cast("double").alias("purchase_value"),
+            "click_value",
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        "event_id",
+        F.col("value").alias("purchase_value"),
+        F.lit(None).cast("double").alias("click_value"),
+    )
+    # at equal ts, kind=0 sorts first so `p.ts >= c.click_ts` (inclusive)
+    # semantics hold; within a frame last() picks the latest prior click
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = clicks.unionByName(purchases)
+    return (
+        tagged.withColumn(
+            "last_click_ts",
+            F.last(F.when(F.col("kind") == 0, F.col("ts")), True).over(w),
+        )
+        .withColumn("last_click_value", F.last("click_value", True).over(w))
+        .filter(F.col("kind") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "purchase_value",
+            F.col("last_click_ts").alias("click_ts"),
+            F.col("last_click_value").alias("click_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "x_range_join_bucketed",
+    oracle="""
+        WITH c AS (
+            SELECT user_id, ts FROM events WHERE event_type = 'click'
+        ),
+        p AS (
+            SELECT event_id, user_id, ts
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT p.event_id, p.user_id, p.ts,
+               COUNT(c.ts) AS clicks_last_hour
+        FROM p LEFT JOIN c
+          ON c.user_id = p.user_id
+         AND c.ts >  p.ts - INTERVAL '1 hour'
+         AND c.ts <= p.ts
+        GROUP BY p.event_id, p.user_id, p.ts
+        ORDER BY p.event_id
+    """,
+    doc="Bounded range join (feature engineering: clicks in the hour before "
+    "each purchase). The click side is exploded into its own hour bucket "
+    "and the next one (fan-out exactly 2 for a 1h window on 1h buckets), "
+    "turning the inequality join into a (user_id, bucket) equi-join with a "
+    "residual range filter — Catalyst plans a hash join, not the "
+    "BroadcastNestedLoop a naive inequality join degenerates to. The "
+    "oracle states the same query as a plain inequality join",
+    tags=("temporal", "join", "extension"),
+)
+def x_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("ts").alias("c_ts"),
+            F.explode(
+                F.array(hour, hour + F.expr("INTERVAL 1 HOUR"))
+            ).alias("bucket"),
+        )
+        .withColumnRenamed("user_id", "c_user")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", hour.alias("bucket")
+    )
+    joined = purchases.join(
+        clicks,
+        (purchases.user_id == clicks.c_user)
+        & (purchases.bucket == clicks.bucket)
+        & (clicks.c_ts > purchases.ts - F.expr("INTERVAL 1 HOUR"))
+        & (clicks.c_ts <= purchases.ts),
+        "left_outer",
+    )
+    return (
+        joined.groupBy("event_id", "user_id", "ts")
+        .agg(F.count("c_ts").alias("clicks_last_hour"))
+        .orderBy("event_id")
+    )
