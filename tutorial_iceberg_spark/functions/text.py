@@ -444,3 +444,43 @@ def x_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("lang", "doc_id")
     )
+
+
+@register(
+    "x_bpe_token_count",
+    oracle=r"""
+        SELECT lang,
+               COUNT(*) AS docs,
+               SUM(len(regexp_extract_all(text,
+                   '''(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+'''))) AS total_tokens,
+               (CAST(SUM(len(regexp_extract_all(text,
+                   '''(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+'''))) AS DOUBLE)
+                 / COUNT(*)) AS avg_tokens
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    doc="BPE-style pre-tokenization count (SURVEY §2.11 text): the GPT-2 "
+    "pre-tokenizer regex family — contraction suffixes, space-prefixed "
+    "letter runs, digit runs, punctuation runs, whitespace — counted per "
+    "doc and aggregated per language. The pattern uses only alternation "
+    "and unicode classes, so Java regex (Spark, codegen'd "
+    "regexp_extract_all) and RE2 (DuckDB) tokenize identically. This is "
+    "the token-budget estimator of a training-data pipeline: one narrow "
+    "scan, no Python",
+    tags=("text", "extension"),
+)
+def x_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pat = r"'(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0)))
+    return (
+        docs.withColumn("ntok", ntok)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("ntok").alias("total_tokens"),
+            (F.sum("ntok").cast("double") / F.count("*")).alias("avg_tokens"),
+        )
+        .orderBy("lang")
+    )

@@ -281,3 +281,68 @@ def lake_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.append(_orders_mod(spark, sf_dir, 4, 2))
     first = t.meta.snapshots[0].snapshot_id
     return t.incremental_read(from_snapshot_id=first)
+
+
+@register(
+    "lake_incremental_rollup",
+    oracle="""
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               event_type,
+               COUNT(*) AS cnt,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(15,4))), 2) AS DOUBLE)
+                 AS sum_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    doc="Incrementally-maintained rollup (continuous-aggregate pattern): "
+    "an events lakehouse table receives two appends; the day x type "
+    "rollup is built from snapshot 1, then advanced to snapshot 2 by "
+    "aggregating ONLY the changelog rows (incremental_read) and merging "
+    "partials. Partial sums stay in exact DECIMAL until the final round, "
+    "so incremental == full recompute bit-for-bit — the oracle IS the "
+    "full recompute. At 100 TB this is the difference between scanning "
+    "a day of new data and scanning all of history on every refresh",
+    tags=("lakehouse", "incremental", "agg"),
+)
+def lake_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wh = os.path.join(
+        tempfile.gettempdir(), "tis_lake", "inc_rollup", uuid.uuid4().hex[:8]
+    )
+    os.makedirs(wh, exist_ok=True)
+    t = LakeTable.create(
+        spark,
+        os.path.join(wh, "t"),
+        "event_id bigint, ts timestamp_ntz, user_id bigint, "
+        "event_type string, value double, props string",
+        name="inc_rollup",
+    )
+
+    def partial(df: DataFrame) -> DataFrame:
+        # unrounded DECIMAL partials: merging then rounding == full agg
+        return df.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"), F.col("event_type")
+        ).agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(15,4)")).alias("psum"),
+        )
+
+    t.append(ev.filter(F.col("event_id") % 3 != 2))
+    v1 = t.meta.current_snapshot_id
+    rollup = partial(t.read())
+
+    t.append(ev.filter(F.col("event_id") % 3 == 2))
+    delta = partial(t.incremental_read(from_snapshot_id=v1))
+
+    merged = (
+        rollup.unionByName(delta)
+        .groupBy("day", "event_type")
+        .agg(F.sum("cnt").alias("cnt"), F.sum("psum").alias("psum"))
+    )
+    return merged.select(
+        F.col("day").cast("timestamp_ntz").alias("day"),
+        "event_type",
+        "cnt",
+        F.round(F.col("psum"), 2).cast("double").alias("sum_value"),
+    ).orderBy("day", "event_type")

@@ -1289,3 +1289,122 @@ def a13_exact_dist_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
         ).alias("corr_value_user"),
     ).orderBy("event_type")
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle=f"""
+        SELECT n.n_name,
+               {o_dsum("l.l_extendedprice * (1 - l.l_discount)", 'revenue')}
+        FROM lineitem l
+        JOIN orders o    ON l.l_orderkey = o.o_orderkey
+        JOIN customer c  ON o.o_custkey = c.c_custkey
+        JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+        JOIN nation n    ON s.s_nationkey = n.n_nationkey
+                        AND c.c_nationkey = s.s_nationkey
+        JOIN region r    ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1994-01-01'
+          AND o.o_orderdate < TIMESTAMP '1996-01-01'
+        GROUP BY n.n_name
+        ORDER BY revenue DESC, n.n_name
+    """,
+    doc="TPC-H Q5 shape: the two-paths-to-nation topology — customer and "
+    "supplier must resolve to the SAME nation, restricted to one region. "
+    "Every dimension (customer, supplier, nation|x|region) broadcasts; "
+    "lineitem->orders is the only fact-fact shuffle, and the date filter "
+    "prunes orders before that shuffle. The c_nationkey = s_nationkey "
+    "equality rides the supplier join as a residual predicate",
+    tags=("join", "agg", "star"),
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation_region = (
+        load_table(spark, sf_dir, "nation")
+        .join(
+            load_table(spark, sf_dir, "region").filter(
+                F.col("r_name") == "ASIA"
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    revenue = dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(15,8)") - dec("l_discount").cast("decimal(15,8)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(
+            F.broadcast(nation_region),
+            supp.s_nationkey == nation_region.n_nationkey,
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(revenue), 2).cast("double").alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@register(
+    "a14_grouping_sets",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               GROUPING(l_returnflag) + 2 * GROUPING(l_linestatus) AS gid,
+               COUNT(*) AS cnt,
+               {o_dsum('l_quantity', 'sum_qty')}
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), (l_linestatus), ())
+        ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    doc="GROUPING SETS with a grouping-id disambiguator (A9-adjacent, "
+    "extension): detail cells, both one-way margins, and the grand total "
+    "in ONE pass — Spark plans a single Expand + hash aggregate, i.e. one "
+    "shuffle instead of four separate aggs unioned. GROUPING() tells "
+    "margin NULLs apart from genuine NULL group keys",
+    tags=("agg", "groupingsets"),
+)
+def a14_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [
+                ["l_returnflag", "l_linestatus"],
+                ["l_returnflag"],
+                ["l_linestatus"],
+                [],
+            ],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            (
+                F.grouping("l_returnflag")
+                + F.lit(2) * F.grouping("l_linestatus")
+            ).cast("long").alias("gid"),
+            F.count("*").alias("cnt"),
+            dsum("l_quantity", "sum_qty"),
+        )
+        .orderBy(
+            "gid",
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
