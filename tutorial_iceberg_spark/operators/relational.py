@@ -1408,3 +1408,140 @@ def a14_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_linestatus").asc_nulls_first(),
         )
     )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+        SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(15,4))
+                              * CAST(l_discount AS DECIMAL(15,8))), 2)
+                    AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape (J2/A3): pure scan-side revenue forecast — three "
+    "conjunctive predicates, no join, no group keys, one global decimal "
+    "sum. All three predicates push into the parquet scan (PushedFilters) "
+    "so row groups outside the shipdate year are skipped on footer stats; "
+    "the aggregate is a two-phase partial/final over a 2-column read. The "
+    "canonical 'is pushdown working' probe at 100 TB",
+    tags=("agg", "filter", "tpch"),
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = dec("l_extendedprice") * dec("l_discount").cast("decimal(15,8)")
+    return li.agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+
+
+@register(
+    "q14_promo_revenue",
+    oracle="""
+        SELECT CAST(100.0 * CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                       THEN CAST(l.l_extendedprice AS DECIMAL(15,4))
+                            * CAST(1 - l.l_discount AS DECIMAL(15,8))
+                       ELSE CAST(0 AS DECIMAL(15,4))
+                            * CAST(0 AS DECIMAL(15,8)) END) AS DOUBLE)
+                  / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(15,4))
+                             * CAST(1 - l.l_discount AS DECIMAL(15,8)))
+                         AS DOUBLE) AS DOUBLE) AS promo_revenue_pct
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    """,
+    doc="TPC-H Q14 shape (J2/A3/P6): promotion-revenue share — conditional "
+    "aggregation over a broadcast fact->dim join. part broadcasts (it is "
+    "tiny relative to lineitem at every SF), so the fact table never "
+    "shuffles; both sums ride one hash-aggregate pass and the percentage "
+    "is a single IEEE division of two exactly-summed decimals, making the "
+    "scalar bit-stable under any partitioning",
+    tags=("join", "agg", "tpch"),
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc_price = dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(15,8)") - dec("l_discount").cast("decimal(15,8)")
+    )
+    zero = (F.lit(0).cast("decimal(15,4)") * F.lit(0).cast("decimal(15,8)"))
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return joined.agg(
+        (
+            F.lit(100.0)
+            * F.sum(
+                F.when(F.col("p_type").startswith("PROMO"), disc_price)
+                .otherwise(zero)
+            ).cast("double")
+            / F.sum(disc_price).cast("double")
+        ).alias("promo_revenue_pct")
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle="""
+        SELECT c.c_custkey, c.c_name,
+               CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(15,4))
+                              * CAST(1 - l.l_discount AS DECIMAL(15,8))), 2)
+                    AS DOUBLE) AS revenue,
+               c.c_acctbal, n.n_name
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1996-07-01'
+        GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+        ORDER BY revenue DESC, c.c_custkey
+        LIMIT 20
+    """,
+    doc="TPC-H Q10 shape (J2/O4): returned-item loss ranking — top-20 "
+    "customers by revenue of 'R'-flagged lineitems in a half-year order "
+    "window. The returnflag filter prunes lineitem at the scan and the "
+    "date filter prunes orders BEFORE the one fact-fact shuffle; customer "
+    "and nation broadcast. ORDER BY revenue DESC is tie-broken by "
+    "c_custkey so the LIMIT 20 frontier is a total order (scale-stable "
+    "against duplicate revenue values); Spark executes it as "
+    "TakeOrderedAndProject — no global sort",
+    tags=("join", "agg", "topk", "tpch"),
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    disc_price = dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(15,8)") - dec("l_discount").cast("decimal(15,8)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(disc_price), 2).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
