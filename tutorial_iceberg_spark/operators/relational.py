@@ -1545,3 +1545,68 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle="""
+        SELECT COUNT(*) AS matched_lines,
+               CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(15,4))
+                              * CAST(1 - l.l_discount AS DECIMAL(15,8))), 2)
+                    AS DOUBLE) AS revenue
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#4'
+               AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 1 AND 11)
+           OR (p.p_brand = 'Brand#19'
+               AND p.p_size BETWEEN 1 AND 25
+               AND l.l_quantity BETWEEN 10 AND 20)
+           OR (p.p_brand = 'Brand#16'
+               AND p.p_size BETWEEN 1 AND 35
+               AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H Q19 shape (J2/P-ext): discounted-revenue over an OR of three "
+    "conjunctive branches that each mix part-side and lineitem-side "
+    "predicates. Catalyst distributes the single-side conjuncts out of "
+    "the disjunction (CNF extraction), so a derived part filter "
+    "(brand IN ... AND size <= 35) and a lineitem filter (quantity "
+    "BETWEEN 1 AND 30) both push to their scans BEFORE the broadcast "
+    "join; only the cross-side residual runs post-join. The classic "
+    "probe that an engine does not take disjunctions as 'scan "
+    "everything'",
+    tags=("join", "agg", "filter", "tpch"),
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#4")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#19")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#16")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    disc_price = dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(15,8)") - dec("l_discount").cast("decimal(15,8)")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(branch)
+        .agg(
+            F.count("*").alias("matched_lines"),
+            F.round(F.sum(disc_price), 2).cast("double").alias("revenue"),
+        )
+    )
