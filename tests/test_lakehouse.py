@@ -251,19 +251,37 @@ def test_catalog_listings(cat, spark):
 def test_concurrent_commit_conflict_detected(cat, spark):
     """Two writers racing for the same version: the loser must get
     CommitConflictError (optimistic CAS), never silently clobber."""
-    import os
     import pytest
     from tutorial_iceberg_spark.lakehouse import metadata as M
 
     t = cat.create_table("db.conflict", ORDERS_DDL)
     t.append(seed_df(spark))
-    v = M.current_version(t.location)
-    # simulate a concurrent writer claiming v+1 first
-    claimed = os.path.join(M.metadata_dir(t.location), f"v{v + 1}.metadata.json")
-    with open(claimed, "w") as f:
-        f.write("{}")
+    # two writers read the same state; A commits first, stale B must lose
+    md_a = M.read_metadata(t.location)
+    md_b = M.read_metadata(t.location)
+    M.commit_metadata(t.location, md_a)
     with pytest.raises(M.CommitConflictError):
-        M.commit_metadata(t.location, t.meta)
+        M.commit_metadata(t.location, md_b)
+
+
+def test_orphan_version_file_recovered(cat, spark):
+    """A writer that crashes after committing v{N+1} but BEFORE flipping
+    version-hint.text must not wedge the table: the version file is the
+    durable commit (hint is advisory), so readers resolve to N+1 and the
+    next writer builds on it instead of retrying N+1 forever."""
+    from tutorial_iceberg_spark.lakehouse import metadata as M
+
+    t = cat.create_table("db.orphan", ORDERS_DDL)
+    t.append(seed_df(spark))
+    v = M.current_version(t.location)
+    # simulate the crash: commit v+1 normally, then roll the hint back to v
+    M.commit_metadata(t.location, M.read_metadata(t.location))
+    with open(M._hint_path(t.location), "w") as f:
+        f.write(str(v))
+    assert M.current_version(t.location) == v + 1  # probes past stale hint
+    t.append(seed_df(spark))  # must commit v+2, not wedge on v+1
+    assert M.current_version(t.location) == v + 2
+    assert t.read().count() == 2 * seed_df(spark).count()
 
 
 def test_append_rebases_on_conflict(cat, spark):
@@ -322,3 +340,47 @@ def test_incremental_read_rejects_non_append_range(cat, spark):
         t.incremental_read(first)
     with pytest.raises(ValueError, match="not an ancestor"):
         t.incremental_read(999)
+
+
+def test_identity_partition_pruning_never_drops_decimal_rows(cat, spark):
+    """ADVICE r1: identity pruning compared str(literal) against the Hive
+    dir string — '25.5' vs '25.50' wrongly pruned the matching file, so a
+    DELETE on a decimal-partitioned column silently skipped rows. Identity
+    pruning must now decline on decimal columns (no pruning -> correct)."""
+    t = cat.create_table("db.decpart", ORDERS_DDL, partition_by=["amount"])
+    t.append(seed_df(spark))
+    # predicate literal 25.50 -> parsed float 25.5; dir value is '25.50'
+    assert t.scan("amount = 25.50").count() == 1
+    t.delete("amount = 25.50")
+    assert {r["order_id"] for r in t.read().collect()} == {1, 3, 4}
+
+
+def test_identity_partition_pruning_int_and_string(cat, spark):
+    """Identity pruning stays ACTIVE where it is provably safe: int and
+    plain-string columns. Verify both correctness and that pruning actually
+    reduces the candidate file set (the at-scale point)."""
+    from tutorial_iceberg_spark.lakehouse import metadata as M
+
+    t = cat.create_table("db.idpart", ORDERS_DDL, partition_by=["customer_id"])
+    t.append(seed_df(spark))
+    md = t.meta
+    snap = md.snapshot()
+    cands = t._candidates(md, snap, "customer_id = 102")
+    assert len(cands) < len(snap.files)  # pruned
+    assert t.scan("customer_id = 102").count() == 1
+    t.delete("customer_id = 101")
+    assert {r["order_id"] for r in t.read().collect()} == {2, 3}
+
+
+def test_rename_column_validation(cat, spark):
+    """ADVICE r1: renaming a nonexistent column must raise (not silently
+    no-op), and renaming onto an existing name must raise (not corrupt the
+    schema with duplicates)."""
+    t = cat.create_table("db.ren", ORDERS_DDL)
+    t.append(seed_df(spark))
+    with pytest.raises(ValueError, match="no column"):
+        t.rename_column("nope", "amount2")
+    with pytest.raises(ValueError, match="already exists"):
+        t.rename_column("amount", "order_date")
+    t.rename_column("amount", "price")  # the legitimate rename still works
+    assert "price" in t.read().columns

@@ -188,11 +188,21 @@ def _hint_path(location: str) -> str:
 
 
 def current_version(location: str) -> int:
+    """Resolve the current metadata version. The hint file is advisory
+    (Iceberg HadoopTableOperations semantics): the version FILE is the
+    durable commit, so we probe upward from the hint for version files a
+    crashed writer committed without flipping the hint. Version files are
+    always complete (created by atomic link of a fully-written temp file,
+    see commit_metadata), so the highest one present is the table state."""
     try:
         with open(_hint_path(location)) as f:
-            return int(f.read().strip())
+            v = int(f.read().strip())
     except FileNotFoundError:
-        return 0
+        v = 0
+    mdir = metadata_dir(location)
+    while os.path.exists(os.path.join(mdir, f"v{v + 1}.metadata.json")):
+        v += 1
+    return v
 
 
 def read_metadata(location: str) -> TableMetadata:
@@ -212,28 +222,40 @@ class CommitConflictError(Exception):
 
 
 def commit_metadata(location: str, md: TableMetadata) -> int:
-    """Optimistic atomic commit: claim v{base+1} with an exclusive create
-    (POSIX O_EXCL — the compare-and-swap), then flip the hint via
-    os.replace. The version is derived from ``md.loaded_version`` — the
-    state this writer actually READ — so a writer holding stale metadata
-    conflicts instead of silently clobbering a commit it never saw. A
-    concurrent reader sees either vN or vN+1, never a torn state."""
+    """Optimistic atomic commit, crash-safe at every step (Iceberg's
+    HadoopTableOperations rename-commit protocol):
+
+    1. Write the FULL metadata JSON to a uniquely-named temp file.
+    2. ``os.link(tmp, v{base+1})`` — atomic create-if-absent. This is both
+       the compare-and-swap (fails with FileExistsError if another writer
+       claimed the version) and the durable commit point. Because the temp
+       file was fully written first, a version file can never be torn.
+    3. Best-effort hint flip. A crash between 2 and 3 is harmless:
+       current_version probes past the hint for committed version files,
+       so the orphan IS the new table state and the next writer builds on
+       v+1 rather than retrying v forever.
+
+    The version derives from ``md.loaded_version`` — the state this writer
+    actually READ — so a stale writer conflicts instead of clobbering."""
     mdir = metadata_dir(location)
     os.makedirs(mdir, exist_ok=True)
     v = md.loaded_version + 1
     vpath = os.path.join(mdir, f"v{v}.metadata.json")
+    tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as f:
+        f.write(_to_json(md))
     try:
-        fd = os.open(vpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.link(tmp, vpath)
     except FileExistsError as e:
         raise CommitConflictError(
             f"version {v} at {location} was committed concurrently"
         ) from e
-    with os.fdopen(fd, "w") as f:
-        f.write(_to_json(md))
-    tmp = _hint_path(location) + ".tmp"
-    with open(tmp, "w") as f:
+    finally:
+        os.unlink(tmp)
+    hint_tmp = _hint_path(location) + ".tmp"
+    with open(hint_tmp, "w") as f:
         f.write(str(v))
-    os.replace(tmp, _hint_path(location))
+    os.replace(hint_tmp, _hint_path(location))
     md.loaded_version = v
     return v
 

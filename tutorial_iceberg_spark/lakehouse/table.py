@@ -204,13 +204,18 @@ class LakeTable:
     # -- D16 INSERT / append ---------------------------------------------
     APPEND_RETRIES = 5
 
-    def append(self, df: DataFrame) -> None:
+    def append(self, df: DataFrame, properties: dict[str, str] | None = None) -> None:
         """D16 INSERT INTO ... VALUES / append — README.md:1136-1138.
 
         Optimistic-concurrency retry (Iceberg's fast-append protocol): the
         data files are written exactly once; on a commit conflict only the
         metadata step rebases — re-read current state, re-point the new
-        snapshot at the latest parent, retry the CAS commit."""
+        snapshot at the latest parent, retry the CAS commit.
+
+        ``properties`` are merged into table properties in the SAME atomic
+        metadata commit as the snapshot — the primitive a streaming sink
+        uses to record its batch id transactionally with the data (exactly
+        -once foreachBatch, see streaming/events_stream.py)."""
         md = self.meta
         new_files = self._write_files(self._align(df, md.schema()), md)
         last_err: Exception | None = None
@@ -218,6 +223,8 @@ class LakeTable:
             cur = md.snapshot()
             base = list(cur.files) if cur else []
             dels = list(cur.delete_files) if cur else []
+            if properties:
+                md.properties.update(properties)
             try:
                 self._new_snapshot(md, "append", base + new_files, dels)
                 return
@@ -348,6 +355,7 @@ class LakeTable:
             return list(snap.files)
         # predicate references current names; map back to write-time names
         current_by_name = {f.name: f.id for f in md.schema().fields}
+        source_types = {f.name: f.type for f in md.schema().fields}
         out = []
         for f in snap.files:
             written = md.schema(f.schema_id).by_id()
@@ -356,7 +364,9 @@ class LakeTable:
                 fid = current_by_name.get(col)
                 wname = written[fid].name if fid in written else None
                 spec = md.spec(f.spec_id)
-                if not T.partition_may_match(spec.fields, f.partition, col, op, val):
+                if not T.partition_may_match(
+                    spec.fields, f.partition, col, op, val, source_types
+                ):
                     keep = False
                     break
                 if wname and not T.stats_may_match(f.stats.get(wname), op, val):
@@ -508,12 +518,15 @@ class LakeTable:
         old data files keep the old name and still resolve (the exact
         failure Parquet-only tables hit, README.md:500-508)."""
         md = self.meta
+        names = md.schema().names()
+        if old not in names:
+            raise ValueError(f"no column {old}")
+        if new in names:
+            raise ValueError(f"column {new} already exists")
         fields = [
             M.Field(f.id, new if f.name == old else f.name, f.type, f.nullable, f.initial_default)
             for f in md.schema().fields
         ]
-        if not any(f.name == new for f in fields):
-            raise ValueError(f"no column {old}")
         new_id = max(s.schema_id for s in md.schemas) + 1
         md.schemas.append(M.Schema(schema_id=new_id, fields=fields))
         md.current_schema_id = new_id

@@ -161,23 +161,61 @@ def stats_may_match(stats_minmax: list | None, op: str, value: Any) -> bool:
         return True
 
 
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+_INT_TYPES = {"tinyint", "smallint", "int", "integer", "bigint", "long"}
+
+
+def _unescape_hive(pval: str) -> str:
+    """Spark/Hive %-escape special chars (':' -> '%3A', '/' -> '%2F', ...)
+    in partition directory values; undo before comparing to a literal."""
+    from urllib.parse import unquote
+
+    return unquote(pval)
+
+
+def _identity_prunable(source_type: str | None, value: Any) -> bool:
+    """Identity (and truncate) pruning compares the literal's str() against
+    the writer's cast-to-string of the column value. Those formats provably
+    agree only for integer columns with integer literals and string columns
+    with string literals. Decimals ('25.5' vs '25.50'), floats, timestamps
+    and DATE-vs-timestamp casts all diverge -> never prune on those
+    (pruning must stay best-effort, never load-bearing: scan()'s contract,
+    and _candidates also feeds delete()/update())."""
+    if source_type is None:
+        return False
+    t = source_type.lower()
+    if t in _INT_TYPES:
+        return isinstance(value, int) and not isinstance(value, bool)
+    if t == "string":
+        return isinstance(value, str)
+    return False
+
+
 def partition_may_match(
     pfields: list[PartitionField],
     partition: dict[str, str],
     col: str,
     op: str,
     value: Any,
+    source_types: dict[str, str] | None = None,
 ) -> bool:
     """Prune a file by its recorded partition values. Only equality and
-    range ops on transforms whose output preserves ordering (identity on
-    strings/ints via string compare caveat -> equality only; year/month/day
-    are zero-padded ISO so lexicographic == chronological)."""
+    range ops on transforms whose output preserves ordering (identity
+    restricted to int/string columns where str(literal) provably matches
+    the writer's cast-to-string format; year/month/day are zero-padded ISO
+    so lexicographic == chronological). `source_types` maps source column
+    name -> Spark DDL type; without it identity/truncate never prune."""
     for pf in pfields:
         if pf.source != col:
             continue
-        pval = partition.get(pf.name)
-        if pval is None:
+        raw = partition.get(pf.name)
+        if raw is None or raw == _HIVE_NULL:
             continue
+        pval = _unescape_hive(raw)
+        stype = (source_types or {}).get(pf.source)
+        if pf.transform == "identity" or pf.transform.startswith("truncate["):
+            if not _identity_prunable(stype, value):
+                continue
         tv = transform_value(pf.transform, value)
         if tv is None:
             continue

@@ -767,7 +767,9 @@ def j4_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a10_value_percentiles",
     oracle="""
         SELECT event_type,
-               quantile_cont(value, [0.5, 0.9, 0.99]) AS pcts,
+               quantile_cont(value, 0.5) AS p50,
+               quantile_cont(value, 0.9) AS p90,
+               quantile_cont(value, 0.99) AS p99,
                MIN(value) AS min_value,
                MAX(value) AS max_value
         FROM events
@@ -775,9 +777,12 @@ def j4_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY event_type
     """,
     doc="Exact interpolated percentiles (p50/p90/p99) per group — "
-    "bit-identical to DuckDB quantile_cont. At extreme scale swap for "
-    "approx_percentile (t-digest, constant memory) — exact percentile "
-    "collects per-group values",
+    "bit-identical to DuckDB quantile_cont, returned as scalar columns "
+    "(flat doubles hash cleanly; array columns defeat order-insensitive "
+    "canonicalization). Spark computes all three from ONE sorted per-group "
+    "pass (single percentile(...array) agg, split after). At extreme scale "
+    "swap for approx_percentile (t-digest, constant memory) — exact "
+    "percentile collects per-group values",
     tags=("agg", "percentile"),
 )
 def a10_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -785,9 +790,17 @@ def a10_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy("event_type")
         .agg(
-            F.expr("percentile(value, array(0.5, 0.9, 0.99))").alias("pcts"),
+            F.expr("percentile(value, array(0.5, 0.9, 0.99))").alias("_pcts"),
             F.min("value").alias("min_value"),
             F.max("value").alias("max_value"),
+        )
+        .select(
+            "event_type",
+            F.col("_pcts")[0].alias("p50"),
+            F.col("_pcts")[1].alias("p90"),
+            F.col("_pcts")[2].alias("p99"),
+            "min_value",
+            "max_value",
         )
         .orderBy("event_type")
     )

@@ -406,9 +406,12 @@ def x_stream_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Streaming ingestion into the ACID lakehouse layer: foreachBatch "
     "appends each micro-batch as a lakehouse snapshot commit (D16 append "
     "path with optimistic-concurrency CAS), then the final table state is "
-    "read back and aggregated. This is the standard exactly-once lakehouse "
-    "sink pattern: the batch write is atomic-per-commit, and a replayed "
-    "micro-batch would re-run the idempotent append inside a new snapshot",
+    "read back and aggregated. Exactly-once end-to-end: the sink records "
+    "the micro-batch id in table properties in the SAME atomic metadata "
+    "commit as the snapshot, and skips any batch id at-or-below the last "
+    "committed one — so a batch replayed after a crash between the table "
+    "commit and the streaming checkpoint is detected and not re-appended "
+    "(the foreachBatch idempotent-sink contract)",
     tags=("streaming", "lakehouse", "extension"),
 )
 def x_stream_lakehouse_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -430,8 +433,13 @@ def x_stream_lakehouse_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         name="events_ingest",
     )
 
+    BATCH_PROP = "streaming.last-committed-batch-id"
+
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
-        table.append(batch_df)
+        last = table.meta.properties.get(BATCH_PROP)
+        if last is not None and int(last) >= batch_id:
+            return  # replayed micro-batch: already committed atomically
+        table.append(batch_df, properties={BATCH_PROP: str(batch_id)})
 
     q = (
         ev.writeStream.foreachBatch(ingest)
