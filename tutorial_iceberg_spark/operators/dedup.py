@@ -14,8 +14,8 @@ Four escalating strategies over ``documents``:
   Jaccard. Only candidate pairs (same band bucket) are ever compared, so
   cost is O(n + candidate pairs), never O(n^2).
 
-All hash functions are md5-derived so results are deterministic and (for
-the first three) bit-identical to the DuckDB oracles.
+Oracle-checked operators use md5-derived hashes (bit-identical in DuckDB);
+the LSH index uses crc32 (deterministic, C-speed in the Arrow batch path).
 """
 
 from __future__ import annotations
@@ -203,7 +203,7 @@ N_HASHES = 16
 N_BANDS = 4  # R = 4 rows per band
 
 # Universal-hash permutation family over a Mersenne prime: each shingle is
-# string-hashed ONCE (xxhash64), then the N_HASHES minhash functions are
+# string-hashed ONCE (crc32), then the N_HASHES minhash functions are
 # h_i(x) = (a_i*x + b_i) mod P — integer multiply-adds, not repeated string
 # hashing. Constants are fixed (seeded) for run-to-run determinism.
 _P = 2_147_483_647  # 2^31 - 1; (P-1)*a + b < 2^62, no bigint overflow
@@ -214,37 +214,87 @@ _A = [_rng.randrange(1, _P) for _ in range(N_HASHES)]
 _B = [_rng.randrange(0, _P) for _ in range(N_HASHES)]
 
 
-def hashed_shingles(docs: DataFrame) -> DataFrame:
-    """(doc_id, h): one 31-bit hash per distinct shingle per doc.
+def _index_batches(batches):
+    """Arrow-vectorized shingle index: (doc_id, text) -> (doc_id, hs, sig).
 
-    The shingle explode fans out ~1000x, so the scan's file-split
-    partitioning (often 1 split for a small compacted file) would starve
-    the pipeline; repartitioning by doc_id first spreads the fan-out over
-    the full cluster before the expensive part begins. The explicit
-    partition count keeps AQE from coalescing on pre-explode byte size
-    (tiny input, huge fan-out)."""
+    Why mapInPandas and not column algebra: the per-row column form
+    (transform(shingles(), hash) + 16 array_min(transform(...)) folds)
+    is correct but runs INTERPRETED — Spark's higher-order functions
+    don't participate in whole-stage codegen, and nesting them costs a
+    boxed lambda eval per element (~4M evals at sf0.1, measured ~2.8s
+    steady-state). The Arrow path moves the same math into one numpy
+    batch: crc32 per distinct shingle (zlib, C speed), then ALL 16
+    permutations as one (16, total_shingles) vectorized multiply-add-mod
+    with np.minimum.reduceat folding per-doc minima. Embarrassingly
+    parallel, no shuffle, scales linearly with corpus bytes."""
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+
+    a = np.array(_A, dtype=np.int64)[:, None]
+    b = np.array(_B, dtype=np.int64)[:, None]
+    for pdf in batches:
+        hs_out: list = []
+        chunks: list = []
+        lens: list = []
+        for t in pdf["text"]:
+            w = (t or "").split()
+            sh = {" ".join(w[i : i + 3]) for i in range(max(len(w) - 2, 0))}
+            if sh:
+                h = np.unique(
+                    np.fromiter(
+                        (zlib.crc32(s.encode("utf-8")) % _P for s in sh),
+                        dtype=np.int64,
+                        count=len(sh),
+                    )
+                )
+            else:
+                h = np.empty(0, dtype=np.int64)
+            hs_out.append(h)
+            if len(h):
+                chunks.append(h)
+                lens.append(len(h))
+        sigs: list = [None] * len(hs_out)
+        if chunks:
+            all_h = np.concatenate(chunks)
+            # h < 2^31 and a < 2^31 so a*h + b < 2^62: no int64 overflow.
+            perms = (a * all_h[None, :] + b) % _P
+            offsets = np.zeros(len(chunks), dtype=np.int64)
+            np.cumsum(lens[:-1], out=offsets[1:])
+            mins = np.minimum.reduceat(perms, offsets, axis=1)
+            k = 0
+            for i, h in enumerate(hs_out):
+                if len(h):
+                    sigs[i] = mins[:, k]
+                    k += 1
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "hs": hs_out, "sig": sigs}
+        )
+
+
+def doc_index(docs: DataFrame) -> DataFrame:
+    """(doc_id, hs, sig): the per-doc dedup index — distinct 31-bit
+    shingle hashes plus the 16-slot minhash signature, one Arrow batch
+    pass, zero shuffle. Docs too short to produce a shingle are dropped:
+    they cannot near-duplicate anything through a shingle index (and an
+    empty-key band bucket would otherwise pair ALL of them
+    quadratically). Round-robin repartition first spreads the per-row
+    work when the input is a handful of file splits."""
     n_part = docs.sparkSession.sparkContext.defaultParallelism
     return (
-        docs.repartition(n_part, F.col("doc_id"))
-        .select("doc_id", F.explode(shingles()).alias("sh"))
-        .select("doc_id", F.pmod(F.xxhash64("sh"), F.lit(_P)).alias("h"))
+        docs.repartition(n_part)
+        .select("doc_id", "text")
+        .mapInPandas(
+            _index_batches, "doc_id bigint, hs array<bigint>, sig array<bigint>"
+        )
+        .filter(F.size("hs") > 0)
     )
-
-
-def _min_perms():
-    return [
-        F.min(F.pmod(F.col("h") * _A[i] + _B[i], F.lit(_P))).alias(f"m{i}")
-        for i in range(N_HASHES)
-    ]
 
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """doc_id -> array<bigint> of N_HASHES minhash values (one explode +
-    one groupBy — linear in total shingle count)."""
-    sig = hashed_shingles(docs).groupBy("doc_id").agg(*_min_perms())
-    return sig.select(
-        "doc_id", F.array(*[F.col(f"m{i}") for i in range(N_HASHES)]).alias("sig")
-    )
+    """doc_id -> array<bigint> of N_HASHES minhash values."""
+    return doc_index(docs).select("doc_id", "sig")
 
 
 def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
@@ -288,28 +338,26 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
 )
 def x_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    # ONE explode+hash pass feeds everything: the same aggregation computes
-    # the minhash signature AND the hashed-shingle set (for verification).
-    # Jaccard over 64->31-bit hashed shingles equals string Jaccard up to
+    # ONE Arrow batch pass computes everything: the hashed-shingle set
+    # (for verification) and the 16 minhashes derived from it — no
+    # explode, no aggregation, no shuffle before the banding join.
+    # Jaccard over 31-bit hashed shingles equals string Jaccard up to
     # hash collisions — and bigint arrays intersect far cheaper than the
     # original string shingles.
     # The signature+set table is consumed twice (banding, verification).
-    # Persist it rather than recompute the explode+hash pipeline: it is the
-    # INDEX (one row per doc: 16 ints + the hash set), orders of magnitude
-    # smaller than the corpus text; MEMORY_AND_DISK spills gracefully — at
-    # extreme scale you would materialize it to a temp parquet instead,
-    # which is the same trade expressed durably.
+    # Persist it rather than re-tokenize the corpus: it is the INDEX (one
+    # row per doc: 16 ints + the hash set), orders of magnitude smaller
+    # than the corpus text; MEMORY_AND_DISK spills gracefully — at extreme
+    # scale you would materialize it to a temp parquet instead, which is
+    # the same trade expressed durably.
     from pyspark import StorageLevel
 
     agg = (
-        hashed_shingles(docs)
-        .groupBy("doc_id")
-        .agg(*_min_perms(), F.collect_set("h").alias("hset"))
+        doc_index(docs)
+        .withColumnRenamed("hs", "hset")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    sig = agg.select(
-        "doc_id", F.array(*[F.col(f"m{i}") for i in range(N_HASHES)]).alias("sig")
-    )
+    sig = agg.select("doc_id", "sig")
     cand = F.broadcast(lsh_candidate_pairs(sig))
     sets = agg.select("doc_id", "hset")
     # Verification: the shingle-set table is STREAMED (never broadcast,
