@@ -27,7 +27,8 @@ from tutorial_iceberg_spark.registry import register
     tags=("json",),
 )
 def f10_json_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
+    # spread: per-row JSON parse straight off a single-split scan
+    events = load_table(spark, sf_dir, "events", spread=True)
     return events.select(
         "event_id", F.get_json_object("props", "$.k").alias("k_str")
     )

@@ -41,7 +41,8 @@ def tokens(col: str = "text") -> Column:
     tags=("text", "extension"),
 )
 def x_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # spread: regex tokenize + partial agg straight off a single-split scan
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     ntok = F.size(tokens())
     return (
         docs.withColumn("ntok", ntok)
@@ -319,7 +320,8 @@ def x_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "extension"),
 )
 def x_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # spread: the explode + tf partial agg otherwise run in the lone scan task
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     n_docs = docs.count()  # scalar driver value: one count job, no data pull
     tok = docs.select(
         "doc_id",

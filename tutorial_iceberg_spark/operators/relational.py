@@ -237,7 +237,9 @@ def a6_day_type_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "flagship", "bench-shape"),
 )
 def q1_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").filter(
+    # spread: 8 decimal aggregates straight off the scan — the map-side
+    # partial agg is the heavy part, parallelize it (io.load_table).
+    li = load_table(spark, sf_dir, "lineitem", spread=True).filter(
         F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp_ntz")
     )
     disc_factor = ((1 - F.col("l_discount")) * (1 + F.col("l_tax"))).cast("decimal(15,8)")
