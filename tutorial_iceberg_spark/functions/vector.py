@@ -250,3 +250,115 @@ def x_ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rank", "neighbor_id", "score")
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH (SimHash for cosine space): the second ANN family.
+# P(bit match) = 1 - theta/pi, so near-identical vectors agree on whole
+# bands with high probability while random pairs agree on a b-bit band with
+# probability ~2^-b. Same band-bucket-join harness as the MinHash text LSH
+# (operators/dedup.py) — one shared scale pattern for both modalities.
+# ---------------------------------------------------------------------------
+
+N_PLANES = 16
+PLANE_BANDS = 4  # 4 bits per band
+_PLANE_SEED = 7
+
+
+def _sign_table(spark: SparkSession, dim: int) -> DataFrame:
+    """(plane, pos, s): Rademacher +-1 hyperplane entries, fixed seed —
+    the deterministic 'model' (N_PLANES x dim scalars, always broadcast)."""
+    import random as _r
+
+    rng = _r.Random(_PLANE_SEED)
+    rows = [
+        (p, d, float(rng.choice((-1.0, 1.0))))
+        for p in range(N_PLANES)
+        for d in range(dim)
+    ]
+    return spark.createDataFrame(rows, "plane INT, pos INT, s DOUBLE")
+
+
+def hyperplane_signatures(emb_u: DataFrame, signs: DataFrame) -> DataFrame:
+    """vec_id -> N_PLANES-bit signature. posexplode -> broadcast-join the
+    sign table -> per-(vec,plane) signed projection sum -> assemble bits.
+    Both aggregations are keyed on vec_id(+plane): narrow shuffles whose
+    skew is just vector-dimension skew (none — fixed dim)."""
+    proj = (
+        emb_u.select("vec_id", F.posexplode("u").alias("pos", "v"))
+        .join(F.broadcast(signs), "pos")
+        .groupBy("vec_id", "plane")
+        .agg(F.sum(F.col("v") * F.col("s")).alias("proj"))
+    )
+    return proj.groupBy("vec_id").agg(
+        F.sum(
+            F.when(
+                F.col("proj") > 0,
+                F.expr("shiftleft(cast(1 as bigint), plane)"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        ).alias("sig")
+    )
+
+
+def _band_cols(bits_per_band: int):
+    mask = (1 << bits_per_band) - 1
+    return [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.expr(f"shiftright(sig, {bi * bits_per_band})")
+            .bitwiseAND(mask)
+            .alias("key"),
+        )
+        for bi in range(PLANE_BANDS)
+    ]
+
+
+@register(
+    "x_ann_hyperplane_lsh",
+    oracle=None,  # multi-stage LSH pipeline: rows-only driver check
+    doc=f"Hyperplane-LSH ANN: {N_PLANES} Rademacher hyperplanes -> bit "
+    f"signature -> {PLANE_BANDS} band buckets -> candidate bucket-join -> "
+    "exact cosine re-rank of candidates only. The banding harness is the "
+    "same one the MinHash text dedup uses; recall vs brute force and "
+    "candidate-fraction selectivity are pytest-gated",
+    tags=("vector", "extension", "ann"),
+)
+def x_ann_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = emb.select(F.size("embedding")).first()[0]
+    signs = _sign_table(spark, dim)
+    u = emb.select("vec_id", _unit(F.col("embedding")).alias("u"))
+    bits_per_band = N_PLANES // PLANE_BANDS
+    bands = (
+        hyperplane_signatures(u, signs)
+        .select("vec_id", F.explode(F.array(*_band_cols(bits_per_band))).alias("bk"))
+        .select("vec_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    )
+    q_bands = bands.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "band", "key"
+    )
+    cand = (
+        bands.join(F.broadcast(q_bands), ["band", "key"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    qv = u.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("u").alias("q_u")
+    )
+    scored = (
+        cand.join(u, "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dot(F.col("q_u"), F.col("u")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", "score")
+        .orderBy("query_id", "rank")
+    )
