@@ -179,3 +179,129 @@ def x_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_type")
     )
+
+
+N_SAMPLE_FRAMES = 4
+AUDIO_CHUNK_BYTES = 64
+
+
+@register(
+    "x_video_frame_sample",
+    oracle=f"""
+        WITH v AS (
+            SELECT doc_id,
+                   text,
+                   (octet_length(encode(text)) // 1024) + 1 AS n_frames
+            FROM documents
+            WHERE doc_id % 3 = 2
+        ), k AS (
+            SELECT doc_id, text, n_frames,
+                   least(n_frames, {N_SAMPLE_FRAMES}) AS k
+            FROM v
+        )
+        SELECT doc_id,
+               n_frames,
+               CAST(unnest(list_transform(generate_series(0, k - 1),
+                           j -> (j * n_frames) // k)) AS INTEGER) AS frame_idx,
+               sha256(text || ':' ||
+                      CAST(unnest(list_transform(generate_series(0, k - 1),
+                           j -> (j * n_frames) // k)) AS VARCHAR)) AS frame_sha
+        FROM k
+        ORDER BY doc_id, frame_idx
+    """,
+    doc="Video frame sampling: uniform-stride selection of up to "
+    f"{N_SAMPLE_FRAMES} frame indices per video (j*n_frames//k — distinct "
+    "because n_frames >= k), exploded to one row per sampled frame with a "
+    "deterministic frame-content hash standing in for the decoded frame "
+    "(decode itself stays the stubbed decode_asset). The whole fan-out is "
+    "JVM column algebra — sequence/transform/explode in codegen, no UDF, "
+    "narrow (no shuffle): exactly how a 100 TB video corpus fans out to "
+    "per-frame rows before a GPU decode stage",
+    tags=("multimodal", "extension"),
+)
+def x_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = assets(spark, sf_dir).filter(F.col("media_type") == "video")
+    n = (F.col("meta.nbytes").cast("bigint") / 1024).cast("bigint") + 1
+    k = F.least(n, F.lit(N_SAMPLE_FRAMES))
+    idxs = F.transform(
+        F.sequence(F.lit(0).cast("bigint"), k - 1),
+        lambda j: ((j * n) / k).cast("bigint"),
+    )
+    return (
+        a.select(
+            "doc_id",
+            n.alias("n_frames"),
+            "payload",
+            F.explode(idxs).alias("frame_idx"),
+        )
+        .select(
+            "doc_id",
+            "n_frames",
+            F.col("frame_idx").cast("int").alias("frame_idx"),
+            F.sha2(
+                F.concat(
+                    F.col("payload"),
+                    F.lit(":").cast("binary"),
+                    F.col("frame_idx").cast("string").cast("binary"),
+                ),
+                256,
+            ).alias("frame_sha"),
+        )
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+@register(
+    "x_audio_chunk",
+    oracle=f"""
+        WITH a AS (
+            SELECT doc_id, text, octet_length(encode(text)) AS nbytes
+            FROM documents
+            WHERE doc_id % 3 = 1
+        )
+        SELECT doc_id,
+               CAST(unnest(generate_series(0,
+                    CAST(ceil(CAST(nbytes AS DOUBLE) / {AUDIO_CHUNK_BYTES})
+                         AS BIGINT) - 1)) AS INTEGER) AS chunk_idx,
+               -- DuckDB cannot substring a BLOB; the corpus is pure ASCII
+               -- (verified octet_length==length at every SF), so char
+               -- slicing the text equals byte-slicing the payload
+               octet_length(encode(substring(text,
+                    CAST(unnest(generate_series(0,
+                         CAST(ceil(CAST(nbytes AS DOUBLE) / {AUDIO_CHUNK_BYTES})
+                              AS BIGINT) - 1)) AS INTEGER) * {AUDIO_CHUNK_BYTES} + 1,
+                    {AUDIO_CHUNK_BYTES}))) AS chunk_bytes
+        FROM a
+        ORDER BY doc_id, chunk_idx
+    """,
+    doc="Audio chunking: split each waveform payload into fixed "
+    f"{AUDIO_CHUNK_BYTES}-byte windows (the resample/VAD pre-segmentation "
+    "shape), one row per chunk with its byte length — binary substring "
+    "arithmetic entirely in codegen; the chunk payloads would feed the "
+    "stubbed decoder. Narrow fan-out, executor memory bounded by "
+    "chunk size not payload size",
+    tags=("multimodal", "extension"),
+)
+def x_audio_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = assets(spark, sf_dir).filter(F.col("media_type") == "audio")
+    nchunks = F.ceil(F.col("meta.nbytes").cast("double") / AUDIO_CHUNK_BYTES)
+    return (
+        a.select(
+            "doc_id",
+            "payload",
+            F.explode(F.sequence(F.lit(0).cast("bigint"), nchunks - 1)).alias(
+                "chunk_idx"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.octet_length(
+                F.expr(
+                    f"substring(payload, chunk_idx * {AUDIO_CHUNK_BYTES} + 1, "
+                    f"{AUDIO_CHUNK_BYTES})"
+                )
+            ).alias("chunk_bytes"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
