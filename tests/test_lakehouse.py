@@ -384,3 +384,43 @@ def test_rename_column_validation(cat, spark):
         t.rename_column("amount", "order_date")
     t.rename_column("amount", "price")  # the legitimate rename still works
     assert "price" in t.read().columns
+
+
+def test_branch_isolation_and_publish(cat, spark):
+    """Branch writes must not leak into main until fast_forward; publish
+    flips main to the branch head; drop removes only the ref."""
+    t = cat.create_table("db.wap", ORDERS_DDL)
+    t.append(seed_df(spark))
+    n0 = t.read().count()
+    t.create_branch("stage")
+    t.append_to_branch("stage", seed_df(spark))
+    assert t.read().count() == n0  # main isolated
+    assert t.read_branch("stage").count() == 2 * n0
+    t.fast_forward("stage")
+    assert t.read().count() == 2 * n0
+    t.drop_branch("stage")
+    assert t.branches() == {}
+    with pytest.raises(ValueError, match="no branch"):
+        t.read_branch("stage")
+
+
+def test_branch_fast_forward_refuses_divergence(cat, spark):
+    """If main advances after the branch forked, publishing the branch
+    would drop main's commit — fast_forward must refuse."""
+    t = cat.create_table("db.wapdiv", ORDERS_DDL)
+    t.append(seed_df(spark))
+    t.create_branch("stage")
+    t.append_to_branch("stage", seed_df(spark))
+    t.append(seed_df(spark))  # main moves on: diverged
+    with pytest.raises(ValueError, match="diverged"):
+        t.fast_forward("stage")
+
+
+def test_branch_create_validation(cat, spark):
+    t = cat.create_table("db.wapval", ORDERS_DDL)
+    with pytest.raises(ValueError, match="existing snapshot"):
+        t.create_branch("empty")  # no snapshot yet
+    t.append(seed_df(spark))
+    t.create_branch("b1")
+    with pytest.raises(ValueError, match="already exists"):
+        t.create_branch("b1")

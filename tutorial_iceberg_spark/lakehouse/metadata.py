@@ -119,6 +119,11 @@ class TableMetadata:
     properties: dict[str, str]
     last_field_id: int
     last_snapshot_id: int
+    # Named branch refs: branch name -> head snapshot id. The implicit
+    # "main" branch is current_snapshot_id (kept separate so every
+    # pre-branch metadata file stays readable). Branch snapshots live in
+    # the same `snapshots` list — refs are just extra roots into the DAG.
+    refs: dict[str, int] = field(default_factory=dict)
     # The metadata version this object was READ at (0 = not yet committed).
     # Commits are CAS'd against loaded_version, not the current hint: a
     # writer holding stale metadata must conflict, not silently clobber.
@@ -166,6 +171,7 @@ def _from_json(text: str) -> TableMetadata:
         PartitionSpec(spec_id=s["spec_id"], fields=[PartitionField(**f) for f in s["fields"]])
         for s in d["partition_specs"]
     ]
+    d.setdefault("refs", {})
     d["snapshots"] = [
         Snapshot(
             **{

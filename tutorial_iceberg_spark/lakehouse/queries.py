@@ -346,3 +346,30 @@ def lake_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt",
         F.round(F.col("psum"), 2).cast("double").alias("sum_value"),
     ).orderBy("day", "event_type")
+
+
+@register(
+    "lake_branch_wap",
+    oracle=f"""
+        SELECT {ORDERS_COLS} FROM orders WHERE o_orderkey % 3 IN (0, 1)
+    """,
+    doc="Branch write-audit-publish (extension past the reference's "
+    "snapshot surface, README.md:1007-1013; models Iceberg branch refs + "
+    "fast_forward): seed main, stage a second batch on an 'audit' branch "
+    "(main untouched), audit the staged state, fast-forward-publish, drop "
+    "the branch. Final published state is deterministic, so the whole "
+    "cycle is value-hash-checked; isolation/divergence invariants live in "
+    "tests/test_lakehouse.py",
+    tags=("lakehouse", "branch", "extension"),
+)
+def lake_branch_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _fresh_table(spark, "branch_wap")
+    t.append(_orders_mod(spark, sf_dir, 3, 0))
+    t.create_branch("audit")
+    t.append_to_branch("audit", _orders_mod(spark, sf_dir, 3, 1))
+    # audit gate: staged rows visible on the branch, invisible on main
+    staged = t.read_branch("audit").count()
+    assert staged > t.read().count()
+    t.fast_forward("audit")
+    t.drop_branch("audit")
+    return t.read()

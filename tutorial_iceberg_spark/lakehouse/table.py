@@ -184,11 +184,16 @@ class LakeTable:
         files: list[M.DataFile],
         delete_files: list[M.DeleteFile] | None = None,
         summary: dict | None = None,
+        ref: str | None = None,
     ) -> None:
+        """Commit a snapshot. ``ref=None`` advances main; a branch name
+        advances only that ref (main's pointer is untouched — the isolation
+        property write-audit-publish relies on)."""
         md.last_snapshot_id += 1
+        parent = md.refs.get(ref) if ref is not None else md.current_snapshot_id
         snap = M.Snapshot(
             snapshot_id=md.last_snapshot_id,
-            parent_id=md.current_snapshot_id,
+            parent_id=parent,
             timestamp_ms=M.now_ms(),
             operation=operation,
             schema_id=md.current_schema_id,
@@ -198,7 +203,10 @@ class LakeTable:
             summary={"total-files": len(files), "total-rows": sum(f.rows for f in files), **(summary or {})},
         )
         md.snapshots.append(snap)
-        md.current_snapshot_id = snap.snapshot_id
+        if ref is not None:
+            md.refs[ref] = snap.snapshot_id
+        else:
+            md.current_snapshot_id = snap.snapshot_id
         self._commit(md)
 
     # -- D16 INSERT / append ---------------------------------------------
@@ -237,6 +245,93 @@ class LakeTable:
         md = self.meta
         df = self.spark.createDataFrame(rows, md.schema().ddl())
         self.append(df)
+
+    # -- branches / write-audit-publish -----------------------------------
+    # Beyond the reference surface (it stops at snapshots + time travel,
+    # README.md:1007-1013); models Iceberg's branch refs and fast_forward
+    # procedure. A branch is a named ref into the same snapshot DAG: branch
+    # writes advance only the ref, so main stays byte-identical until an
+    # explicit fast-forward publish — the WAP staging pattern an ingest
+    # pipeline needs before exposing data to readers.
+
+    def branches(self) -> dict[str, int]:
+        return dict(self.meta.refs)
+
+    def create_branch(self, name: str, snapshot_id: int | None = None) -> None:
+        """Create a branch ref at ``snapshot_id`` (default: current main)."""
+        md = self.meta
+        if name in md.refs:
+            raise ValueError(f"branch {name} already exists")
+        sid = md.current_snapshot_id if snapshot_id is None else snapshot_id
+        if sid is None or md.snapshot(sid) is None:
+            raise ValueError("branch must start at an existing snapshot")
+        md.refs[name] = sid
+        self._commit(md)
+
+    def drop_branch(self, name: str) -> None:
+        md = self.meta
+        if name not in md.refs:
+            raise ValueError(f"no branch {name}")
+        del md.refs[name]
+        # snapshots reachable only from the dropped ref stay in history
+        # until expire_snapshots collects them (same lifecycle as D13)
+        self._commit(md)
+
+    def append_to_branch(self, name: str, df: DataFrame) -> None:
+        """D16 append targeting a branch ref: same optimistic-retry commit
+        as append(), but only ``refs[name]`` advances — main is isolated."""
+        md = self.meta
+        if name not in md.refs:
+            raise ValueError(f"no branch {name}")
+        new_files = self._write_files(self._align(df, md.schema()), md)
+        last_err: Exception | None = None
+        for _ in range(self.APPEND_RETRIES):
+            head = md.snapshot(md.refs[name])
+            base = list(head.files) if head else []
+            dels = list(head.delete_files) if head else []
+            try:
+                self._new_snapshot(md, "append", base + new_files, dels, ref=name)
+                return
+            except M.CommitConflictError as e:
+                last_err = e
+                md = self.meta
+                if name not in md.refs:
+                    raise ValueError(f"branch {name} dropped concurrently") from e
+        raise last_err  # type: ignore[misc]
+
+    def read_branch(self, name: str) -> DataFrame:
+        md = self.meta
+        if name not in md.refs:
+            raise ValueError(f"no branch {name}")
+        return self.read(snapshot_id=md.refs[name])
+
+    def _is_ancestor(self, md: M.TableMetadata, ancestor: int | None, head: int) -> bool:
+        cur: int | None = head
+        while cur is not None:
+            if cur == ancestor:
+                return True
+            snap = md.snapshot(cur)
+            cur = snap.parent_id if snap else None
+        return ancestor is None
+
+    def fast_forward(self, name: str) -> None:
+        """Publish a branch: point main at the branch head. Fast-forward
+        ONLY (like Iceberg's fast_forward procedure): main's current
+        snapshot must be an ancestor of the branch head, else the branch
+        has diverged from a main that moved on and publishing would
+        silently drop main's commits — that needs an explicit merge/rebase,
+        not a pointer flip."""
+        md = self.meta
+        if name not in md.refs:
+            raise ValueError(f"no branch {name}")
+        head = md.refs[name]
+        if not self._is_ancestor(md, md.current_snapshot_id, head):
+            raise ValueError(
+                f"main is not an ancestor of branch {name}: diverged — "
+                "fast-forward refused"
+            )
+        md.current_snapshot_id = head
+        self._commit(md)
 
     # -- read path ---------------------------------------------------------
     def _empty_df(self, schema: M.Schema) -> DataFrame:
