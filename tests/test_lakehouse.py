@@ -424,3 +424,20 @@ def test_branch_create_validation(cat, spark):
     t.create_branch("b1")
     with pytest.raises(ValueError, match="already exists"):
         t.create_branch("b1")
+
+
+def test_sorted_compaction_prunes_key_ranges(cat, spark):
+    """After compact(sort_by=[key]), per-file min/max stats must prune a
+    key-range scan to a strict subset of files, while unsorted compaction
+    leaves every file spanning the full range."""
+    t = cat.create_table("db.sortcomp", ORDERS_DDL)
+    for i in range(3):
+        t.append(seed_df(spark))
+    t.compact(target_files=2, sort_by=["order_id"])
+    md = t.meta
+    snap = md.snapshot()
+    assert len(snap.files) >= 2
+    cands = t._candidates(md, snap, "order_id <= 1")
+    assert len(cands) < len(snap.files)
+    # row-identity preserved
+    assert t.read().count() == 3 * seed_df(spark).count()

@@ -373,3 +373,35 @@ def lake_branch_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.fast_forward("audit")
     t.drop_branch("audit")
     return t.read()
+
+
+@register(
+    "lake_sorted_compaction",
+    oracle=f"""
+        SELECT {ORDERS_COLS} FROM orders
+    """,
+    doc="D12 rewrite_data_files(strategy=>'sort'): sorted compaction "
+    "clusters rows by o_orderkey (repartitionByRange + "
+    "sortWithinPartitions) so each rewritten file covers a narrow key "
+    "slice and the manifest min/max stats become selective — the builder "
+    "asserts a key-range scan prunes to a strict subset of files. Row-"
+    "identical end state, value-hash-checked",
+    tags=("lakehouse", "compaction", "extension"),
+)
+def lake_sorted_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _fresh_table(spark, "sorted_compact")
+    # three unsorted appends -> every file spans the whole key range
+    t.append(_orders_mod(spark, sf_dir, 3, 0))
+    t.append(_orders_mod(spark, sf_dir, 3, 1))
+    t.append(_orders_mod(spark, sf_dir, 3, 2))
+    t.compact(target_files=4, sort_by=["o_orderkey"])
+    md = t.meta
+    snap = md.snapshot()
+    cands = t._candidates(md, snap, "o_orderkey < 1000")
+    # clustering makes stats selective: the range scan must NOT touch
+    # every file
+    assert len(snap.files) >= 2 and len(cands) < len(snap.files), (
+        len(cands),
+        len(snap.files),
+    )
+    return t.read()

@@ -718,14 +718,32 @@ class LakeTable:
         self._commit(md)
 
     # -- D12 compaction ------------------------------------------------------------
-    def compact(self, target_files: int = 1) -> None:
+    def compact(self, target_files: int = 1, sort_by: list[str] | None = None) -> None:
         """D12 CALL rewrite_data_files — README.md:1022. Reads the current
         state (resolving MoR deletes), rewrites into ~target_files files per
-        partition; row-identical by construction."""
+        partition; row-identical by construction.
+
+        ``sort_by`` is Iceberg's rewrite_data_files(strategy => 'sort'):
+        range-repartition + sort within partitions clusters the data so
+        each output file covers a NARROW slice of the sort key, which makes
+        the manifest's per-file min/max stats selective — subsequent
+        scans/deletes with range predicates on that key prune to O(matching
+        files) instead of scanning everything. At 100 TB this is the
+        difference between a metadata lookup and a full-table scan for
+        key-range queries; the shuffle is a one-time maintenance cost."""
         md = self.meta
-        df = self.read().repartition(target_files)
+        df = self.read()
+        if sort_by:
+            df = df.repartitionByRange(
+                target_files, *[F.col(c) for c in sort_by]
+            ).sortWithinPartitions(*sort_by)
+        else:
+            df = df.repartition(target_files)
         files = self._write_files(self._align(df, md.schema()), md)
-        self._new_snapshot(md, "replace", files, [], {"op": "compact"})
+        self._new_snapshot(
+            md, "replace", files, [],
+            {"op": "compact", **({"sort-by": ",".join(sort_by)} if sort_by else {})},
+        )
 
     # -- D13/D14 maintenance ---------------------------------------------------------
     def expire_snapshots(self, older_than_ms: int | None = None, keep_last: int = 1) -> list[str]:
