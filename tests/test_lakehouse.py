@@ -441,3 +441,37 @@ def test_sorted_compaction_prunes_key_ranges(cat, spark):
     assert len(cands) < len(snap.files)
     # row-identity preserved
     assert t.read().count() == 3 * seed_df(spark).count()
+
+
+def test_rest_catalog_roundtrip(cat, spark):
+    """S11 made real: serve the warehouse over the Iceberg REST endpoints
+    and drive it with the reference client's three calls
+    (listNamespaces/listTables/getTableMetadata, README.md:1036-1088)."""
+    import urllib.error
+
+    from tutorial_iceberg_spark.lakehouse.rest_catalog import (
+        RestCatalogClient,
+        RestCatalogServer,
+    )
+
+    t = cat.create_table("db.rest_orders", ORDERS_DDL)
+    t.append(seed_df(spark))
+    cat.create_table("analytics.daily", ORDERS_DDL)
+    with RestCatalogServer(cat) as srv:
+        client = RestCatalogClient(srv.base_url)
+        assert "warehouse" in client.config()["overrides"]
+        assert set(client.list_namespaces()) >= {"db", "analytics"}
+        assert "rest_orders" in client.list_tables("db")
+        md = client.get_table_metadata("db", "rest_orders")
+        assert md["name"] == "db.rest_orders"
+        assert md["current_snapshot_id"] == 1
+        assert "order_id" in md["schema"]
+        # 404s, not crashes, for unknown routes/objects
+        for path in ("/v1/namespaces/nope/tables",
+                     "/v1/namespaces/db/tables/nope",
+                     "/v1/bogus"):
+            try:
+                client._get(path)
+                raise AssertionError(f"expected 404 for {path}")
+            except urllib.error.HTTPError as e:
+                assert e.code == 404

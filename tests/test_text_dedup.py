@@ -118,3 +118,17 @@ def test_fingerprint_is_whitespace_invariant(spark, sf_dir):
         ).collect()
     }
     assert fp(docs) == fp(mangled)
+
+
+def test_shingles_empty_for_short_docs(spark, sf_dir):
+    """A doc with < 3 words must yield an EMPTY shingle set (Spark's
+    sequence(1,0) is the descending [1,0], not empty — the guard in
+    shingles() prevents slice(w, 0, 3) from erroring and matches DuckDB's
+    empty generate_series(1,0))."""
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, "a"), (3, ""), (4, "alpha beta gamma delta")],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r["s"] for r in df.select("doc_id", D.shingles().alias("s")).collect()}
+    assert rows[1] == [] and rows[2] == [] and rows[3] == []
+    assert rows[4] == ["alpha beta gamma", "beta gamma delta"]

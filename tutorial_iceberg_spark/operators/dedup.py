@@ -33,14 +33,21 @@ def words(col: str = "text") -> Column:
 
 def shingles(col: str = "text", n: int = 3) -> Column:
     """Distinct n-gram word shingles (DuckDB mirror: list_distinct over
-    array_to_string(w[i:i+n-1]))."""
+    array_to_string(w[i:i+n-1])).
+
+    Docs with < n words produce an EMPTY array. The guard matters: Spark's
+    ``sequence(1, 0)`` is the DESCENDING [1, 0] (not empty like DuckDB's
+    generate_series), and slice(w, 0, n) then errors at runtime."""
     w = words(col)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
-        )
-    )
+    return F.when(
+        F.size(w) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def hash64(col: Column, salt: str = "") -> Column:
