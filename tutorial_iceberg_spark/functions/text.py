@@ -259,10 +259,16 @@ def x_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("c").alias("topc"),
         )
     )
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(w) - 1, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(w, i, 2)),
-    )
+    # guard 1-token docs: Spark's sequence(1, 0) is the DESCENDING [1, 0]
+    # (unlike DuckDB's empty generate_series) and slice(w, 0, 2) errors —
+    # same edge as dedup.shingles
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.concat_ws(" ", F.slice(w, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     bi = (
         docs.select("doc_id", F.explode(bigrams).alias("b"))
         .groupBy("doc_id", "b")

@@ -285,13 +285,17 @@ def x_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x_audio_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = assets(spark, sf_dir).filter(F.col("media_type") == "audio")
     nchunks = F.ceil(F.col("meta.nbytes").cast("double") / AUDIO_CHUNK_BYTES)
+    # zero-byte payloads must yield ZERO chunks: Spark's sequence(0, -1) is
+    # the descending [0, -1] (unlike DuckDB's empty generate_series), so
+    # guard before exploding (same edge as dedup.shingles)
+    idxs = F.when(
+        nchunks >= 1, F.sequence(F.lit(0).cast("bigint"), nchunks - 1)
+    ).otherwise(F.array().cast("array<bigint>"))
     return (
         a.select(
             "doc_id",
             "payload",
-            F.explode(F.sequence(F.lit(0).cast("bigint"), nchunks - 1)).alias(
-                "chunk_idx"
-            ),
+            F.explode(idxs).alias("chunk_idx"),
         )
         .select(
             "doc_id",
