@@ -475,3 +475,35 @@ def test_rest_catalog_roundtrip(cat, spark):
                 raise AssertionError(f"expected 404 for {path}")
             except urllib.error.HTTPError as e:
                 assert e.code == 404
+
+
+def test_zorder_compaction_prunes_both_dimensions(cat, spark):
+    """Z-order clustering must make min/max stats selective on BOTH keys:
+    a range scan on either column prunes to a strict subset of files (a
+    lexicographic sort can only do this for its leading column)."""
+    import pyspark.sql.functions as SF
+
+    t = cat.create_table("db.zcomp", ORDERS_DDL)
+    # 400 rows over a 20x20 grid: customer_id cycles 0-19, order_id is the
+    # row number (so the two keys are independent dimensions). Decimal
+    # columns carry no footer stats in the manifest (see _write_files), so
+    # both Z keys are ints here.
+    base = spark.range(400).select(
+        SF.col("id").alias("order_id"),
+        (SF.col("id") % 20).alias("customer_id"),
+        SF.lit("p").alias("product_name"),
+        SF.lit("10.00").cast("decimal(10,2)").alias("amount"),
+        SF.lit("2024-01-01").cast("date").alias("order_date"),
+    )
+    t.append(base)
+    t.compact(target_files=4, zorder_by=["customer_id", "order_id"])
+    md = t.meta
+    snap = md.snapshot()
+    assert len(snap.files) >= 3
+    c1 = t._candidates(md, snap, "customer_id <= 2")
+    c2 = t._candidates(md, snap, "order_id <= 40")
+    assert len(c1) < len(snap.files), (len(c1), len(snap.files))
+    assert len(c2) < len(snap.files), (len(c2), len(snap.files))
+    assert t.read().count() == 400
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        t.compact(sort_by=["order_id"], zorder_by=["amount"])

@@ -718,7 +718,46 @@ class LakeTable:
         self._commit(md)
 
     # -- D12 compaction ------------------------------------------------------------
-    def compact(self, target_files: int = 1, sort_by: list[str] | None = None) -> None:
+    ZORDER_BITS = 8  # 256 buckets per dimension: file-level clustering only
+
+    def _zvalue(self, df: DataFrame, cols: list[str]):
+        """Bit-interleaved Z-address over ``cols``: each key linearly
+        scaled to ZORDER_BITS bits between its min and max (the only
+        driver-side state — 2 scalars per key), then bits interleaved so
+        nearby Z-values are nearby in EVERY dimension. Disjoint bit
+        positions let the interleave compile to a sum of shift/mask terms
+        inside codegen — no UDF."""
+        bits = self.ZORDER_BITS
+        top = (1 << bits) - 1
+        row = df.agg(
+            *[F.min(F.col(c).cast("double")).alias(f"mn{i}") for i, c in enumerate(cols)],
+            *[F.max(F.col(c).cast("double")).alias(f"mx{i}") for i, c in enumerate(cols)],
+        ).first()
+        scaled = []
+        for i, c in enumerate(cols):
+            mn, mx = row[f"mn{i}"], row[f"mx{i}"]
+            span = (mx - mn) or 1.0
+            s = ((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * top).cast("bigint")
+            scaled.append(F.least(F.lit(top), F.greatest(F.lit(0), s)))
+        terms = []
+        for b in range(bits):
+            for i, s in enumerate(scaled):
+                terms.append(
+                    F.shiftleft(
+                        F.shiftright(s, b).bitwiseAND(1), b * len(cols) + i
+                    )
+                )
+        z = terms[0]
+        for t in terms[1:]:
+            z = z + t  # disjoint bit positions: sum == bitwise OR
+        return z
+
+    def compact(
+        self,
+        target_files: int = 1,
+        sort_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
+    ) -> None:
         """D12 CALL rewrite_data_files — README.md:1022. Reads the current
         state (resolving MoR deletes), rewrites into ~target_files files per
         partition; row-identical by construction.
@@ -730,20 +769,35 @@ class LakeTable:
         scans/deletes with range predicates on that key prune to O(matching
         files) instead of scanning everything. At 100 TB this is the
         difference between a metadata lookup and a full-table scan for
-        key-range queries; the shuffle is a one-time maintenance cost."""
+        key-range queries; the shuffle is a one-time maintenance cost.
+
+        ``zorder_by`` generalizes to MULTIPLE keys (Iceberg's
+        strategy=>'sort', sort_order=>'zorder(a,b)'): rows cluster along a
+        bit-interleaved Z-address, so each file covers a narrow range in
+        EVERY listed dimension and range predicates on ANY of them prune —
+        where a lexicographic sort only prunes on its leading column."""
+        if sort_by and zorder_by:
+            raise ValueError("sort_by and zorder_by are mutually exclusive")
         md = self.meta
         df = self.read()
-        if sort_by:
+        summary: dict = {"op": "compact"}
+        if zorder_by:
+            z = self._zvalue(df, zorder_by).alias("__z")
+            df = (
+                df.withColumn("__z", z)
+                .repartitionByRange(target_files, F.col("__z"))
+                .sortWithinPartitions("__z")
+            )  # _align drops __z before write
+            summary["zorder-by"] = ",".join(zorder_by)
+        elif sort_by:
             df = df.repartitionByRange(
                 target_files, *[F.col(c) for c in sort_by]
             ).sortWithinPartitions(*sort_by)
+            summary["sort-by"] = ",".join(sort_by)
         else:
             df = df.repartition(target_files)
         files = self._write_files(self._align(df, md.schema()), md)
-        self._new_snapshot(
-            md, "replace", files, [],
-            {"op": "compact", **({"sort-by": ",".join(sort_by)} if sort_by else {})},
-        )
+        self._new_snapshot(md, "replace", files, [], summary)
 
     # -- D13/D14 maintenance ---------------------------------------------------------
     def expire_snapshots(self, older_than_ms: int | None = None, keep_last: int = 1) -> list[str]:
