@@ -1,0 +1,134 @@
+"""Property-based soundness gates for metadata pruning (hypothesis).
+
+Pruning is an OPTIMIZATION with a hard contract: it may keep a file that
+contains no matches, but it must NEVER drop a file that could contain one
+— _candidates feeds delete()/update() as well as scan(), so an unsound
+prune silently loses rows (the exact bug class the round-1 advisor found
+on decimal identity partitions). These properties hammer that contract
+over randomized values instead of a handful of examples.
+
+No SparkSession needed: both functions under test are pure Python, so
+hypothesis can run thousands of cases in milliseconds.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta, timezone
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tutorial_iceberg_spark.lakehouse import transforms as T
+from tutorial_iceberg_spark.lakehouse.metadata import PartitionField
+
+OPS = ("=", "<", "<=", ">", ">=")
+
+
+def _holds(x, op, v) -> bool:
+    return {
+        "=": x == v,
+        "<": x < v,
+        "<=": x <= v,
+        ">": x > v,
+        ">=": x >= v,
+    }[op]
+
+
+# -- identity partitions on int columns ------------------------------------
+
+INT_TYPES = st.sampled_from(["int", "bigint", "integer", "long"])
+
+
+@settings(max_examples=500)
+@given(x=st.integers(-10**12, 10**12), v=st.integers(-10**12, 10**12),
+       op=st.sampled_from(OPS), t=INT_TYPES)
+def test_identity_int_pruning_sound(x, v, op, t):
+    """If row value x satisfies the predicate, the file holding x must
+    survive pruning (partition dir value is Spark's cast-to-string)."""
+    pf = [PartitionField(source="c", source_id=1, transform="identity", name="c")]
+    if _holds(x, op, v):
+        assert T.partition_may_match(pf, {"c": str(x)}, "c", op, v, {"c": t})
+
+
+@settings(max_examples=300)
+@given(x=st.text(alphabet=st.characters(codec="ascii", exclude_characters="\x00"),
+                 max_size=20),
+       v=st.text(alphabet=st.characters(codec="ascii", exclude_characters="\x00"),
+                 max_size=20),
+       op=st.sampled_from(OPS))
+def test_identity_string_pruning_sound(x, v, op):
+    """String identity: the dir value is Hive-escaped; pruning must unescape
+    before comparing, and a matching row's file must survive."""
+    from urllib.parse import quote
+
+    pf = [PartitionField(source="c", source_id=1, transform="identity", name="c")]
+    if _holds(x, op, v):
+        escaped = quote(x, safe="")  # worst-case full escaping
+        assert T.partition_may_match(pf, {"c": escaped}, "c", op, v, {"c": "string"})
+        # Spark escapes only special chars; unescaping must also be a no-op
+        # for already-plain values
+        assert T.partition_may_match(pf, {"c": x}, "c", op, v, {"c": "string"})
+
+
+@settings(max_examples=300)
+@given(x=st.decimals(min_value=-10**6, max_value=10**6, places=2),
+       v=st.floats(min_value=-10**6, max_value=10**6, allow_nan=False),
+       op=st.sampled_from(OPS))
+def test_identity_decimal_never_prunes(x, v, op):
+    """Decimal/float identity comparisons must DECLINE to prune (dir-string
+    formats diverge from literal formats: '25.5' vs '25.50')."""
+    pf = [PartitionField(source="c", source_id=1, transform="identity", name="c")]
+    assert T.partition_may_match(pf, {"c": str(x)}, "c", op, v, {"c": "decimal(10,2)"})
+    assert T.partition_may_match(pf, {"c": str(x)}, "c", op, v, {"c": "double"})
+
+
+# -- temporal transforms ----------------------------------------------------
+
+TS = st.datetimes(
+    min_value=datetime(1980, 1, 2), max_value=datetime(2100, 12, 30)
+)
+
+
+@settings(max_examples=500)
+@given(x=TS, delta=st.timedeltas(min_value=timedelta(days=-5000),
+                                 max_value=timedelta(days=5000)),
+       op=st.sampled_from(OPS), transform=st.sampled_from(["year", "month", "day"]))
+def test_temporal_bucket_pruning_sound(x, delta, op, transform):
+    """year/month/day partitions: if row timestamp x satisfies the
+    predicate against literal v, x's partition must survive. The partition
+    dir value is the write-path format (yyyy[-MM[-dd]])."""
+    v = x + delta
+    pval = T.transform_value(transform, x)
+    pf = [PartitionField(source="c", source_id=1, transform=transform,
+                         name=f"c_{transform}")]
+    if _holds(x, op, v):
+        assert T.partition_may_match(
+            pf, {f"c_{transform}": pval}, "c", op, v.isoformat(sep=" "),
+            {"c": "timestamp"},
+        ), (x, op, v, pval)
+
+
+# -- min/max stats ----------------------------------------------------------
+
+
+@settings(max_examples=500)
+@given(data=st.data(), op=st.sampled_from(OPS))
+def test_stats_pruning_sound_ints(data, op):
+    a = data.draw(st.integers(-10**9, 10**9))
+    b = data.draw(st.integers(-10**9, 10**9))
+    x = data.draw(st.integers(min(a, b), max(a, b)))  # x inside [min,max]
+    v = data.draw(st.integers(-10**9, 10**9))
+    if _holds(x, op, v):
+        assert T.stats_may_match([min(a, b), max(a, b)], op, v)
+
+
+@settings(max_examples=300)
+@given(data=st.data(), op=st.sampled_from(OPS))
+def test_stats_pruning_sound_strings(data, op):
+    a = data.draw(st.text(max_size=12))
+    b = data.draw(st.text(max_size=12))
+    lo, hi = min(a, b), max(a, b)
+    x = data.draw(st.text(max_size=12).filter(lambda s: lo <= s <= hi))
+    v = data.draw(st.text(max_size=12))
+    if _holds(x, op, v):
+        assert T.stats_may_match([lo, hi], op, v)
