@@ -1,0 +1,90 @@
+"""End-to-end corpus-cleaning pipeline (north-star composition demo).
+
+The individual operators — quality scoring, language filtering, exact
+dedup, token accounting — each have standalone oracle-checked queries
+(functions/text.py, operators/dedup.py). This module composes them into
+the canonical training-data preparation flow a 100 TB corpus runs through,
+as ONE declarative DataFrame chain that Catalyst plans end-to-end:
+
+    scan -> quality gate -> language allowlist -> exact dedup -> rollup
+
+Scale shape: the quality and language gates are narrow (filter straight
+off the scan, predicate-pushdown friendly on `lang`); the only shuffles
+are the dedup hash-groupBy (keyed on content hash: duplicate skew ==
+content skew) and the final tiny rollup. Nothing collects on the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tutorial_iceberg_spark.io import load_table
+from tutorial_iceberg_spark.registry import register
+
+MIN_TOKENS = 15
+MAX_PUNCT_RATIO = 0.3
+LANG_ALLOW = ("de", "en", "es", "fr")
+
+
+@register(
+    "x_pipeline_clean_corpus",
+    oracle=rf"""
+        WITH scored AS (
+            SELECT doc_id, lang, source, text,
+                   len(string_split_regex(trim(text), '\s+')) AS ntok,
+                   len(regexp_extract_all(text, '[.,;:!?]')) AS npunct
+            FROM documents
+        ), gated AS (
+            SELECT * FROM scored
+            WHERE ntok >= {MIN_TOKENS}
+              AND CAST(npunct AS DOUBLE) / ntok < {MAX_PUNCT_RATIO}
+              AND lang IN ('de', 'en', 'es', 'fr')
+        ), deduped AS (
+            SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+                FROM gated) t
+            WHERE rn = 1
+        )
+        SELECT lang, source,
+               COUNT(*) AS docs,
+               SUM(ntok) AS total_tokens,
+               MIN(doc_id) AS first_doc
+        FROM deduped
+        GROUP BY lang, source
+        ORDER BY lang, source
+    """,
+    doc="Corpus-cleaning pipeline: C4-style quality gate (min tokens, max "
+    "punctuation ratio) -> language allowlist -> exact dedup (first doc "
+    "per content hash) -> per-(lang,source) accounting, as one Catalyst-"
+    "planned chain. Gates are narrow filters off the scan; the only "
+    "shuffles are the content-hash dedup and the tiny rollup",
+    tags=("text", "pipeline", "extension"),
+)
+def x_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    ntok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    npunct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.,;:!?]"), 0))
+    gated = (
+        docs.select("doc_id", "lang", "source", "text", ntok.alias("ntok"))
+        .withColumn("npunct", npunct)
+        .filter(
+            (F.col("ntok") >= MIN_TOKENS)
+            & (F.col("npunct").cast("double") / F.col("ntok") < MAX_PUNCT_RATIO)
+            & F.col("lang").isin(*LANG_ALLOW)
+        )
+    )
+    w = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+    deduped = (
+        gated.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    )
+    return (
+        deduped.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("ntok").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("lang", "source")
+    )

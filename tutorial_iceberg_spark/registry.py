@@ -58,6 +58,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from tutorial_iceberg_spark.operators import relational  # noqa: F401
     from tutorial_iceberg_spark.operators import temporal  # noqa: F401
     from tutorial_iceberg_spark.operators import tpch_extra  # noqa: F401
+    from tutorial_iceberg_spark.operators import pipeline  # noqa: F401
     from tutorial_iceberg_spark.functions import json_fns  # noqa: F401
     from tutorial_iceberg_spark.functions import text  # noqa: F401
     from tutorial_iceberg_spark.functions import vector  # noqa: F401
