@@ -454,3 +454,70 @@ def x_stream_lakehouse_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"), dsum("value", "total_value"))
         .orderBy("event_type")
     )
+
+
+ATTRIBUTION_WINDOW_MIN = 60
+
+
+@register(
+    "x_stream_stream_join",
+    oracle=f"""
+        SELECT c.event_id AS click_id,
+               p.event_id AS purchase_id,
+               c.user_id,
+               CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS delay_s
+        FROM events c
+        JOIN events p
+          ON p.user_id = c.user_id
+         AND p.event_type = 'purchase'
+         AND c.event_type = 'click'
+         AND p.ts >= c.ts
+         AND p.ts <= c.ts + INTERVAL '{ATTRIBUTION_WINDOW_MIN} minutes'
+        ORDER BY click_id, purchase_id
+    """,
+    doc="Stream-STREAM inner join (the attribution shape): clicks joined "
+    "to purchases of the same user within a 60-min window, both sides "
+    f"watermarked so the state store evicts clicks older than the join "
+    "window plus the watermark — bounded state on an unbounded stream, "
+    "which is exactly why the time-range condition is mandatory in "
+    "Structured Streaming. availableNow -> deterministic final result "
+    "hash-matched against the equivalent batch self-join oracle",
+    tags=("streaming", "join", "extension"),
+)
+def x_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    base = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    clicks = (
+        base.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 day")
+    )
+    purchases = (
+        base.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 day")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (
+            F.col("p_ts")
+            <= F.col("c_ts") + F.expr(f"INTERVAL {ATTRIBUTION_WINDOW_MIN} MINUTES")
+        ),
+    )
+    out = run_to_memory(joined, mode="append")
+    return out.select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        (F.col("p_ts").cast("long") - F.col("c_ts").cast("long")).alias("delay_s"),
+    ).orderBy("click_id", "purchase_id")
