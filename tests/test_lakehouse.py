@@ -507,3 +507,51 @@ def test_zorder_compaction_prunes_both_dimensions(cat, spark):
     assert t.read().count() == 400
     with pytest.raises(ValueError, match="mutually exclusive"):
         t.compact(sort_by=["order_id"], zorder_by=["amount"])
+
+
+def test_merge_not_matched_by_source_delete(cat, spark):
+    """WHEN NOT MATCHED BY SOURCE THEN DELETE: the target becomes an exact
+    mirror of the source keys (full-sync semantics)."""
+    t = cat.create_table("db.sync", ORDERS_DDL)
+    t.append(seed_df(spark))
+    src = seed_df(spark).filter(F.col("order_id").isin(1, 2)).withColumn(
+        "amount", F.col("amount") * 10
+    )
+    t.merge(src, on="order_id", when_not_matched_by_source="delete")
+    rows = {r["order_id"]: float(r["amount"]) for r in t.read().collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1] == 12000.0  # updated from source
+
+
+def test_merge_matched_condition_keeps_unarmed_target_rows(cat, spark):
+    t = cat.create_table("db.cond", ORDERS_DDL)
+    t.append(seed_df(spark))
+    src = seed_df(spark).withColumn("amount", F.col("amount") * 2)
+    t.merge(
+        src,
+        on="order_id",
+        matched_condition="customer_id = 101",
+        when_not_matched="none",
+    )
+    rows = {r["order_id"]: float(r["amount"]) for r in t.read().collect()}
+    assert rows[1] == 2400.0 and rows[4] == 700.0  # armed (cust 101)
+    assert rows[2] == 25.5 and rows[3] == 75.0  # unarmed: target kept
+
+
+def test_tags_pin_snapshots_against_expiry(cat, spark):
+    """A tagged snapshot (and a branch head) must survive expire_snapshots
+    and stay readable; untagged history is collected."""
+    t = cat.create_table("db.tagged", ORDERS_DDL)
+    t.append(seed_df(spark))  # snap 1
+    t.create_tag("v1")
+    t.append(seed_df(spark))  # snap 2
+    t.append(seed_df(spark))  # snap 3
+    t.expire_snapshots(keep_last=1)
+    assert t.read_tag("v1").count() == len(ROWS)  # pinned + readable
+    ids = {s.snapshot_id for s in t.meta.snapshots}
+    assert 1 in ids and 3 in ids and 2 not in ids
+    with pytest.raises(ValueError, match="already exists"):
+        t.create_tag("v1")
+    t.drop_tag("v1")
+    with pytest.raises(ValueError, match="no tag"):
+        t.read_tag("v1")

@@ -124,6 +124,10 @@ class TableMetadata:
     # pre-branch metadata file stays readable). Branch snapshots live in
     # the same `snapshots` list — refs are just extra roots into the DAG.
     refs: dict[str, int] = field(default_factory=dict)
+    # Immutable tag refs (Iceberg tags): name -> snapshot id. Unlike
+    # branches, tags never advance; they pin a snapshot (and its files)
+    # against expiry for audit/reproducibility ("the corpus v2.1 dataset").
+    tags: dict[str, int] = field(default_factory=dict)
     # The metadata version this object was READ at (0 = not yet committed).
     # Commits are CAS'd against loaded_version, not the current hint: a
     # writer holding stale metadata must conflict, not silently clobber.
@@ -172,6 +176,7 @@ def _from_json(text: str) -> TableMetadata:
         for s in d["partition_specs"]
     ]
     d.setdefault("refs", {})
+    d.setdefault("tags", {})
     d["snapshots"] = [
         Snapshot(
             **{

@@ -405,3 +405,49 @@ def lake_sorted_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         len(snap.files),
     )
     return t.read()
+
+
+@register(
+    "lake_merge_conditional",
+    oracle=f"""
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CASE WHEN o_orderkey % 2 = 0 AND o_orderkey % 3 = 0
+                         AND o_orderpriority = '1-URGENT'
+                    THEN o_totalprice * 3
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders
+        WHERE o_orderkey % 2 = 0
+          AND NOT (o_orderkey % 3 = 0 AND o_orderpriority = '5-LOW')
+    """,
+    doc="Extended MERGE arms past the reference's basic upsert "
+    "(README.md:963-967): WHEN MATCHED AND <cond> THEN UPDATE (urgent "
+    "source rows triple the price; matched-but-not-urgent keep the target "
+    "row), WHEN MATCHED AND <cond2> via a second merge THEN DELETE "
+    "(low-priority matches dropped), WHEN NOT MATCHED BY SOURCE kept. "
+    "Target = even keys; source = keys divisible by 6",
+    tags=("lakehouse", "merge", "extension"),
+)
+def lake_merge_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _fresh_table(spark, "merge_cond")
+    t.append(_orders_mod(spark, sf_dir, 2, 0))  # even keys
+    src = _orders_mod(spark, sf_dir, 6, 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 3
+    )
+    # arm 1: matched AND urgent -> update (others keep target row)
+    t.merge(
+        src,
+        on="o_orderkey",
+        when_matched="update_all",
+        when_not_matched="none",
+        matched_condition="o_orderpriority = '1-URGENT'",
+    )
+    # arm 2: matched AND low-priority -> delete
+    t.merge(
+        src,
+        on="o_orderkey",
+        when_matched="delete",
+        when_not_matched="none",
+        matched_condition="o_orderpriority = '5-LOW'",
+    )
+    return t.read()

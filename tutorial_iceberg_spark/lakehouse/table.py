@@ -305,6 +305,32 @@ class LakeTable:
             raise ValueError(f"no branch {name}")
         return self.read(snapshot_id=md.refs[name])
 
+    # -- tags (immutable refs) --------------------------------------------
+    def create_tag(self, name: str, snapshot_id: int | None = None) -> None:
+        """Pin a snapshot under an immutable name (Iceberg tag): reads stay
+        reproducible and expire_snapshots will never collect it."""
+        md = self.meta
+        if name in md.tags:
+            raise ValueError(f"tag {name} already exists")
+        sid = md.current_snapshot_id if snapshot_id is None else snapshot_id
+        if sid is None or md.snapshot(sid) is None:
+            raise ValueError("tag must point at an existing snapshot")
+        md.tags[name] = sid
+        self._commit(md)
+
+    def drop_tag(self, name: str) -> None:
+        md = self.meta
+        if name not in md.tags:
+            raise ValueError(f"no tag {name}")
+        del md.tags[name]
+        self._commit(md)
+
+    def read_tag(self, name: str) -> DataFrame:
+        md = self.meta
+        if name not in md.tags:
+            raise ValueError(f"no tag {name}")
+        return self.read(snapshot_id=md.tags[name])
+
     def _is_ancestor(self, md: M.TableMetadata, ancestor: int | None, head: int) -> bool:
         cur: int | None = head
         while cur is not None:
@@ -557,9 +583,19 @@ class LakeTable:
         on: str | list[str],
         when_matched: str = "update_all",  # update_all | delete | none
         when_not_matched: str = "insert_all",  # insert_all | none
+        matched_condition: str | None = None,
+        when_not_matched_by_source: str = "none",  # none | delete
     ) -> None:
         """D4 MERGE INTO t USING s ON t.k=s.k WHEN MATCHED THEN UPDATE SET *
-        WHEN NOT MATCHED THEN INSERT * — README.md:963-967.
+        WHEN NOT MATCHED THEN INSERT * — README.md:963-967 — extended with
+        the ANSI/Iceberg arms the reference stops short of:
+
+        - ``matched_condition`` (WHEN MATCHED AND <cond> THEN ...): a SQL
+          predicate over SOURCE columns; matched pairs failing it keep the
+          TARGET row untouched (standard MERGE semantics).
+        - ``when_not_matched_by_source='delete'`` (WHEN NOT MATCHED BY
+          SOURCE THEN DELETE): full-sync mirror — target rows absent from
+          the source are dropped.
 
         Set semantics: matched target rows are replaced by their source row
         (by-name column assignment); unmatched source rows are inserted.
@@ -572,13 +608,31 @@ class LakeTable:
         src = self._align(source, md.schema())
         if src.select(*keys).distinct().count() != src.count():
             raise ValueError("MERGE source has duplicate join keys (ambiguous match)")
-        parts = [target.join(src, on=keys, how="left_anti")]  # untouched target
-        if when_matched == "update_all":
-            parts.append(src.join(target.select(*keys).distinct(), on=keys, how="left_semi"))
-        elif when_matched not in ("delete", "none"):
+        if when_matched not in ("update_all", "delete", "none"):
             raise ValueError(f"unsupported matched action {when_matched!r}")
+        if when_not_matched not in ("insert_all", "none"):
+            raise ValueError(f"unsupported not-matched action {when_not_matched!r}")
+        if when_not_matched_by_source not in ("none", "delete"):
+            raise ValueError(
+                f"unsupported not-matched-by-source action {when_not_matched_by_source!r}"
+            )
+        cond = F.expr(matched_condition) if matched_condition else F.lit(True)
+        src_armed = src.filter(cond)  # source rows whose matched arm fires
+        src_unarmed = src.filter(~cond)
+        tkeys = target.select(*keys).distinct()
+        parts = []
+        if when_not_matched_by_source != "delete":
+            parts.append(target.join(src, on=keys, how="left_anti"))
+        if when_matched == "none":
+            parts.append(target.join(src, on=keys, how="left_semi"))
+        else:
+            # matched pairs failing the condition keep the TARGET row
+            parts.append(target.join(src_unarmed, on=keys, how="left_semi"))
+            if when_matched == "update_all":
+                parts.append(src_armed.join(tkeys, on=keys, how="left_semi"))
+            # when_matched == "delete": armed matched rows simply vanish
         if when_not_matched == "insert_all":
-            parts.append(src.join(target.select(*keys).distinct(), on=keys, how="left_anti"))
+            parts.append(src.join(tkeys, on=keys, how="left_anti"))
         result = parts[0]
         for p in parts[1:]:
             result = result.unionByName(p)
@@ -806,6 +860,9 @@ class LakeTable:
         md = self.meta
         ordered = sorted(md.snapshots, key=lambda s: s.timestamp_ms)
         keep: set[int] = {md.current_snapshot_id}
+        # branch heads and tags pin their snapshots: a ref must never dangle
+        keep.update(md.refs.values())
+        keep.update(md.tags.values())
         keep.update(s.snapshot_id for s in ordered[-keep_last:])
         if older_than_ms is not None:
             keep.update(s.snapshot_id for s in ordered if s.timestamp_ms >= older_than_ms)
