@@ -65,9 +65,11 @@ def test_identity_string_pruning_sound(x, v, op):
     if _holds(x, op, v):
         escaped = quote(x, safe="")  # worst-case full escaping
         assert T.partition_may_match(pf, {"c": escaped}, "c", op, v, {"c": "string"})
-        # Spark escapes only special chars; unescaping must also be a no-op
-        # for already-plain values
-        assert T.partition_may_match(pf, {"c": x}, "c", op, v, {"c": "string"})
+        # Spark escapes the special set INCLUDING '%' itself (verified:
+        # '%00' writes as dir 'k=%2500'), so a bare '%' never appears in a
+        # real dir value — the plain-dir case only arises for %-free values
+        if "%" not in x:
+            assert T.partition_may_match(pf, {"c": x}, "c", op, v, {"c": "string"})
 
 
 @settings(max_examples=300)
