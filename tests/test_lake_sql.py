@@ -1,0 +1,121 @@
+"""Replay of the reference's Week 4-5 SQL sequence (README.md:944-1028)
+through the LakeSQL router — the 'paste the curriculum's SQL against this
+engine' parity demonstration. Statement shapes and ordering mirror the
+README; only the catalog name differs (and is accepted/ignored).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from tutorial_iceberg_spark.lakehouse.catalog import LakeCatalog
+from tutorial_iceberg_spark.lakehouse.sql import LakeSQL
+
+
+@pytest.fixture()
+def lsql(spark):
+    with tempfile.TemporaryDirectory() as wh:
+        yield LakeSQL(spark, LakeCatalog(spark, wh))
+
+
+def test_week45_sql_sequence(lsql, spark):
+    # D1 CREATE TABLE ... USING iceberg (README.md:944-951)
+    lsql.sql("""
+        CREATE TABLE demo.db.orders (
+            order_id BIGINT, customer_id BIGINT, product_name STRING,
+            amount DECIMAL(10,2), order_date DATE
+        ) USING iceberg
+    """)
+    # D16 INSERT INTO ... VALUES (README.md:1136-1138)
+    lsql.sql("""
+        INSERT INTO demo.db.orders VALUES
+          (1, 101, 'laptop',  CAST(1200.00 AS DECIMAL(10,2)), DATE '2024-01-15'),
+          (2, 102, 'mouse',   CAST(25.50  AS DECIMAL(10,2)), DATE '2024-02-20'),
+          (3, 103, 'keyboard',CAST(75.00  AS DECIMAL(10,2)), DATE '2024-02-25')
+    """)
+    assert lsql.sql("SELECT COUNT(*) AS n FROM demo.db.orders").first()["n"] == 3
+
+    # D2 UPDATE (README.md:954-956)
+    lsql.sql("UPDATE demo.db.orders SET amount = CAST(1100.00 AS DECIMAL(10,2)) "
+             "WHERE order_id = 1")
+    got = lsql.sql("SELECT amount FROM demo.db.orders WHERE order_id = 1").first()
+    assert str(got["amount"]) == "1100.00"
+
+    # D3 DELETE (README.md:959-960)
+    lsql.sql("DELETE FROM demo.db.orders WHERE order_id = 2")
+    assert lsql.sql("SELECT COUNT(*) AS n FROM demo.db.orders").first()["n"] == 2
+
+    # D4 MERGE (README.md:963-967) — source as a temp view
+    spark.sql("""
+        SELECT * FROM (VALUES
+            (3, 103, 'keyboard-pro', CAST(99.00 AS DECIMAL(10,2)), DATE '2024-02-26'),
+            (9, 109, 'webcam',       CAST(89.99 AS DECIMAL(10,2)), DATE '2024-04-01')
+        ) AS v(order_id, customer_id, product_name, amount, order_date)
+    """).createOrReplaceTempView("order_updates")
+    lsql.sql("""
+        MERGE INTO demo.db.orders t USING order_updates s
+        ON t.order_id = s.order_id
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+    """)
+    rows = {r["order_id"]: r for r in lsql.sql(
+        "SELECT * FROM demo.db.orders").collect()}
+    assert rows[3]["product_name"] == "keyboard-pro" and 9 in rows
+
+    # D5/D7 ALTER TABLE ADD COLUMN [DEFAULT] (README.md:976, 1159-1166)
+    lsql.sql("ALTER TABLE demo.db.orders ADD COLUMN discount_rate DOUBLE")
+    lsql.sql("ALTER TABLE demo.db.orders ADD COLUMN region STRING DEFAULT 'unknown'")
+    r1 = lsql.sql("SELECT region, discount_rate FROM demo.db.orders "
+                  "WHERE order_id = 1").first()
+    assert r1["region"] == "unknown" and r1["discount_rate"] is None
+
+    # D6 RENAME COLUMN (README.md:979)
+    lsql.sql("ALTER TABLE demo.db.orders RENAME COLUMN product_name TO item_name")
+    names = {r["item_name"] for r in lsql.sql(
+        "SELECT item_name FROM demo.db.orders").collect()}
+    assert "laptop" in names
+
+    # D8 partition evolution (README.md:990-992)
+    lsql.sql("ALTER TABLE demo.db.orders ADD PARTITION FIELD month(order_date)")
+
+    # D9 metadata tables (README.md:982-1004)
+    hist = lsql.sql("SELECT * FROM demo.db.orders.history")
+    n_snaps = hist.count()
+    assert n_snaps >= 4
+    ops = [r["operation"] for r in lsql.sql(
+        "SELECT operation FROM demo.db.orders.snapshots").collect()]
+    assert ops[0] == "append"
+    assert lsql.sql("SELECT * FROM demo.db.orders.refs").first()["name"] == "main"
+
+    # D10 time travel (README.md:1007-1010)
+    v1 = lsql.sql("SELECT COUNT(*) AS n FROM demo.db.orders VERSION AS OF 1")
+    assert v1.first()["n"] == 3  # pre-update, pre-delete state
+
+    # D11 rollback + D12 compaction + D13 expiry (README.md:1013-1028)
+    lsql.sql("CALL demo.system.rewrite_data_files('db.orders')")
+    assert lsql.sql("SELECT COUNT(*) AS n FROM demo.db.orders").first()["n"] == 3
+    lsql.sql("CALL demo.system.rollback_to_snapshot('db.orders', 1)")
+    assert lsql.sql("SELECT COUNT(*) AS n FROM demo.db.orders").first()["n"] == 3
+    lsql.sql("CALL demo.system.expire_snapshots('db.orders')")
+
+    # D15 table properties (README.md:1112-1121)
+    lsql.sql("ALTER TABLE demo.db.orders SET TBLPROPERTIES "
+             "('write.delete.mode'='merge-on-read')")
+    t = lsql.catalog.load_table("db.orders")
+    assert t.meta.properties["write.delete.mode"] == "merge-on-read"
+
+
+def test_unknown_statement_raises(lsql):
+    with pytest.raises(ValueError, match="unsupported statement"):
+        lsql.sql("GRANT ALL ON db.orders TO somebody")
+
+
+def test_insert_select_roundtrip(lsql, spark):
+    lsql.sql("CREATE TABLE db.a (k BIGINT, v STRING) USING iceberg")
+    lsql.sql("CREATE TABLE db.b (k BIGINT, v STRING) USING iceberg")
+    lsql.sql("INSERT INTO db.a VALUES (1, 'x'), (2, 'y')")
+    lsql.sql("INSERT INTO db.b SELECT k + 10 AS k, v FROM db.a")
+    assert sorted(r["k"] for r in lsql.sql("SELECT k FROM db.b").collect()) == [11, 12]

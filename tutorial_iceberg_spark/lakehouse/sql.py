@@ -1,0 +1,291 @@
+"""LakeSQL: the reference's Spark-SQL surface routed onto the lakehouse.
+
+The curriculum's Weeks 4-5 interface is SQL — ``CREATE TABLE demo.db.orders
+(...) USING iceberg`` (README.md:944-951), ``UPDATE``/``DELETE``/``MERGE``
+(README.md:954-967), ``ALTER TABLE`` evolution (README.md:976-992),
+metadata tables (README.md:982-1004), time travel (README.md:1007-1010) and
+maintenance ``CALL`` procedures (README.md:1013-1028). This router accepts
+those statement shapes verbatim (any catalog prefix; ``USING iceberg``
+accepted as an alias) and dispatches to :class:`LakeTable` /
+:class:`LakeCatalog`, so a user of the reference can paste its SQL against
+this engine.
+
+Parsing stance: a deliberately small statement-level regex router — NOT a
+SQL engine. Everything inside a SELECT is delegated untouched to Spark SQL
+(Catalyst does the real work) after lake-table references are resolved to
+temp views of the correct snapshot; only the statement *kinds* the
+curriculum exercises are recognized, and anything else raises cleanly.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from tutorial_iceberg_spark.lakehouse.catalog import LakeCatalog
+
+_CREATE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?P<ident>[\w.]+)\s*\((?P<cols>.*?)\)\s*"
+    r"USING\s+(?:iceberg|lake)\s*"
+    r"(?:PARTITIONED\s+BY\s*\((?P<part>[^)]*)\))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_INSERT_VALUES = re.compile(
+    r"^\s*INSERT\s+INTO\s+(?P<ident>[\w.]+)\s+VALUES\s+(?P<values>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_INSERT_SELECT = re.compile(
+    r"^\s*INSERT\s+INTO\s+(?P<ident>[\w.]+)\s+(?P<select>SELECT\s+.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_UPDATE = re.compile(
+    r"^\s*UPDATE\s+(?P<ident>[\w.]+)\s+SET\s+(?P<sets>.+?)\s+WHERE\s+(?P<pred>.+?)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DELETE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(?P<ident>[\w.]+)\s+WHERE\s+(?P<pred>.+?)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_MERGE = re.compile(
+    r"^\s*MERGE\s+INTO\s+(?P<ident>[\w.]+)(?:\s+\w+)?\s+USING\s+(?P<src>[\w.]+)"
+    r"(?:\s+\w+)?\s+ON\s+(?P<on>.+?)\s+"
+    r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+"
+    r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ADD_COLUMN = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<ident>[\w.]+)\s+ADD\s+COLUMNS?\s*\(?\s*"
+    r"(?P<name>\w+)\s+(?P<type>[\w()\s,]+?)"
+    r"(?:\s+DEFAULT\s+(?P<default>'[^']*'|\S+))?\s*\)?\s*$",
+    re.IGNORECASE,
+)
+_RENAME_COLUMN = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<ident>[\w.]+)\s+RENAME\s+COLUMN\s+"
+    r"(?P<old>\w+)\s+TO\s+(?P<new>\w+)\s*$",
+    re.IGNORECASE,
+)
+_ADD_PARTITION = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<ident>[\w.]+)\s+ADD\s+PARTITION\s+FIELD\s+"
+    r"(?P<decl>.+?)\s*$",
+    re.IGNORECASE,
+)
+_SET_PROPS = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<ident>[\w.]+)\s+SET\s+TBLPROPERTIES\s*"
+    r"\((?P<props>.+)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_CALL = re.compile(
+    r"^\s*CALL\s+(?:[\w.]+\.)?(?P<proc>rollback_to_snapshot|rewrite_data_files"
+    r"|expire_snapshots|remove_orphan_files)\s*\((?P<args>.*?)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_VERSION_AS_OF = re.compile(
+    r"\b(?P<ident>[\w.]+)\s+VERSION\s+AS\s+OF\s+(?P<ver>\d+)", re.IGNORECASE
+)
+_TS_AS_OF = re.compile(
+    r"\b(?P<ident>[\w.]+)\s+TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']+)'", re.IGNORECASE
+)
+_META_SUFFIXES = {
+    "history": "history",
+    "snapshots": "snapshots_df",
+    "partitions": "partitions_df",
+    "files": "files_df",
+    "refs": "refs_df",
+}
+
+
+class LakeSQL:
+    def __init__(self, spark: SparkSession, catalog: LakeCatalog):
+        self.spark = spark
+        self.catalog = catalog
+
+    # -- identifier helpers ------------------------------------------------
+    def _known_idents(self) -> list[str]:
+        out = []
+        for ns in [r["namespace"] for r in self.catalog.list_namespaces().collect()]:
+            for r in self.catalog.list_tables(ns).collect():
+                out.append(f"{ns}.{r['table_name']}")
+        return out
+
+    def _resolve(self, ident: str) -> str:
+        """Accept any catalog prefix: demo.db.orders == db.orders."""
+        parts = ident.split(".")
+        known = self._known_idents()
+        for k in (ident, ".".join(parts[-2:])):
+            if k in known:
+                return k
+        raise ValueError(f"unknown lake table {ident!r}")
+
+    def _view(self, ident: str, df: DataFrame | None = None) -> str:
+        name = "lake_" + ident.replace(".", "_")
+        (df if df is not None else self.catalog.load_table(ident).read()
+         ).createOrReplaceTempView(name)
+        return name
+
+    # -- entry point -------------------------------------------------------
+    def sql(self, stmt: str) -> DataFrame | None:
+        """Execute one statement; SELECTs return a DataFrame, DML/DDL None."""
+        s = stmt.strip().rstrip(";")
+        if m := _CREATE.match(s):
+            ident = self._short(m["ident"])
+            part = [p.strip() for p in (m["part"] or "").split(",") if p.strip()]
+            self.catalog.create_table(
+                ident, m["cols"].strip(), partition_by=part or None
+            )
+            return None
+        if m := _MERGE.match(s):
+            t = self.catalog.load_table(self._resolve(m["ident"]))
+            src = self.spark.table(m["src"])
+            keys = self._merge_keys(m["on"])
+            t.merge(src, on=keys)
+            return None
+        if m := _UPDATE.match(s):
+            t = self.catalog.load_table(self._resolve(m["ident"]))
+            assignments = {}
+            for part in self._split_top(m["sets"]):
+                col, expr = part.split("=", 1)
+                assignments[col.strip()] = expr.strip()
+            t.update(m["pred"].strip(), assignments)
+            return None
+        if m := _DELETE.match(s):
+            t = self.catalog.load_table(self._resolve(m["ident"]))
+            t.delete(m["pred"].strip())
+            return None
+        if m := _INSERT_VALUES.match(s):
+            t = self.catalog.load_table(self._resolve(m["ident"]))
+            cols = ", ".join(f.name for f in t.meta.schema().fields)
+            df = self.spark.sql(
+                f"SELECT * FROM (VALUES {m['values']}) AS v({cols})"
+            )
+            t.append(df)
+            return None
+        if m := _INSERT_SELECT.match(s):
+            t = self.catalog.load_table(self._resolve(m["ident"]))
+            t.append(self.spark.sql(self._rewrite_reads(m["select"])))
+            return None
+        if m := _ADD_PARTITION.match(s):
+            self.catalog.load_table(self._resolve(m["ident"])).add_partition_field(
+                m["decl"].strip()
+            )
+            return None
+        if m := _RENAME_COLUMN.match(s):
+            self.catalog.load_table(self._resolve(m["ident"])).rename_column(
+                m["old"], m["new"]
+            )
+            return None
+        if m := _ADD_COLUMN.match(s):
+            default = m["default"]
+            if default is not None:
+                default = default.strip("'")
+                if re.fullmatch(r"-?\d+", default):
+                    default = int(default)
+            self.catalog.load_table(self._resolve(m["ident"])).add_column(
+                m["name"], m["type"].strip(), default=default
+            )
+            return None
+        if m := _SET_PROPS.match(s):
+            t = self.catalog.load_table(self._resolve(m["ident"]))
+            md = t.meta
+            for kv in self._split_top(m["props"]):
+                k, v = kv.split("=", 1)
+                md.properties[k.strip().strip("'\"")] = v.strip().strip("'\"")
+            t._commit(md)
+            return None
+        if m := _CALL.match(s):
+            return self._call(m["proc"].lower(), m["args"])
+        if re.match(r"^\s*(SELECT|WITH)\b", s, re.IGNORECASE):
+            return self.spark.sql(self._rewrite_reads(s))
+        raise ValueError(f"unsupported statement: {stmt[:80]!r}")
+
+    # -- pieces ------------------------------------------------------------
+    def _short(self, ident: str) -> str:
+        parts = ident.split(".")
+        return ".".join(parts[-2:]) if len(parts) >= 2 else ident
+
+    @staticmethod
+    def _split_top(s: str) -> list[str]:
+        """Split on commas not inside parens/quotes."""
+        out, depth, cur, q = [], 0, [], None
+        for ch in s:
+            if q:
+                if ch == q:
+                    q = None
+            elif ch in "'\"":
+                q = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                out.append("".join(cur))
+                cur = []
+                continue
+            cur.append(ch)
+        if cur:
+            out.append("".join(cur))
+        return [p for p in (x.strip() for x in out) if p]
+
+    @staticmethod
+    def _merge_keys(on: str) -> list[str]:
+        keys = []
+        for clause in re.split(r"\s+AND\s+", on, flags=re.IGNORECASE):
+            m = re.match(r"\s*\w+\.(\w+)\s*=\s*\w+\.(\w+)\s*$", clause)
+            if not m or m.group(1) != m.group(2):
+                raise ValueError(f"unsupported MERGE ON clause: {clause!r}")
+            keys.append(m.group(1))
+        return keys
+
+    def _rewrite_reads(self, select: str) -> str:
+        """Resolve lake-table references inside a SELECT: metadata tables
+        (t.history, ...), time travel (VERSION/TIMESTAMP AS OF), then plain
+        current-state reads — each becomes a temp view of the right
+        snapshot, so Spark SQL plans the query itself."""
+        out = select
+        for ident in self._known_idents():
+            t = self.catalog.load_table(ident)
+            for suffix, method in _META_SUFFIXES.items():
+                pat = re.compile(
+                    rf"(?:[\w.]+\.)?{re.escape(ident)}\.{suffix}\b", re.IGNORECASE
+                )
+                if pat.search(out):
+                    view = self._view(f"{ident}.{suffix}", getattr(t, method)())
+                    out = pat.sub(view, out)
+
+        def _sub_version(m):
+            ident = self._short(m["ident"])
+            t = self.catalog.load_table(self._resolve(ident))
+            return self._view(
+                f"{ident}_v{m['ver']}", t.read(snapshot_id=int(m["ver"]))
+            )
+
+        def _sub_ts(m):
+            from datetime import datetime
+
+            ident = self._short(m["ident"])
+            t = self.catalog.load_table(self._resolve(ident))
+            ms = int(datetime.fromisoformat(m["ts"]).timestamp() * 1000)
+            return self._view(f"{ident}_asof", t.read(as_of_ms=ms))
+
+        out = _VERSION_AS_OF.sub(_sub_version, out)
+        out = _TS_AS_OF.sub(_sub_ts, out)
+        for ident in self._known_idents():
+            pat = re.compile(rf"(?:[\w.]+\.)?{re.escape(ident)}\b", re.IGNORECASE)
+            if pat.search(out):
+                out = pat.sub(self._view(ident), out)
+        return out
+
+    def _call(self, proc: str, args_s: str) -> DataFrame | None:
+        args = [a.strip().strip("'\"") for a in self._split_top(args_s)]
+        # accept Iceberg's named-arg style: table => 'db.orders'
+        args = [a.split("=>")[-1].strip().strip("'\"") for a in args]
+        t = self.catalog.load_table(self._resolve(args[0]))
+        if proc == "rollback_to_snapshot":
+            t.rollback_to(int(args[1]))
+        elif proc == "rewrite_data_files":
+            t.compact()
+        elif proc == "expire_snapshots":
+            t.expire_snapshots(keep_last=int(args[1]) if len(args) > 1 else 1)
+        elif proc == "remove_orphan_files":
+            t.remove_orphan_files()
+        return None

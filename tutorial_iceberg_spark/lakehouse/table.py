@@ -761,6 +761,16 @@ class LakeTable:
             "schema_id int, spec_id int, partition string"
         )
 
+    def refs_df(self) -> DataFrame:
+        """t.refs (Iceberg refs metadata table): main + every branch/tag."""
+        md = self.meta
+        rows = [("main", "branch", md.current_snapshot_id)]
+        rows += [(n, "branch", sid) for n, sid in sorted(md.refs.items())]
+        rows += [(n, "tag", sid) for n, sid in sorted(md.tags.items())]
+        return self.spark.createDataFrame(
+            rows, "name string, type string, snapshot_id bigint"
+        )
+
     # -- D11 rollback ------------------------------------------------------------
     def rollback_to(self, snapshot_id: int) -> None:
         """D11 CALL rollback_to_snapshot — README.md:1013. Snapshots are
