@@ -88,3 +88,68 @@ def x_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+DECON_NGRAM = 5
+
+
+@register(
+    "x_decontaminate",
+    oracle=rf"""
+        WITH tok AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+            FROM documents
+        ), grams AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       generate_series(1, greatest(len(w) - {DECON_NGRAM - 1}, 0)),
+                       i -> array_to_string(w[i:i+{DECON_NGRAM - 1}], ' ')))) AS g
+            FROM tok
+        ), eval_grams AS (
+            SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0
+        ), contaminated AS (
+            SELECT DISTINCT doc_id FROM grams
+            WHERE doc_id % 50 <> 0 AND g IN (SELECT g FROM eval_grams)
+        )
+        SELECT d.lang,
+               COUNT(*) AS kept_docs,
+               SUM(d.n_chars) AS kept_chars
+        FROM documents d
+        WHERE d.doc_id % 50 <> 0
+          AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+        GROUP BY d.lang
+        ORDER BY d.lang
+    """,
+    doc=f"Benchmark decontamination: drop every training doc sharing ANY "
+    f"{DECON_NGRAM}-gram with the eval set (docs with doc_id%50=0 stand in "
+    "for a benchmark). The canonical leakage guard before LLM training. "
+    "Plan: one shingle explode per side, eval grams DISTINCT then "
+    "broadcast into a semi-join (the eval set is always tiny relative to "
+    "the corpus), contaminated ids anti-joined back — the corpus text is "
+    "never shuffled, only its gram stream",
+    tags=("text", "pipeline", "extension"),
+)
+def x_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tutorial_iceberg_spark.operators.dedup import shingles
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    grams = docs.select(
+        "doc_id", F.explode(shingles("text", DECON_NGRAM)).alias("g")
+    )
+    eval_grams = grams.filter(F.col("doc_id") % 50 == 0).select("g").distinct()
+    contaminated = (
+        grams.filter(F.col("doc_id") % 50 != 0)
+        .join(F.broadcast(eval_grams), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    return (
+        train.join(contaminated, "doc_id", "left_anti")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("kept_docs"),
+            F.sum("n_chars").alias("kept_chars"),
+        )
+        .orderBy("lang")
+    )
