@@ -70,7 +70,7 @@ def main() -> None:
     # least disturbed by CPU contention outside the engine's control, and
     # this host shows 2-3x hypervisor noise on identical plans run
     # back-to-back. Each run is a fresh plan + full collect().
-    RUNS = 2
+    RUNS = 3
     timings: dict[str, float] = {}
     for name in HEADLINE:
         builder = specs[name].builder
