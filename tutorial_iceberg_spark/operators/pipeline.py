@@ -153,3 +153,104 @@ def x_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+N_SHARDS = 32
+PACK_TOKEN_BUDGET = 256
+
+
+@register(
+    "x_dataset_split",
+    oracle="""
+        SELECT CASE WHEN b < 90 THEN 'train'
+                    WHEN b < 95 THEN 'val'
+                    ELSE 'test' END AS split,
+               COUNT(*) AS docs,
+               SUM(n_chars) AS chars,
+               COUNT(DISTINCT lang) AS langs
+        FROM (SELECT *,
+                     CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                          AS BIGINT) % 100 AS b
+              FROM documents) t
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    doc="Deterministic train/val/test split (90/5/5) by content-independent "
+    "hash bucket of doc_id — stable under reprocessing, shard-count "
+    "changes, and corpus growth (a doc never migrates between splits). "
+    "Pure narrow map + tiny agg: no shuffle of the corpus itself",
+    tags=("text", "pipeline", "extension"),
+)
+def x_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    b = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint"),
+        F.lit(100),
+    )
+    split = (
+        F.when(b < 90, "train").when(b < 95, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "n_chars", "lang")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("n_chars").alias("chars"),
+            F.countDistinct("lang").alias("langs"),
+        )
+        .orderBy("split")
+    )
+
+
+@register(
+    "x_pack_sequences",
+    oracle=rf"""
+        WITH sized AS (
+            SELECT doc_id,
+                   doc_id % {N_SHARDS} AS shard,
+                   len(string_split_regex(trim(text), '\s+')) AS ntok
+            FROM documents
+        ), binned AS (
+            SELECT shard, doc_id, ntok,
+                   CAST((SUM(ntok) OVER (PARTITION BY shard ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) - 1)
+                        // {PACK_TOKEN_BUDGET} AS INTEGER) AS bin
+            FROM sized
+        )
+        SELECT shard, bin,
+               COUNT(*) AS docs,
+               SUM(ntok) AS packed_tokens
+        FROM binned
+        GROUP BY shard, bin
+        ORDER BY shard, bin
+    """,
+    doc=f"Sequence packing for pretraining: docs stream into fixed "
+    f"{PACK_TOKEN_BUDGET}-token bins via a running token count (bin = "
+    "(cumsum-1)//budget), independently within each of "
+    f"{N_SHARDS} hash shards — so the window sort is per-shard, "
+    "parallelism = shard count, and NO global sort exists anywhere. The "
+    "greedy-streaming formulation is deterministic (doc_id order) and "
+    "equals what a per-worker packer produces at 100 TB",
+    tags=("text", "pipeline", "extension"),
+)
+def x_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(N_SHARDS)).alias("shard"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("ntok"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = sized.withColumn(
+        "bin", ((F.sum("ntok").over(w) - 1) / PACK_TOKEN_BUDGET).cast("int")
+    )
+    return (
+        binned.groupBy("shard", "bin")
+        .agg(F.count("*").alias("docs"), F.sum("ntok").alias("packed_tokens"))
+        .orderBy("shard", "bin")
+    )
