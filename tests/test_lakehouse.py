@@ -555,3 +555,39 @@ def test_tags_pin_snapshots_against_expiry(cat, spark):
     t.drop_tag("v1")
     with pytest.raises(ValueError, match="no tag"):
         t.read_tag("v1")
+
+
+def test_concurrent_appends_all_commit(cat, spark):
+    """8 writers race the same table from threads: optimistic CAS + rebase
+    must land ALL of them — every snapshot commits exactly once, the final
+    state is the union, and version history is linear with no gaps."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from tutorial_iceberg_spark.lakehouse import metadata as M
+
+    t = cat.create_table("db.race", ORDERS_DDL)
+    n_writers = 8
+
+    def write(i: int) -> None:
+        rows = [(100 + i, 200 + i, f"w{i}", "10.00", "2024-06-01")]
+        t.append(seed_df(spark, rows))
+
+    with ThreadPoolExecutor(max_workers=n_writers) as ex:
+        list(ex.map(write, range(n_writers)))  # raises if any writer failed
+
+    assert t.read().count() == n_writers
+    assert {r["order_id"] for r in t.read().collect()} == {
+        100 + i for i in range(n_writers)
+    }
+    md = t.meta
+    assert len(md.snapshots) == n_writers
+    # linear history: every snapshot's parent is its predecessor
+    by_id = {s.snapshot_id: s for s in md.snapshots}
+    cur = md.current_snapshot_id
+    seen = 0
+    while cur is not None:
+        seen += 1
+        cur = by_id[cur].parent_id
+    assert seen == n_writers
+    # version files are contiguous (no wasted/orphan versions beyond CAS)
+    assert M.current_version(t.location) == md.loaded_version

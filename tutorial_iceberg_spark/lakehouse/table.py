@@ -210,7 +210,11 @@ class LakeTable:
         self._commit(md)
 
     # -- D16 INSERT / append ---------------------------------------------
-    APPEND_RETRIES = 5
+    # With W concurrent writers, one commit round has one winner, so a
+    # writer may need up to W-1 rebases; 10 covers realistic single-table
+    # writer fan-in (Iceberg's default commit retries is 4 with backoff —
+    # we rebase instantly instead, so a higher count is the same wait).
+    APPEND_RETRIES = 10
 
     def append(self, df: DataFrame, properties: dict[str, str] | None = None) -> None:
         """D16 INSERT INTO ... VALUES / append — README.md:1136-1138.
