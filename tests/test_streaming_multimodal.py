@@ -109,3 +109,18 @@ def test_stateful_streaming_sessions_equal_batch(spark, sf_dir):
         for r in S.x_sessionize(spark, sf_dir).collect()
     }
     assert stateful == batch
+
+
+def test_tws_sessionizer_matches_batch_when_available(spark, sf_dir):
+    """The transformWithStateInPandas sessionizer (modern stateful API)
+    must equal the batch sessionizer — skipped where the container lacks
+    a working protobuf (the API's state protocol dependency)."""
+    import pytest
+
+    from tutorial_iceberg_spark.streaming import events_stream as S
+
+    if not S._tws_available():
+        pytest.skip("google.protobuf unavailable: transformWithState cannot run")
+    a = sorted(map(tuple, S.x_stream_sessionize_tws(spark, sf_dir).collect()))
+    b = sorted(map(tuple, S.x_sessionize(spark, sf_dir).collect()))
+    assert a == b

