@@ -591,3 +591,23 @@ def test_concurrent_appends_all_commit(cat, spark):
     assert seen == n_writers
     # version files are contiguous (no wasted/orphan versions beyond CAS)
     assert M.current_version(t.location) == md.loaded_version
+
+
+def test_zorder_handles_null_keys(cat, spark):
+    """NULL key values must land in bucket 0, not null the z-address (and
+    an all-NULL key column must not crash the min/max model fit)."""
+    import pyspark.sql.functions as SF
+
+    t = cat.create_table("db.znull", ORDERS_DDL)
+    base = spark.range(40).select(
+        SF.col("id").alias("order_id"),
+        SF.when(SF.col("id") % 5 == 0, None).otherwise(SF.col("id") % 7)
+        .alias("customer_id"),
+        SF.lit(None).cast("string").alias("product_name"),  # all-NULL
+        SF.lit("10.00").cast("decimal(10,2)").alias("amount"),
+        SF.lit("2024-01-01").cast("date").alias("order_date"),
+    )
+    t.append(base)
+    t.compact(target_files=2, zorder_by=["customer_id", "order_id"])
+    assert t.read().count() == 40
+    assert t.read().filter(SF.col("customer_id").isNull()).count() == 8

@@ -804,9 +804,16 @@ class LakeTable:
         scaled = []
         for i, c in enumerate(cols):
             mn, mx = row[f"mn{i}"], row[f"mx{i}"]
+            if mn is None or mx is None:  # all-NULL key: no spread to encode
+                scaled.append(F.lit(0).cast("bigint"))
+                continue
             span = (mx - mn) or 1.0
             s = ((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * top).cast("bigint")
-            scaled.append(F.least(F.lit(top), F.greatest(F.lit(0), s)))
+            # NULL key values take bucket 0 (comparison ops propagate NULL,
+            # which would otherwise null the whole interleaved z-address)
+            scaled.append(
+                F.least(F.lit(top), F.greatest(F.lit(0), F.coalesce(s, F.lit(0))))
+            )
         terms = []
         for b in range(bits):
             for i, s in enumerate(scaled):
