@@ -285,14 +285,18 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_partkey, CAST(ROUND(val, 2) AS DOUBLE) AS part_value
         FROM pv
         WHERE CAST(ROUND(val, 2) AS DOUBLE)
-              > 0.001 * (SELECT CAST(ROUND(SUM(val), 2) AS DOUBLE) FROM pv)
+              > 1.5 * (CAST((SELECT ROUND(SUM(val), 2) FROM pv) AS DOUBLE)
+                       / (SELECT COUNT(*) FROM pv))
         ORDER BY part_value DESC, l_partkey
     """,
     doc="TPC-H Q11 shape (important stock identification): per-part value "
-    "held by one region's suppliers, kept only where it exceeds a fraction "
-    "of the GLOBAL total — a HAVING over a scalar subquery. No partsupp in "
+    "held by one region's suppliers, kept only where it exceeds 1.5x the "
+    "MEAN per-part value — a HAVING over a scalar subquery. The real Q11 "
+    "scales its fraction by 1/SF because part count grows with scale; a "
+    "mean-relative threshold is the same idea made scale-free (no "
+    "external SF knowledge, non-degenerate at every size). No partsupp in "
     "the testdata, so value = lineitem revenue by that region's suppliers. "
-    "Spark plan: one shuffle agg by l_partkey; the global total re-aggs "
+    "Spark plan: one shuffle agg by l_partkey; the global mean re-aggs "
     "the tiny per-part result and broadcasts ONE row back (no second scan "
     "of the fact table — the per-part agg is cached). Both threshold sides "
     "ROUND to scale 2 before the double cast so the compare is exact on "
@@ -326,11 +330,13 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-part agg output is part-cardinality (tiny): cache it so the global
     # total doesn't rescan lineitem, then broadcast the 1-row total.
     pv = pv.persist()
-    total = pv.agg(F.round(F.sum("val"), 2).cast("double").alias("grand_total"))
+    mean = pv.agg(
+        (F.round(F.sum("val"), 2).cast("double") / F.count("*")).alias("mean_val")
+    )
     return (
-        pv.crossJoin(F.broadcast(total))
+        pv.crossJoin(F.broadcast(mean))
         .filter(
-            F.round("val", 2).cast("double") > F.lit(0.001) * F.col("grand_total")
+            F.round("val", 2).cast("double") > F.lit(1.5) * F.col("mean_val")
         )
         .select(
             "l_partkey",
