@@ -1,0 +1,92 @@
+"""Property-based MERGE semantics: every arm combination against a
+python-dict reference model (hypothesis).
+
+MERGE is the most intricate mutation the engine ships (matched/unmatched
+arms x conditions x not-matched-by-source). The model is ~15 lines of
+dict code; if Spark's join-composition implementation ever diverges from
+it on ANY generated (target, source, arms) combination, this fails.
+
+Examples are deliberately few (each runs real Spark jobs) but each example
+sweeps randomized key overlap, a condition that splits the source, and
+every arm combination.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from tutorial_iceberg_spark.lakehouse.catalog import LakeCatalog
+
+DDL = "k bigint, grp int, v bigint"
+
+
+def _model(
+    target: dict[int, tuple],
+    source: dict[int, tuple],
+    when_matched: str,
+    when_not_matched: str,
+    armed: set[int],
+    by_source_delete: bool,
+) -> dict[int, tuple]:
+    out: dict[int, tuple] = {}
+    for k, row in target.items():
+        if k not in source:
+            if not by_source_delete:
+                out[k] = row
+        elif when_matched == "none" or k not in armed:
+            out[k] = row
+        elif when_matched == "update_all":
+            out[k] = source[k]
+        # delete + armed: gone
+    if when_not_matched == "insert_all":
+        for k, row in source.items():
+            if k not in target:
+                out[k] = row
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    tkeys=st.sets(st.integers(0, 12), min_size=1, max_size=8),
+    skeys=st.sets(st.integers(0, 12), min_size=1, max_size=8),
+    arm_grp=st.integers(0, 2),
+    when_matched=st.sampled_from(["update_all", "delete", "none"]),
+    when_not_matched=st.sampled_from(["insert_all", "none"]),
+    by_source=st.sampled_from(["none", "delete"]),
+)
+def test_merge_matches_dict_model(
+    spark, tkeys, skeys, arm_grp, when_matched, when_not_matched, by_source
+):
+    target = {k: (k, k % 3, 100 + k) for k in tkeys}
+    source = {k: (k, k % 3, 200 + k) for k in skeys}
+    armed = {k for k in skeys if k % 3 == arm_grp}
+    expect = _model(
+        target, source, when_matched, when_not_matched, armed,
+        by_source == "delete",
+    )
+    with tempfile.TemporaryDirectory() as wh:
+        cat = LakeCatalog(spark, wh)
+        t = cat.create_table("db.m", DDL)
+        t.append(spark.createDataFrame(list(target.values()), DDL))
+        t.merge(
+            spark.createDataFrame(list(source.values()), DDL),
+            on="k",
+            when_matched=when_matched,
+            when_not_matched=when_not_matched,
+            matched_condition=f"grp = {arm_grp}",
+            when_not_matched_by_source=by_source,
+        )
+        got = {r["k"]: (r["k"], r["grp"], r["v"]) for r in t.read().collect()}
+    assert got == expect, (
+        f"arms=({when_matched},{when_not_matched},{by_source},grp={arm_grp}) "
+        f"t={sorted(tkeys)} s={sorted(skeys)}"
+    )

@@ -328,7 +328,9 @@ def x_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread: the explode + tf partial agg otherwise run in the lone scan task
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    n_docs = docs.count()  # scalar driver value: one count job, no data pull
+    # corpus size as a broadcast 1-row aggregate, not a .count() driver
+    # job: the whole query stays ONE plan (one submission per run)
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
     tok = docs.select(
         "doc_id",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"),
@@ -337,7 +339,9 @@ def x_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = (
         tf.groupBy("term")
         .agg(F.count("*").alias("df"))
-        .filter(F.col("df") * 2 <= F.lit(n_docs))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") * 2 <= F.col("n_docs"))
+        .drop("n_docs")
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tf"), "term")
     return (
