@@ -119,3 +119,19 @@ def test_insert_select_roundtrip(lsql, spark):
     lsql.sql("INSERT INTO db.a VALUES (1, 'x'), (2, 'y')")
     lsql.sql("INSERT INTO db.b SELECT k + 10 AS k, v FROM db.a")
     assert sorted(r["k"] for r in lsql.sql("SELECT k FROM db.b").collect()) == [11, 12]
+
+
+def test_show_and_describe(lsql):
+    lsql.sql("CREATE TABLE db.t1 (k BIGINT, v STRING) USING iceberg")
+    lsql.sql("CREATE TABLE other.t2 (k BIGINT) USING iceberg")
+    assert {r["namespace"] for r in lsql.sql("SHOW NAMESPACES").collect()} == {
+        "db", "other"
+    }
+    assert [r["table_name"] for r in lsql.sql("SHOW TABLES IN db").collect()] == ["t1"]
+    allt = {(r["namespace"], r["table_name"])
+            for r in lsql.sql("SHOW TABLES").collect()}
+    assert allt == {("db", "t1"), ("other", "t2")}
+    lsql.sql("ALTER TABLE db.t1 ADD COLUMN region STRING DEFAULT 'unknown'")
+    desc = {r["col_name"]: r for r in lsql.sql("DESCRIBE db.t1").collect()}
+    assert desc["k"]["data_type"] == "bigint"
+    assert desc["region"]["initial_default"] == "unknown"

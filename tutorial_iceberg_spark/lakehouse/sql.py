@@ -194,6 +194,35 @@ class LakeSQL:
             return None
         if m := _CALL.match(s):
             return self._call(m["proc"].lower(), m["args"])
+        if m := re.match(r"^\s*SHOW\s+NAMESPACES\s*$", s, re.IGNORECASE):
+            return self.catalog.list_namespaces()
+        if m := re.match(r"^\s*SHOW\s+TABLES(?:\s+IN\s+(?:[\w.]*?(\w+)))?\s*$",
+                         s, re.IGNORECASE):
+            ns = m.group(1)
+            if ns:
+                return self.catalog.list_tables(ns)
+            dfs = [
+                self.catalog.list_tables(r["namespace"])
+                for r in self.catalog.list_namespaces().collect()
+            ]
+            out = dfs[0]
+            for d in dfs[1:]:
+                out = out.unionByName(d)
+            return out
+        if m := re.match(r"^\s*DESCRIBE\s+(?:TABLE\s+)?([\w.]+)\s*$", s,
+                         re.IGNORECASE):
+            # DESCRIBE <table>: the schema-on-read habit the curriculum
+            # builds in Week 2 (README.md:313-316), over lake metadata
+            t = self.catalog.load_table(self._resolve(m.group(1)))
+            rows = [
+                (f.name, f.type, f.nullable,
+                 None if f.initial_default is None else str(f.initial_default))
+                for f in t.meta.schema().fields
+            ]
+            return self.spark.createDataFrame(
+                rows, "col_name string, data_type string, nullable boolean, "
+                "initial_default string"
+            )
         if re.match(r"^\s*(SELECT|WITH)\b", s, re.IGNORECASE):
             return self.spark.sql(self._rewrite_reads(s))
         raise ValueError(f"unsupported statement: {stmt[:80]!r}")
