@@ -611,3 +611,40 @@ def test_zorder_handles_null_keys(cat, spark):
     t.compact(target_files=2, zorder_by=["customer_id", "order_id"])
     assert t.read().count() == 40
     assert t.read().filter(SF.col("customer_id").isNull()).count() == 8
+
+
+def test_xxh64_long_matches_spark(cat, spark):
+    """The planner's python XXH64 must be bit-identical to Spark's
+    xxhash64 on bigint values — pruning soundness depends on it."""
+    from hypothesis import strategies as st
+
+    from tutorial_iceberg_spark.lakehouse.transforms import xxh64_long
+
+    vals = [0, 1, -1, 42, 2**63 - 1, -(2**63)] + [
+        st.integers(-(2**63), 2**63 - 1).example() for _ in range(20)
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "x bigint")
+    got = {r["x"]: r["h"] for r in df.select(
+        "x", F.xxhash64("x").alias("h")).collect()}
+    for v in vals:
+        assert xxh64_long(v) == got[v], v
+
+
+def test_bucket_partition_pruning_equality_only(cat, spark):
+    """bucket[N] partitions prune equality scans (planner hash == writer
+    hash) and never prune range scans; DELETE through bucket pruning stays
+    row-exact."""
+    t = cat.create_table("db.bucketed", ORDERS_DDL, partition_by=["bucket(4, order_id)"])
+    t.append(seed_df(spark))
+    md = t.meta
+    snap = md.snapshot()
+    assert len(snap.files) >= 2  # rows spread over >1 bucket
+    cands = t._candidates(md, snap, "order_id = 1")
+    assert len(cands) < len(snap.files)  # equality prunes
+    # range predicates never flow through the bucket transform (a hash
+    # bucket has no order); the files kept here are stats-pruned only and
+    # the range scan stays row-exact
+    assert t.scan("order_id > 1").count() == 3
+    assert t.scan("order_id = 1").count() == 1
+    t.delete("order_id = 1")  # correctness through the pruned path
+    assert sorted(r["order_id"] for r in t.read().collect()) == [2, 3, 4]

@@ -163,6 +163,37 @@ def stats_may_match(stats_minmax: list | None, op: str, value: Any) -> bool:
 
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 _INT_TYPES = {"tinyint", "smallint", "int", "integer", "bigint", "long"}
+_LONG_TYPES = {"bigint", "long"}
+
+# -- XXH64 for one 64-bit value: planning-side twin of Spark's xxhash64 ----
+_M64 = (1 << 64) - 1
+_XP1 = 0x9E3779B185EBCA87
+_XP2 = 0xC2B2AE3D27D4EB4F
+_XP3 = 0x165667B19E3779F9
+_XP4 = 0x85EBCA77C2B2AE63
+_XP5 = 0x27D4EB2F165667C5
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def xxh64_long(value: int, seed: int = 42) -> int:
+    """XXH64 of a single 64-bit integer — bit-identical to Spark's
+    ``xxhash64(bigint_col)`` (XxHash64.hashLong, default seed 42; verified
+    value-for-value in tests). Lets the planner compute bucket[N] partition
+    values for equality literals without touching the JVM."""
+    v = value & _M64
+    h = (seed + _XP5 + 8) & _M64
+    k1 = (_rotl64((v * _XP2) & _M64, 31) * _XP1) & _M64
+    h ^= k1
+    h = (_rotl64(h, 27) * _XP1 + _XP4) & _M64
+    h ^= h >> 33
+    h = (h * _XP2) & _M64
+    h ^= h >> 29
+    h = (h * _XP3) & _M64
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h
 
 
 def _unescape_hive(pval: str) -> str:
@@ -213,6 +244,22 @@ def partition_may_match(
             continue
         pval = _unescape_hive(raw)
         stype = (source_types or {}).get(pf.source)
+        bm = _BUCKET_RE.match(pf.transform)
+        if bm:
+            # bucket[N]: EQUALITY-only pruning, and only where the planner
+            # hash provably equals the writer's — Spark's xxhash64 encodes
+            # int32 differently from int64, so gate to long columns with
+            # int literals (pmod semantics match python % for N > 0)
+            if (
+                op in ("=", "==")
+                and stype is not None
+                and stype.lower() in _LONG_TYPES
+                and isinstance(value, int)
+                and not isinstance(value, bool)
+            ):
+                if pval != str(xxh64_long(value) % int(bm.group(1))):
+                    return False
+            continue
         if pf.transform == "identity" or pf.transform.startswith("truncate["):
             if not _identity_prunable(stype, value):
                 continue
