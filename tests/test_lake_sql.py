@@ -135,3 +135,14 @@ def test_show_and_describe(lsql):
     desc = {r["col_name"]: r for r in lsql.sql("DESCRIBE db.t1").collect()}
     assert desc["k"]["data_type"] == "bigint"
     assert desc["region"]["initial_default"] == "unknown"
+
+
+def test_rewrite_data_files_strategies(lsql, spark):
+    lsql.sql("CREATE TABLE db.c (k BIGINT, v BIGINT) USING iceberg")
+    lsql.sql("INSERT INTO db.c SELECT id AS k, id * 2 AS v FROM range(200)")
+    lsql.sql("CALL system.rewrite_data_files('db.c', 'sort', 'k')")
+    t = lsql.catalog.load_table("db.c")
+    assert t.meta.snapshot().summary.get("sort-by") == "k"
+    lsql.sql("CALL system.rewrite_data_files('db.c', 'zorder', 'k,v')")
+    assert t.meta.snapshot().summary.get("zorder-by") == "k,v"
+    assert lsql.sql("SELECT COUNT(*) AS n FROM db.c").first()["n"] == 200

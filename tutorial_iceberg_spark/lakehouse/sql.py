@@ -312,7 +312,14 @@ class LakeSQL:
         if proc == "rollback_to_snapshot":
             t.rollback_to(int(args[1]))
         elif proc == "rewrite_data_files":
-            t.compact()
+            # Iceberg-style strategy args: ('t'), ('t','sort','k1,k2'),
+            # ('t','zorder','k1,k2')
+            if len(args) >= 3 and args[1].lower() == "sort":
+                t.compact(target_files=4, sort_by=[c.strip() for c in args[2].split(",")])
+            elif len(args) >= 3 and args[1].lower() == "zorder":
+                t.compact(target_files=4, zorder_by=[c.strip() for c in args[2].split(",")])
+            else:
+                t.compact()
         elif proc == "expire_snapshots":
             t.expire_snapshots(keep_last=int(args[1]) if len(args) > 1 else 1)
         elif proc == "remove_orphan_files":
