@@ -124,3 +124,34 @@ def test_tws_sessionizer_matches_batch_when_available(spark, sf_dir):
     a = sorted(map(tuple, S.x_stream_sessionize_tws(spark, sf_dir).collect()))
     b = sorted(map(tuple, S.x_sessionize(spark, sf_dir).collect()))
     assert a == b
+
+
+def test_lakehouse_sink_replay_is_exactly_once(spark, sf_dir):
+    """ADVICE r1-4 regression: a micro-batch replayed after a crash
+    between the table commit and the streaming checkpoint must NOT be
+    appended twice; later batches still commit."""
+    import os
+    import tempfile
+    import uuid
+
+    from tutorial_iceberg_spark.lakehouse.table import LakeTable
+    from tutorial_iceberg_spark.streaming.events_stream import (
+        BATCH_PROP,
+        make_idempotent_ingest,
+    )
+
+    root = os.path.join(tempfile.gettempdir(), "tis_sink_test", uuid.uuid4().hex[:8])
+    os.makedirs(root, exist_ok=True)
+    t = LakeTable.create(spark, os.path.join(root, "t"), "k bigint, v bigint")
+    ingest = make_idempotent_ingest(t)
+    b0 = spark.createDataFrame([(1, 10), (2, 20)], "k bigint, v bigint")
+    b1 = spark.createDataFrame([(3, 30)], "k bigint, v bigint")
+    ingest(b0, 0)
+    assert t.read().count() == 2
+    ingest(b0, 0)  # replay: checkpoint lagged the commit
+    assert t.read().count() == 2  # NOT double-appended
+    ingest(b1, 1)
+    assert t.read().count() == 3
+    assert t.meta.properties[BATCH_PROP] == "1"
+    ingest(b0, 0)  # stale replay far behind: still skipped
+    assert t.read().count() == 3

@@ -394,6 +394,27 @@ def x_stream_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("c_mktsegment")
 
 
+BATCH_PROP = "streaming.last-committed-batch-id"
+
+
+def make_idempotent_ingest(table):
+    """foreachBatch sink with exactly-once semantics: the micro-batch id is
+    recorded in table properties in the SAME atomic metadata commit as the
+    snapshot, and any batch at-or-below the last committed id is skipped —
+    a batch replayed after a crash between the table commit and the
+    streaming checkpoint is detected, not double-appended. (ADVICE r1-4;
+    replay behavior is pytest-gated in tests/test_streaming_multimodal.py.)
+    """
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        last = table.meta.properties.get(BATCH_PROP)
+        if last is not None and int(last) >= batch_id:
+            return  # replayed micro-batch: already committed atomically
+        table.append(batch_df, properties={BATCH_PROP: str(batch_id)})
+
+    return ingest
+
+
 @register(
     "x_stream_lakehouse_sink",
     oracle=f"""
@@ -433,13 +454,7 @@ def x_stream_lakehouse_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         name="events_ingest",
     )
 
-    BATCH_PROP = "streaming.last-committed-batch-id"
-
-    def ingest(batch_df: DataFrame, batch_id: int) -> None:
-        last = table.meta.properties.get(BATCH_PROP)
-        if last is not None and int(last) >= batch_id:
-            return  # replayed micro-batch: already committed atomically
-        table.append(batch_df, properties={BATCH_PROP: str(batch_id)})
+    ingest = make_idempotent_ingest(table)
 
     q = (
         ev.writeStream.foreachBatch(ingest)
