@@ -58,17 +58,22 @@ def _model(
 @given(
     tkeys=st.sets(st.integers(0, 12), min_size=1, max_size=8),
     skeys=st.sets(st.integers(0, 12), min_size=1, max_size=8),
+    null_keys=st.sets(st.integers(0, 12), max_size=4),
     arm_grp=st.integers(0, 2),
     when_matched=st.sampled_from(["update_all", "delete", "none"]),
     when_not_matched=st.sampled_from(["insert_all", "none"]),
     by_source=st.sampled_from(["none", "delete"]),
 )
 def test_merge_matches_dict_model(
-    spark, tkeys, skeys, arm_grp, when_matched, when_not_matched, by_source
+    spark, tkeys, skeys, null_keys, arm_grp, when_matched, when_not_matched, by_source
 ):
+    # Source rows in null_keys carry grp=NULL, so the matched condition
+    # `grp = arm_grp` evaluates to NULL — ANSI MERGE treats non-TRUE as
+    # unarmed (target row kept), which the model encodes by excluding them
+    # from `armed` (r2 ADVICE: a NULL condition must never delete the row).
     target = {k: (k, k % 3, 100 + k) for k in tkeys}
-    source = {k: (k, k % 3, 200 + k) for k in skeys}
-    armed = {k for k in skeys if k % 3 == arm_grp}
+    source = {k: (k, None if k in null_keys else k % 3, 200 + k) for k in skeys}
+    armed = {k for k in skeys if k not in null_keys and k % 3 == arm_grp}
     expect = _model(
         target, source, when_matched, when_not_matched, armed,
         by_source == "delete",

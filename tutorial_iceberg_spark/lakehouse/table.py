@@ -620,7 +620,14 @@ class LakeTable:
             raise ValueError(
                 f"unsupported not-matched-by-source action {when_not_matched_by_source!r}"
             )
-        cond = F.expr(matched_condition) if matched_condition else F.lit(True)
+        # ANSI/Iceberg MERGE: a WHEN MATCHED AND <cond> arm fires only when the
+        # condition is TRUE — a NULL condition must keep the target row, so the
+        # armed/unarmed split must be exhaustive (coalesce NULL -> unarmed).
+        cond = (
+            F.coalesce(F.expr(matched_condition), F.lit(False))
+            if matched_condition
+            else F.lit(True)
+        )
         src_armed = src.filter(cond)  # source rows whose matched arm fires
         src_unarmed = src.filter(~cond)
         tkeys = target.select(*keys).distinct()
