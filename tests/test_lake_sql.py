@@ -137,6 +137,67 @@ def test_show_and_describe(lsql):
     assert desc["region"]["initial_default"] == "unknown"
 
 
+def test_identifier_rewrite_respects_boundaries_and_literals(lsql, spark):
+    """Regression: the read-rewrite must not touch (a) a LONGER identifier
+    that merely ends with a known table name, or (b) a table name quoted
+    inside a string literal — both previously corrupted delegated SELECTs."""
+    lsql.sql("CREATE TABLE db.orders (k BIGINT, v STRING) USING iceberg")
+    lsql.sql("INSERT INTO db.orders VALUES (1, 'x')")
+    # (a) mydb.orders is a DIFFERENT (Spark temp view) table, not db.orders
+    spark.sql("SELECT * FROM (VALUES (10, 'other'), (20, 'other2')) "
+              "AS v(k, v)").createOrReplaceTempView("mydb_orders")
+    spark.sql("CREATE DATABASE IF NOT EXISTS mydb")
+    spark.sql("SELECT 10 AS k, 'other' AS v").write.mode("overwrite") \
+        .saveAsTable("mydb.orders")
+    got = lsql.sql("SELECT k FROM mydb.orders").collect()
+    assert [r["k"] for r in got] == [10]
+    # (b) the literal 'db.orders' must survive the rewrite verbatim
+    r = lsql.sql("SELECT 'db.orders' AS name, COUNT(*) AS n FROM db.orders "
+                 "GROUP BY 1").first()
+    assert r["name"] == "db.orders" and r["n"] == 1
+    spark.sql("DROP TABLE mydb.orders")
+    spark.sql("DROP DATABASE mydb")
+
+
+def test_orphan_sweep_includes_stale_metadata_tmp(lsql):
+    """Regression: a writer crash between the temp-metadata write and the
+    os.link CAS strands .tmp-*.json forever; remove_orphan_files must sweep
+    stale ones (and leave fresh, possibly in-flight ones alone)."""
+    import os
+    import time
+
+    from tutorial_iceberg_spark.lakehouse import metadata as M
+
+    lsql.sql("CREATE TABLE db.m (k BIGINT) USING iceberg")
+    t = lsql.catalog.load_table("db.m")
+    mdir = M.metadata_dir(t.location)
+    stale = os.path.join(mdir, ".tmp-deadbeef.json")
+    fresh = os.path.join(mdir, ".tmp-cafebabe.json")
+    for p in (stale, fresh):
+        with open(p, "w") as f:
+            f.write("{}")
+    os.utime(stale, (time.time() - 7200, time.time() - 7200))
+    removed = t.remove_orphan_files()
+    assert not os.path.exists(stale)
+    assert os.path.exists(fresh)  # inside the grace window: kept
+    assert any(p.endswith(".tmp-deadbeef.json") for p in removed)
+    os.remove(fresh)
+
+
+def test_zorder_column_limit_enforced(lsql):
+    """Regression: 8 columns x 8 bits hits the bigint sign bit — compact
+    must refuse instead of silently degrading clustering."""
+    import pytest as _pytest
+
+    cols = [f"c{i}" for i in range(8)]
+    lsql.sql(f"CREATE TABLE db.z ({', '.join(c + ' BIGINT' for c in cols)}) "
+             "USING iceberg")
+    t = lsql.catalog.load_table("db.z")
+    with _pytest.raises(ValueError, match="at most 7"):
+        t.compact(zorder_by=cols)
+    t.compact(zorder_by=cols[:7])  # 7 columns stays within 63 bits
+
+
 def test_rewrite_data_files_strategies(lsql, spark):
     lsql.sql("CREATE TABLE db.c (k BIGINT, v BIGINT) USING iceberg")
     lsql.sql("INSERT INTO db.c SELECT id AS k, id * 2 AS v FROM range(200)")

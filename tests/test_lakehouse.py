@@ -237,6 +237,53 @@ def test_merge_on_read_delete(cat, spark):
     assert sorted(r["order_id"] for r in t.read().collect()) == [2, 3]
 
 
+def test_merge_on_read_position_delete(cat, spark):
+    """Position-delete flavor of D15: same visible result as the equality
+    flavor, but the delete file stores (file_path, pos) coordinates and
+    needs NO equality key property."""
+    t = cat.create_table("db.orders", ORDERS_DDL)
+    t.append(seed_df(spark))
+    t.set_property("write.delete.mode", "merge-on-read")
+    t.set_property("write.delete.flavor", "position")
+    files_before = [f.path for f in t.meta.snapshot().files]
+    t.delete("customer_id = 101")  # orders 1 and 4
+    snap = t.meta.snapshot()
+    assert [f.path for f in snap.files] == files_before  # D15: no rewrite
+    assert snap.delete_files and all(
+        d.content == "position" and d.equality_columns == []
+        for d in snap.delete_files
+    )
+    assert sum(d.rows for d in snap.delete_files) >= 2
+    assert sorted(r["order_id"] for r in t.read().collect()) == [2, 3]
+    # the coordinate columns must not leak into the visible schema
+    assert "__fp" not in t.read().columns and "__pos" not in t.read().columns
+    # time travel still sees the pre-delete state
+    assert t.read(snapshot_id=t.meta.snapshots[0].snapshot_id).count() == 4
+    # compaction resolves position deletes into plain files too
+    t.compact()
+    assert not t.meta.snapshot().delete_files
+    assert sorted(r["order_id"] for r in t.read().collect()) == [2, 3]
+
+
+def test_position_delete_after_schema_evolution(cat, spark):
+    """Position deletes must target rows correctly even when candidate
+    files were written under an older schema (rename + added column)."""
+    t = cat.create_table("db.orders", ORDERS_DDL)
+    t.append(seed_df(spark, ROWS[:2]))
+    t.rename_column("customer_id", "cust_id")
+    t.add_column("region", "string", default="emea")
+    t.append(
+        seed_df(spark, ROWS[2:]).withColumnRenamed("customer_id", "cust_id")
+        .withColumn("region", F.lit("apac"))
+    )
+    t.set_property("write.delete.mode", "merge-on-read")
+    t.set_property("write.delete.flavor", "position")
+    t.delete("cust_id = 101")  # order 1 (old-schema file), order 4 (new)
+    assert sorted(r["order_id"] for r in t.read().collect()) == [2, 3]
+    regions = {r["order_id"]: r["region"] for r in t.read().collect()}
+    assert regions == {2: "emea", 3: "apac"}
+
+
 def test_catalog_listings(cat, spark):
     cat.create_table("db.orders", ORDERS_DDL)
     cat.create_table("db.events", "event_id bigint, payload string")

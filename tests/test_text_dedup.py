@@ -74,6 +74,17 @@ def test_lsh_finds_high_jaccard_consecutive_pairs(spark, sf_dir):
     assert len(missed) <= max(1, len(exact) // 10), f"LSH missed {missed}"
 
 
+def test_lsh_verification_has_no_forced_broadcast(spark, sf_dir):
+    """The candidate-verification join must NOT carry a broadcast hint: the
+    build side holds full per-doc shingle arrays (multi-GB at 100 TB) and
+    the candidate table is only small when banding is well-tuned. AQE may
+    still choose broadcast at runtime from real sizes — what we forbid is
+    forcing it in the plan."""
+    df = D.x_dedup_minhash_lsh(spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+
+
 def test_no_python_udfs_in_text_or_dedup_plans(spark, sf_dir):
     for build in (
         T.x_token_count,

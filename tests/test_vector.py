@@ -67,8 +67,7 @@ def test_hyperplane_lsh_identical_vectors_always_collide(spark, sf_dir):
         "vec_id", F.col("vec_id") + 10_000_000
     )
     both = u.unionByName(twins)
-    signs = V._sign_table(spark, dim)
-    sigs = {r["vec_id"]: r["sig"] for r in V.hyperplane_signatures(both, signs).collect()}
+    sigs = {r["vec_id"]: r["sig"] for r in V.hyperplane_signatures(both, dim).collect()}
     for i in range(3):
         assert sigs[i] == sigs[i + 10_000_000]
 
@@ -96,6 +95,18 @@ def test_hyperplane_lsh_output_shape_and_recall_floor(spark, sf_dir):
     assert recall >= 0.15, f"LSH recall {recall:.2f} below floor"
 
 
+def test_hyperplane_signature_build_is_single_pass(spark, sf_dir):
+    """The signature build must be one Arrow batch pass: no posexplode
+    (Generate) and no shuffle (Exchange) anywhere in its plan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = emb.select(F.size("embedding")).first()[0]
+    u = emb.select("vec_id", V._unit(F.col("embedding")).alias("u"))
+    plan = plan_of(V.hyperplane_signatures(u, dim))
+    assert "MapInPandas" in plan
+    assert "Generate" not in plan
+    assert "Exchange" not in plan
+
+
 def test_hyperplane_lsh_candidates_are_selective(spark, sf_dir):
     """The banding must prune most of the pair space (else it's a crossJoin
     in disguise): candidate fraction < 50% of all pairs."""
@@ -103,10 +114,9 @@ def test_hyperplane_lsh_candidates_are_selective(spark, sf_dir):
     n = emb.count()
     dim = emb.select(F.size("embedding")).first()[0]
     u = emb.select("vec_id", V._unit(F.col("embedding")).alias("u"))
-    signs = V._sign_table(spark, dim)
     bpb = V.N_PLANES // V.PLANE_BANDS
     bands = (
-        V.hyperplane_signatures(u, signs)
+        V.hyperplane_signatures(u, dim)
         .select("vec_id", F.explode(F.array(*V._band_cols(bpb))).alias("bk"))
         .select("vec_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     )

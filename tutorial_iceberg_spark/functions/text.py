@@ -321,8 +321,9 @@ def x_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tf-idf ordering without cross-engine float log. Scale: ONE explode -> "
     "tf hash agg (map-side partial); df derives from the tf table (rows "
     "there are unique per (doc,term), so df = COUNT(*) per term) instead "
-    "of a second explode pass; small df table broadcast into the per-doc "
-    "window; the exploded token stream never sorts globally",
+    "of a second explode pass; the vocabulary-sized df table joins with NO "
+    "forced broadcast (AQE decides from real size); the exploded token "
+    "stream never sorts globally",
     tags=("text", "extension"),
 )
 def x_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -344,8 +345,11 @@ def x_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("n_docs")
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tf"), "term")
+    # no forced broadcast of df: its size is vocabulary-sized, which is
+    # unbounded on a web corpus (typo tokens). AQE broadcasts it at runtime
+    # when it is actually small; otherwise this is a plain equi-join on term
     return (
-        tf.join(F.broadcast(df), "term")
+        tf.join(df, "term")
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
         .select("doc_id", "term", "tf", "df")

@@ -157,15 +157,19 @@ def _unit(col: Column) -> Column:
 
 
 def _assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
-    """vec_id -> nearest centroid id by cosine (unit vectors: plain dot)."""
+    """vec_id -> nearest centroid id by cosine (unit vectors: plain dot).
+
+    argmax as a ``max_by`` aggregation over the (score, -cell) struct —
+    greatest score wins, smallest cell breaks ties — which partial-aggregates
+    map-side instead of sorting every vec_id's C scored rows in a
+    row_number window."""
     scored = emb.crossJoin(F.broadcast(cents)).select(
         "vec_id", "cell", dot(F.col("u"), F.col("c_emb")).alias("s")
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("cell"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cell")
+    return scored.groupBy("vec_id").agg(
+        F.max_by(
+            "cell", F.struct(F.col("s"), (-F.col("cell")).alias("nc"))
+        ).alias("cell")
     )
 
 
@@ -265,39 +269,45 @@ PLANE_BANDS = 4  # 4 bits per band
 _PLANE_SEED = 7
 
 
-def _sign_table(spark: SparkSession, dim: int) -> DataFrame:
-    """(plane, pos, s): Rademacher +-1 hyperplane entries, fixed seed —
-    the deterministic 'model' (N_PLANES x dim scalars, always broadcast)."""
+def _sign_matrix(dim: int):
+    """(N_PLANES, dim) Rademacher +-1 matrix, fixed seed — the deterministic
+    'model'. Tiny (N_PLANES x dim scalars): rebuilt per task from the seed,
+    so nothing is broadcast or joined."""
     import random as _r
 
+    import numpy as np
+
     rng = _r.Random(_PLANE_SEED)
-    rows = [
-        (p, d, float(rng.choice((-1.0, 1.0))))
-        for p in range(N_PLANES)
-        for d in range(dim)
-    ]
-    return spark.createDataFrame(rows, "plane INT, pos INT, s DOUBLE")
+    return np.array(
+        [[rng.choice((-1.0, 1.0)) for _ in range(dim)] for _ in range(N_PLANES)]
+    )
 
 
-def hyperplane_signatures(emb_u: DataFrame, signs: DataFrame) -> DataFrame:
-    """vec_id -> N_PLANES-bit signature. posexplode -> broadcast-join the
-    sign table -> per-(vec,plane) signed projection sum -> assemble bits.
-    Both aggregations are keyed on vec_id(+plane): narrow shuffles whose
-    skew is just vector-dimension skew (none — fixed dim)."""
-    proj = (
-        emb_u.select("vec_id", F.posexplode("u").alias("pos", "v"))
-        .join(F.broadcast(signs), "pos")
-        .groupBy("vec_id", "plane")
-        .agg(F.sum(F.col("v") * F.col("s")).alias("proj"))
-    )
-    return proj.groupBy("vec_id").agg(
-        F.sum(
-            F.when(
-                F.col("proj") > 0,
-                F.expr("shiftleft(cast(1 as bigint), plane)"),
-            ).otherwise(F.lit(0).cast("bigint"))
-        ).alias("sig")
-    )
+def hyperplane_signatures(emb_u: DataFrame, dim: int) -> DataFrame:
+    """vec_id -> N_PLANES-bit signature: ONE Arrow batch pass, ZERO shuffle.
+
+    Each batch is a single numpy matmul ``vecs @ signs.T`` followed by a
+    sign-bit pack — the same build pattern as dedup._index_batches. This
+    replaces the old posexplode -> sign-table join -> two keyed
+    aggregations, which exploded every vector to dim rows and shuffled
+    them twice before banding; embarrassingly parallel, scales linearly
+    with corpus bytes."""
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        signs_t = _sign_matrix(dim).T  # (dim, N_PLANES)
+        weights = (np.int64(1) << np.arange(N_PLANES, dtype=np.int64))
+        for pdf in it:
+            if len(pdf):
+                vecs = np.vstack(pdf["u"].to_numpy())  # (rows, dim)
+                sig = ((vecs @ signs_t) > 0) @ weights
+            else:
+                sig = np.empty(0, dtype=np.int64)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "sig": sig})
+
+    return emb_u.mapInPandas(batches, "vec_id bigint, sig bigint")
 
 
 def _band_cols(bits_per_band: int):
@@ -326,11 +336,10 @@ def _band_cols(bits_per_band: int):
 def x_ann_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     dim = emb.select(F.size("embedding")).first()[0]
-    signs = _sign_table(spark, dim)
     u = emb.select("vec_id", _unit(F.col("embedding")).alias("u"))
     bits_per_band = N_PLANES // PLANE_BANDS
     bands = (
-        hyperplane_signatures(u, signs)
+        hyperplane_signatures(u, dim)
         .select("vec_id", F.explode(F.array(*_band_cols(bits_per_band))).alias("bk"))
         .select("vec_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     )

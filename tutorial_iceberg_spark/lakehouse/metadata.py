@@ -84,12 +84,18 @@ class DataFile:
 
 @dataclass
 class DeleteFile:
-    """Equality-delete file for merge-on-read (D15, README.md:1096-1121):
-    rows matching these key values are invisible at read."""
+    """Merge-on-read delete file (D15, README.md:1096-1121), either flavor
+    Iceberg defines:
+
+    - ``content="equality"``: rows matching these key values are invisible
+      at read (``equality_columns`` names the keys).
+    - ``content="position"``: rows at these (file_path, pos) coordinates
+      are invisible at read (``equality_columns`` is empty)."""
 
     path: str
     rows: int
     equality_columns: list[str]
+    content: str = "equality"  # default keeps pre-position metadata readable
 
 
 @dataclass

@@ -214,6 +214,27 @@ def lake_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lake_mor_delete_positional",
+    oracle=f"""
+        SELECT {ORDERS_COLS} FROM orders WHERE o_orderstatus <> 'F'
+    """,
+    doc="D15 merge-on-read delete, POSITION-delete flavor "
+    "(README.md:1096-1121 teaches both kinds): the delete file stores "
+    "(file_path, row_index) coordinates from Spark's _metadata column; "
+    "read applies them as an anti-join on the coordinate — data files "
+    "untouched, no equality key required",
+    tags=("lakehouse",),
+)
+def lake_mor_delete_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _fresh_table(spark, "mor_delete_pos")
+    t.append(load_table(spark, sf_dir, "orders"))
+    t.set_property("write.delete.mode", "merge-on-read")
+    t.set_property("write.delete.flavor", "position")
+    t.delete("o_orderstatus = 'F'")
+    return t.read()
+
+
+@register(
     "lake_partitioned_scan",
     oracle=f"""
         SELECT {ORDERS_COLS} FROM orders

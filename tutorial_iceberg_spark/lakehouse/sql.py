@@ -94,6 +94,28 @@ _META_SUFFIXES = {
     "refs": "refs_df",
 }
 
+# single-quoted SQL string literals ('' = escaped quote): table names inside
+# them are data, never references, so the identifier rewrite must skip them
+_LITERAL = re.compile(r"'(?:[^']|'')*'")
+
+
+def _mask_literals(text: str) -> str:
+    """Blank out quoted spans (length-preserving) so searches cannot hit
+    identifier look-alikes inside string literals."""
+    return _LITERAL.sub(lambda m: "\0" * len(m.group(0)), text)
+
+
+def _sub_skip_literals(pat: re.Pattern, repl, text: str) -> str:
+    """pat.sub applied only OUTSIDE single-quoted string literals."""
+    parts: list[str] = []
+    last = 0
+    for m in _LITERAL.finditer(text):
+        parts.append(pat.sub(repl, text[last : m.start()]))
+        parts.append(m.group(0))
+        last = m.end()
+    parts.append(pat.sub(repl, text[last:]))
+    return "".join(parts)
+
 
 class LakeSQL:
     def __init__(self, spark: SparkSession, catalog: LakeCatalog):
@@ -274,12 +296,15 @@ class LakeSQL:
         for ident in self._known_idents():
             t = self.catalog.load_table(ident)
             for suffix, method in _META_SUFFIXES.items():
+                # (?<![\w.]) left boundary: `db.orders` must not rewrite the
+                # tail of `mydb.orders`; literal masking: nor inside 'quotes'
                 pat = re.compile(
-                    rf"(?:[\w.]+\.)?{re.escape(ident)}\.{suffix}\b", re.IGNORECASE
+                    rf"(?<![\w.])(?:[\w.]+\.)?{re.escape(ident)}\.{suffix}\b",
+                    re.IGNORECASE,
                 )
-                if pat.search(out):
+                if pat.search(_mask_literals(out)):
                     view = self._view(f"{ident}.{suffix}", getattr(t, method)())
-                    out = pat.sub(view, out)
+                    out = _sub_skip_literals(pat, view, out)
 
         def _sub_version(m):
             ident = self._short(m["ident"])
@@ -296,12 +321,14 @@ class LakeSQL:
             ms = int(datetime.fromisoformat(m["ts"]).timestamp() * 1000)
             return self._view(f"{ident}_asof", t.read(as_of_ms=ms))
 
-        out = _VERSION_AS_OF.sub(_sub_version, out)
-        out = _TS_AS_OF.sub(_sub_ts, out)
+        out = _sub_skip_literals(_VERSION_AS_OF, _sub_version, out)
+        out = _sub_skip_literals(_TS_AS_OF, _sub_ts, out)
         for ident in self._known_idents():
-            pat = re.compile(rf"(?:[\w.]+\.)?{re.escape(ident)}\b", re.IGNORECASE)
-            if pat.search(out):
-                out = pat.sub(self._view(ident), out)
+            pat = re.compile(
+                rf"(?<![\w.])(?:[\w.]+\.)?{re.escape(ident)}\b", re.IGNORECASE
+            )
+            if pat.search(_mask_literals(out)):
+                out = _sub_skip_literals(pat, self._view(ident), out)
         return out
 
     def _call(self, proc: str, args_s: str) -> DataFrame | None:

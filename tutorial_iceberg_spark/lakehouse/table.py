@@ -367,7 +367,15 @@ class LakeTable:
     def _empty_df(self, schema: M.Schema) -> DataFrame:
         return self.spark.createDataFrame([], schema.ddl())
 
-    def _read_files(self, md: M.TableMetadata, files: list[M.DataFile]) -> DataFrame:
+    # row coordinate = path suffix from "data/" on: identical between the
+    # position-delete writer and the read-time anti-join by construction
+    @staticmethod
+    def _pos_coord():
+        return F.regexp_extract(F.col("_metadata.file_path"), "(data/.+)$", 1)
+
+    def _read_files(
+        self, md: M.TableMetadata, files: list[M.DataFile], with_pos: bool = False
+    ) -> DataFrame:
         current = md.schema()
         if not files:
             return self._empty_df(current)
@@ -380,6 +388,11 @@ class LakeTable:
             wnames = written.by_id()
             raw = self.spark.read.parquet(*[self._abs(f.path) for f in group])
             cols = []
+            if with_pos:
+                # Spark's per-file metadata column supplies the (file, row)
+                # coordinate executor-side — needed to apply position deletes
+                cols.append(self._pos_coord().alias("__fp"))
+                cols.append(F.col("_metadata.row_index").alias("__pos"))
             for f in current.fields:
                 old = wnames.get(f.id)
                 if old is not None and old.name in raw.columns:
@@ -406,11 +419,20 @@ class LakeTable:
             snap = md.snapshot(snapshot_id)
         if snap is None:
             return self._empty_df(md.schema())
-        df = self._read_files(md, snap.files)
+        has_pos = any(d.content == "position" for d in snap.delete_files)
+        df = self._read_files(md, snap.files, with_pos=has_pos)
         for dfi in snap.delete_files:
             dels = self.spark.read.parquet(self._abs(dfi.path))
-            df = df.join(F.broadcast(dels), on=dfi.equality_columns, how="left_anti")
-        return df
+            if dfi.content == "position":
+                coords = dels.select(
+                    F.col("file_path").alias("__fp"), F.col("pos").alias("__pos")
+                )
+                df = df.join(coords, on=["__fp", "__pos"], how="left_anti")
+            else:
+                df = df.join(
+                    F.broadcast(dels), on=dfi.equality_columns, how="left_anti"
+                )
+        return df.drop("__fp", "__pos") if has_pos else df
 
     def incremental_read(
         self, from_snapshot_id: int, to_snapshot_id: int | None = None
@@ -509,7 +531,10 @@ class LakeTable:
         if snap is None:
             return
         if md.properties.get("write.delete.mode") == "merge-on-read" and not snap.delete_files:
-            self._delete_mor(md, snap, pred_sql)
+            if md.properties.get("write.delete.flavor", "equality") == "position":
+                self._delete_mor_position(md, snap, pred_sql)
+            else:
+                self._delete_mor(md, snap, pred_sql)
             return
         if snap.delete_files:
             # existing MoR deletes: materialize, then full CoW rewrite
@@ -549,6 +574,64 @@ class LakeTable:
             M.DeleteFile(path=p, rows=nrows, equality_columns=eq_cols) for p in dfile_paths
         ]
         self._new_snapshot(md, "delete", list(snap.files), dels, {"mode": "merge-on-read"})
+
+    def _delete_mor_position(
+        self, md: M.TableMetadata, snap: M.Snapshot, pred_sql: str
+    ) -> None:
+        """D15 position-delete flavor (README.md:1096-1121 teaches both MoR
+        delete-file kinds): the delete file stores (file_path, pos) row
+        coordinates instead of key values — the right flavor when no stable
+        equality key exists or the predicate matches many rows per key.
+        Coordinates come from Spark's ``_metadata.row_index`` file column,
+        computed executor-side over manifest-PRUNED candidate files only;
+        the driver never touches row data."""
+        candidates = self._candidates(md, snap, pred_sql)
+        current = md.schema()
+        by_schema: dict[int, list[M.DataFile]] = {}
+        for f in candidates:
+            by_schema.setdefault(f.schema_id, []).append(f)
+        parts: list[DataFrame] = []
+        for sid, group in by_schema.items():
+            wnames = md.schema(sid).by_id()
+            raw = self.spark.read.parquet(*[self._abs(f.path) for f in group])
+            cols = []
+            for f in current.fields:
+                old = wnames.get(f.id)
+                if old is not None and old.name in raw.columns:
+                    cols.append(F.col(old.name).cast(f.type).alias(f.name))
+                else:
+                    cols.append(F.lit(f.initial_default).cast(f.type).alias(f.name))
+            sel = raw.select(
+                self._pos_coord().alias("file_path"),
+                F.col("_metadata.row_index").alias("pos"),
+                *cols,
+            )
+            parts.append(sel.filter(F.expr(pred_sql)).select("file_path", "pos"))
+        if parts:
+            matches = parts[0]
+            for p in parts[1:]:
+                matches = matches.unionByName(p)
+        else:
+            matches = self.spark.createDataFrame([], "file_path string, pos bigint")
+        rel = os.path.join("data", f"pos-delete-{uuid.uuid4().hex[:12]}")
+        matches.write.mode("overwrite").parquet(self._abs(rel))
+        dfile_paths = [
+            os.path.join(rel, n)
+            for n in sorted(os.listdir(self._abs(rel)))
+            if n.endswith(".parquet")
+        ]
+        nrows = self.spark.read.parquet(self._abs(rel)).count()
+        dels = list(snap.delete_files) + [
+            M.DeleteFile(path=p, rows=nrows, equality_columns=[], content="position")
+            for p in dfile_paths
+        ]
+        self._new_snapshot(
+            md,
+            "delete",
+            list(snap.files),
+            dels,
+            {"mode": "merge-on-read", "content": "position-deletes"},
+        )
 
     def update(self, pred_sql: str, set_exprs: dict[str, str]) -> None:
         """D2 UPDATE ... SET ... WHERE — README.md:954-956. Copy-on-write at
@@ -860,6 +943,14 @@ class LakeTable:
         where a lexicographic sort only prunes on its leading column."""
         if sort_by and zorder_by:
             raise ValueError("sort_by and zorder_by are mutually exclusive")
+        if zorder_by and len(zorder_by) * self.ZORDER_BITS >= 64:
+            # bit 63 is the bigint sign bit: an 8th interleaved column would
+            # flip z-address ordering and silently destroy clustering quality
+            raise ValueError(
+                f"zorder_by supports at most {63 // self.ZORDER_BITS} columns "
+                f"({self.ZORDER_BITS} bits each in a 63-bit z-address); "
+                f"got {len(zorder_by)}"
+            )
         md = self.meta
         df = self.read()
         summary: dict = {"op": "compact"}
@@ -909,9 +1000,14 @@ class LakeTable:
         self._commit(md)
         return deleted
 
-    def remove_orphan_files(self) -> list[str]:
+    def remove_orphan_files(self, tmp_grace_s: float = 3600.0) -> list[str]:
         """D14 CALL remove_orphan_files — README.md:1028: files on disk not
-        referenced by any snapshot manifest."""
+        referenced by any snapshot manifest, plus stale ``.tmp-*.json``
+        metadata temp files stranded by a writer that crashed between the
+        temp write and the ``os.link`` CAS (commit_metadata step 2). The
+        grace window keeps an in-flight concurrent commit's temp file safe."""
+        import time
+
         md = self.meta
         referenced = {
             f.path for s in md.snapshots for f in s.files
@@ -925,6 +1021,14 @@ class LakeTable:
                 if n.endswith(".parquet") and rel not in referenced:
                     os.remove(fpath)
                     removed.append(rel)
+        mdir = M.metadata_dir(self.location)
+        now = time.time()
+        for n in os.listdir(mdir):
+            if n.startswith(".tmp-") and n.endswith(".json"):
+                fpath = os.path.join(mdir, n)
+                if now - os.path.getmtime(fpath) > tmp_grace_s:
+                    os.remove(fpath)
+                    removed.append(os.path.relpath(fpath, self.location))
         return removed
 
     # -- D15 properties ----------------------------------------------------------------

@@ -365,21 +365,23 @@ def x_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sig = agg.select("doc_id", "sig")
-    cand = F.broadcast(lsh_candidate_pairs(sig))
+    cand = lsh_candidate_pairs(sig)
     sets = agg.select("doc_id", "hset")
-    # Verification: the shingle-set table is STREAMED (never broadcast,
-    # never shuffled) against the tiny broadcast candidate set — once per
-    # pair side — leaving two candidate-sized intermediates whose final
-    # equi-join is trivial. Candidates << corpus by LSH design; if they
-    # ever approach corpus size the banding parameters are wrong, not the
-    # join strategy.
+    # Verification: plain shuffle equi-joins, NO forced broadcasts. The
+    # candidate-pair table is only "small" when banding parameters are
+    # well-tuned — exactly when a hard broadcast hint is least needed —
+    # and each side-lookup intermediate carries the full per-doc shingle
+    # array, a multi-GB build side at 100 TB. Shuffling on (doc_id) and
+    # then (left_id, right_id) keys partitions both sides evenly; AQE
+    # still converts any join to broadcast at runtime if a side turns
+    # out to actually be small.
     ls_tab = sets.join(cand, sets.doc_id == F.col("left_id")).select(
         "left_id", "right_id", F.col("hset").alias("ls")
     )
     rs_tab = sets.join(cand, sets.doc_id == F.col("right_id")).select(
         "left_id", "right_id", F.col("hset").alias("rs")
     )
-    pairs = ls_tab.join(F.broadcast(rs_tab), ["left_id", "right_id"])
+    pairs = ls_tab.join(rs_tab, ["left_id", "right_id"])
     jac = (
         F.size(F.array_intersect(F.col("ls"), F.col("rs"))).cast("double")
         / F.size(F.array_union(F.col("ls"), F.col("rs")))

@@ -4,10 +4,11 @@ flagged there: a stream-shaped `events` table processed with readStream,
 watermarks, and windowed aggregation).
 
 The registry contract needs a collectable batch DataFrame, so streaming
-queries run with ``trigger(availableNow=True)`` into an in-memory sink and
-return the sink's table: real streaming execution (micro-batch planner,
-stateful window operator, watermark tracking), deterministic final result —
-which makes even the streaming path DuckDB-oracle-checkable.
+queries run with ``trigger(availableNow=True)`` through a parquet spill
+directory (executor-side file sink — never the driver) and return the spill
+read back: real streaming execution (micro-batch planner, stateful window
+operator, watermark tracking), deterministic final result — which makes
+even the streaming path DuckDB-oracle-checkable.
 
 Scale notes: a 1-hour tumbling window keyed by (window, event_type) has
 bounded state (windows x types); the 1-day watermark ages state out. The
@@ -56,30 +57,62 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAM_SHUFFLE_PARTITIONS = 8
 
 
-def run_to_memory(stream_df: DataFrame, mode: str = "complete") -> DataFrame:
-    """Execute a streaming DataFrame to completion (availableNow) into a
-    memory sink; return the sink contents as a batch DataFrame."""
-    name = f"sink_{uuid.uuid4().hex[:12]}"
+def run_stream(stream_df: DataFrame, mode: str = "complete") -> DataFrame:
+    """Execute a streaming DataFrame to completion (availableNow) through a
+    parquet spill directory; return the spill read back as a batch DataFrame.
+
+    Why a file spill and not a memory sink: the memory sink materializes the
+    whole result on the driver, and row-level streaming output (stream-stream
+    join pairs, dedup survivors, per-session rows) is data-sized — at 100 TB
+    that is a driver OOM, not a harness detail. Here every row moves
+    executor-side only: append-mode queries write straight through Spark's
+    transactional file sink; complete-mode aggregations overwrite the spill
+    dir from foreachBatch (batch_df.write runs on executors). The driver only
+    ever sees the paths.
+    """
+    import os
+    import tempfile
+
     spark = stream_df.sparkSession
+    root = os.path.join(
+        tempfile.gettempdir(), "tis_stream_spill", uuid.uuid4().hex[:12]
+    )
+    out_dir = os.path.join(root, "out")
+    chk_dir = os.path.join(root, "_chk")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
     try:
-        q = (
-            stream_df.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(mode)
-            .trigger(availableNow=True)
-            .start()
-        )
+        if mode == "append":
+            # exactly-once transactional file sink (_spark_metadata log)
+            q = (
+                stream_df.writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", chk_dir)
+                .outputMode(mode)
+                .trigger(availableNow=True)
+                .start()
+            )
+        else:
+            # parquet file sinks are append-only; complete/update-mode
+            # aggregations overwrite the spill per micro-batch instead —
+            # the final batch leaves the final answer on disk
+            def _spill(batch_df: DataFrame, batch_id: int) -> None:
+                batch_df.write.mode("overwrite").parquet(out_dir)
+
+            q = (
+                stream_df.writeStream.foreachBatch(_spill)
+                .option("checkpointLocation", chk_dir)
+                .outputMode(mode)
+                .trigger(availableNow=True)
+                .start()
+            )
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    out = spark.table(name)
-    # materialize, then drop the sink's catalog entry so its JVM-held rows
-    # are collectable by GC (repeated streaming runs must not leak heap)
-    out = spark.createDataFrame(out.collect(), out.schema) if out.isStreaming is False else out
-    spark.catalog.dropTempView(name)
-    return out
+    os.makedirs(out_dir, exist_ok=True)  # zero-batch streams spill nothing
+    # explicit schema: an empty spill must still read back with the
+    # stream's exact schema (and skip parquet schema inference entirely)
+    return spark.read.schema(stream_df.schema).parquet(out_dir)
 
 
 @register(
@@ -95,8 +128,9 @@ def run_to_memory(stream_df: DataFrame, mode: str = "complete") -> DataFrame:
         ORDER BY 1, 3
     """,
     doc="Structured Streaming tumbling 1h window x event_type with a 1-day "
-    "watermark, run availableNow into a memory sink — real micro-batch "
-    "stateful execution whose final result hash-matches the batch oracle",
+    "watermark, run availableNow through an executor-side parquet spill — "
+    "real micro-batch stateful execution whose final result hash-matches "
+    "the batch oracle",
     tags=("streaming", "extension"),
 )
 def x_stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -109,7 +143,7 @@ def x_stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count("*").alias("cnt"), F.sum("value").alias("total_value"))
     )
-    out = run_to_memory(agg, mode="complete")
+    out = run_stream(agg, mode="complete")
     return out.select(
         F.col("w.start").cast("timestamp_ntz").alias("window_start"),
         F.col("w.end").cast("timestamp_ntz").alias("window_end"),
@@ -240,7 +274,7 @@ def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return run_to_memory(sessions, mode="append")
+    return run_stream(sessions, mode="append")
 
 
 def close_open_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -322,7 +356,7 @@ def x_stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
         .agg(F.count("*").alias("cnt"), F.sum("value").alias("total_value"))
     )
-    out = run_to_memory(agg, mode="complete")
+    out = run_stream(agg, mode="complete")
     return out.select(
         F.col("w.start").cast("timestamp_ntz").alias("window_start"),
         F.col("w.end").cast("timestamp_ntz").alias("window_end"),
@@ -356,7 +390,7 @@ def x_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("day", F.date_trunc("day", F.col("ts")))
         .dropDuplicatesWithinWatermark(["user_id", "day"])
     )
-    out = run_to_memory(deduped, mode="append")
+    out = run_stream(deduped, mode="append")
     return out.select(
         "user_id", F.col("day").cast("timestamp_ntz").alias("day")
     ).orderBy("user_id", "day")
@@ -390,7 +424,7 @@ def x_stream_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("cnt"), dsum("value", "total_value"))
     )
-    out = run_to_memory(agg, mode="complete")
+    out = run_stream(agg, mode="complete")
     return out.orderBy("c_mktsegment")
 
 
@@ -529,7 +563,7 @@ def x_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.col("c_ts") + F.expr(f"INTERVAL {ATTRIBUTION_WINDOW_MIN} MINUTES")
         ),
     )
-    out = run_to_memory(joined, mode="append")
+    out = run_stream(joined, mode="append")
     return out.select(
         "click_id",
         "purchase_id",
@@ -609,7 +643,7 @@ def x_stream_sessionize_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeMode="none",
     )
-    closed = run_to_memory(sessions, mode="append")
+    closed = run_stream(sessions, mode="append")
     residual = close_open_sessions(spark, sf_dir)
     return closed.unionByName(residual).orderBy("user_id", "session_id")
 
