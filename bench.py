@@ -56,7 +56,11 @@ HEADLINE = (
 # machine's effective speed under whatever hypervisor/noisy-neighbor load
 # exists during THIS bench run; r4 "regressed" 2.03x on byte-identical code,
 # so raw round-over-round totals are not interpretable without it.
-CALIBRATION_REF_SEC = 0.39  # steady-state on the round-5 build host
+# Reference = the probe's deeply-JIT-warmed value on the round-5 build host
+# measured in bench position (after the full warm-up + timed suite), on a
+# quiet machine. A calibration_sec near this => calibrated ~= raw; above it
+# => the run was slowed by external load and the total is scaled down.
+CALIBRATION_REF_SEC = 0.24
 
 
 def run_calibration(spark) -> float:

@@ -284,6 +284,34 @@ def test_position_delete_after_schema_evolution(cat, spark):
     assert regions == {2: "emea", 3: "apac"}
 
 
+def test_merge_prunes_disjoint_target_files(cat, spark):
+    """MERGE must carry over (by reference, no rewrite) every target file
+    whose key min/max cannot overlap the source's key bounds — O(overlap)
+    cost, not O(table)."""
+    t = cat.create_table("db.mp", "k bigint, v string")
+    t.append(spark.range(0, 100).selectExpr("id as k", "'lo' as v"))
+    t.append(spark.range(1000, 1100).selectExpr("id as k", "'hi' as v"))
+    hi_files = {
+        f.path
+        for f in t.meta.snapshot().files
+        if f.stats.get("k") and f.stats["k"][0] >= 1000
+    }
+    assert hi_files, "expected footer stats on k"
+    src = spark.range(0, 50).selectExpr("id as k", "'upd' as v")
+    t.merge(src, on="k")
+    snap = t.meta.snapshot()
+    after = {f.path for f in snap.files}
+    assert hi_files <= after, "disjoint-range files were rewritten"
+    assert snap.summary["untouched-files"] >= len(hi_files)
+    rows = {r["k"]: r["v"] for r in t.read().collect()}
+    assert len(rows) == 200
+    assert rows[0] == "upd" and rows[49] == "upd"
+    assert rows[99] == "lo" and rows[1000] == "hi"
+    # full-sync mode must NOT prune (every target row re-checked)
+    t.merge(src, on="k", when_not_matched_by_source="delete")
+    assert sorted(r["k"] for r in t.read().collect()) == list(range(50))
+
+
 def test_catalog_listings(cat, spark):
     cat.create_table("db.orders", ORDERS_DDL)
     cat.create_table("db.events", "event_id bigint, payload string")

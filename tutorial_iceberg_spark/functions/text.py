@@ -337,20 +337,19 @@ def x_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"),
     )
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df = (
-        tf.groupBy("term")
-        .agg(F.count("*").alias("df"))
+    # df as a window over the tf table: tf rows are unique per (doc, term),
+    # so COUNT(*) OVER (PARTITION BY term) IS the document frequency. One
+    # corpus pass feeds both tf and df — no second aggregation of the
+    # exploded stream and no vocabulary-sized self-join back onto tf (the
+    # former df-join recomputed the whole explode+agg subtree for the
+    # build side). The only broadcast is the 1-row corpus count.
+    wdf = Window.partitionBy("term")
+    wr = Window.partitionBy("doc_id").orderBy(F.desc("tf"), "term")
+    return (
+        tf.withColumn("df", F.count("*").over(wdf))
         .crossJoin(F.broadcast(n_docs))
         .filter(F.col("df") * 2 <= F.col("n_docs"))
-        .drop("n_docs")
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("tf"), "term")
-    # no forced broadcast of df: its size is vocabulary-sized, which is
-    # unbounded on a web corpus (typo tokens). AQE broadcasts it at runtime
-    # when it is actually small; otherwise this is a plain equi-join on term
-    return (
-        tf.join(df, "term")
-        .withColumn("rk", F.row_number().over(w))
+        .withColumn("rk", F.row_number().over(wr))
         .filter(F.col("rk") <= 3)
         .select("doc_id", "term", "tf", "df")
         .orderBy("doc_id", F.desc("tf"), "term")

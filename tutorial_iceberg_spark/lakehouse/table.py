@@ -686,12 +686,19 @@ class LakeTable:
 
         Set semantics: matched target rows are replaced by their source row
         (by-name column assignment); unmatched source rows are inserted.
-        Round-1 scale note: this rewrites the table; the at-scale refinement
-        is pruning target files by the source's key min/max before rewrite.
+
+        Scale: target files whose key min/max stats cannot overlap the
+        source's key bounds are NOT rewritten — they carry over by
+        reference, so MERGE cost is O(files overlapping the source keys),
+        not O(table). A file disjoint from the source's key hull can hold
+        no matched row, and its keys cannot collide with inserts, so both
+        arms are unaffected. Pruning is disabled when
+        ``when_not_matched_by_source='delete'`` (every target row must be
+        re-checked) or when MoR delete files are pending (carried-over
+        files would escape the materialization).
         """
         md = self.meta
         keys = [on] if isinstance(on, str) else list(on)
-        target = self.read()
         src = self._align(source, md.schema())
         if src.select(*keys).distinct().count() != src.count():
             raise ValueError("MERGE source has duplicate join keys (ambiguous match)")
@@ -713,6 +720,48 @@ class LakeTable:
         )
         src_armed = src.filter(cond)  # source rows whose matched arm fires
         src_unarmed = src.filter(~cond)
+
+        snap = md.snapshot()
+        untouched: list[M.DataFile] = []
+        prunable = (
+            when_not_matched_by_source != "delete"
+            and snap is not None
+            and not snap.delete_files
+        )
+        if prunable:
+            bounds = src.agg(
+                *[F.min(k).alias(f"mn_{i}") for i, k in enumerate(keys)],
+                *[F.max(k).alias(f"mx_{i}") for i, k in enumerate(keys)],
+            ).first()
+            current_by_name = {f.name: f.id for f in md.schema().fields}
+            candidates: list[M.DataFile] = []
+            for f in snap.files:
+                written = md.schema(f.schema_id).by_id()
+                may = True
+                for i, k in enumerate(keys):
+                    mn, mx = bounds[f"mn_{i}"], bounds[f"mx_{i}"]
+                    if mn is None:  # empty source: no file can match
+                        may = False
+                        break
+                    fid = current_by_name.get(k)
+                    wname = written[fid].name if fid in written else None
+                    st = f.stats.get(wname) if wname else None
+                    # file range [lo,hi] intersects source hull [mn,mx]
+                    # iff hi >= mn and lo <= mx; unknown stats => candidate
+                    if not (
+                        T.stats_may_match(st, ">=", mn)
+                        and T.stats_may_match(st, "<=", mx)
+                    ):
+                        may = False
+                        break
+                (candidates if may else untouched).append(f)
+            target = (
+                self._read_files(md, candidates)
+                if candidates
+                else self._empty_df(md.schema())
+            )
+        else:
+            target = self.read()
         tkeys = target.select(*keys).distinct()
         parts = []
         if when_not_matched_by_source != "delete":
@@ -731,7 +780,17 @@ class LakeTable:
         for p in parts[1:]:
             result = result.unionByName(p)
         files = self._write_files(self._align(result, md.schema()), md)
-        self._new_snapshot(md, "overwrite", files, [], {"op": "merge"})
+        self._new_snapshot(
+            md,
+            "overwrite",
+            untouched + files,
+            [],
+            {
+                "op": "merge",
+                "rewritten-files": len(snap.files) - len(untouched) if snap else 0,
+                "untouched-files": len(untouched),
+            },
+        )
 
     # -- D5/D6/D7 schema evolution ------------------------------------------
     def _evolve_schema(self, new_fields: list[M.Field]) -> None:
