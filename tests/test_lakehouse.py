@@ -284,6 +284,32 @@ def test_position_delete_after_schema_evolution(cat, spark):
     assert regions == {2: "emea", 3: "apac"}
 
 
+def test_scan_prunes_with_mor_deletes(cat, spark):
+    """scan() must keep manifest pruning when MoR delete files are pending
+    (it previously fell back to a full-table read): deletes only remove
+    rows, so candidate-file reads + delete anti-joins compose soundly."""
+    t = cat.create_table("db.sp", "k bigint, v string")
+    t.append(spark.range(0, 100).selectExpr("id as k", "'a' as v"))
+    t.append(spark.range(1000, 1100).selectExpr("id as k", "'b' as v"))
+    t.set_property("write.delete.mode", "merge-on-read")
+    t.set_property("write.delete.flavor", "position")
+    t.delete("k % 10 = 0")
+    snap = t.meta.snapshot()
+    assert snap.delete_files
+    cand = t._candidates(t.meta, snap, "k >= 1000")
+    assert 0 < len(cand) < len(snap.files), "stats pruning should drop files"
+    got = sorted(r["k"] for r in t.scan("k >= 1000").collect())
+    assert got == [k for k in range(1000, 1100) if k % 10 != 0]
+    # equality flavor composes the same way
+    t2 = cat.create_table("db.sp2", "k bigint, v string")
+    t2.append(spark.range(0, 100).selectExpr("id as k", "'a' as v"))
+    t2.set_property("write.delete.mode", "merge-on-read")
+    t2.set_property("write.delete.equality-columns", "k")
+    t2.delete("k < 10")
+    got2 = sorted(r["k"] for r in t2.scan("k < 20").collect())
+    assert got2 == list(range(10, 20))
+
+
 def test_merge_prunes_disjoint_target_files(cat, spark):
     """MERGE must carry over (by reference, no rewrite) every target file
     whose key min/max cannot overlap the source's key bounds — O(overlap)

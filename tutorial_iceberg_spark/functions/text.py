@@ -293,6 +293,49 @@ def x_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_ngram_topk",
+    oracle=r"""
+        WITH bg AS (
+            SELECT unnest(list_transform(
+                       generate_series(1, greatest(len(w) - 1, 0)),
+                       i -> array_to_string(w[i:i+1], ' '))) AS bigram
+            FROM (SELECT string_split_regex(trim(lower(text)), '\s+') AS w
+                  FROM documents)
+        )
+        SELECT bigram, cnt FROM (
+            SELECT bigram, COUNT(*) AS cnt,
+                   ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, bigram) AS rk
+            FROM bg GROUP BY bigram) t
+        WHERE rk <= 20
+        ORDER BY cnt DESC, bigram
+    """,
+    doc="Corpus-level top-20 bigram census (the n-gram frequency profile a "
+    "cleaning pipeline uses to spot boilerplate): explode -> ONE hash agg "
+    "with map-side partials -> TakeOrderedAndProject (top-k never sorts "
+    "the full vocabulary, and the k-row result is the only thing that "
+    "leaves the executors)",
+    tags=("text", "extension"),
+)
+def x_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    w = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.concat_ws(" ", F.slice(w, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "bigram")
+        .limit(20)
+    )
+
+
+@register(
     "x_keyword_extract",
     oracle=r"""
         WITH tok AS (

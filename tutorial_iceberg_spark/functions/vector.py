@@ -138,6 +138,77 @@ def x_knn_brute_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x_embed_quantize",
+    oracle=f"""
+        WITH d AS (
+            SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ), s AS (
+            SELECT vec_id, label, e,
+                   list_min(e) AS mn, list_max(e) AS mx
+            FROM d
+        ), q AS (
+            SELECT vec_id, label, e, mn, mx,
+                   list_transform(e, v -> CASE WHEN mx = mn THEN 0
+                       ELSE CAST(floor(((v - mn) / (mx - mn)) * 255) AS BIGINT)
+                       END) AS qv
+            FROM s
+        ), r AS (
+            SELECT vec_id, label, mn, mx,
+                   list_min(qv) AS q_min, list_max(qv) AS q_max,
+                   list_aggregate(list_transform(list_zip(e, qv),
+                       z -> abs(z[1] - (mn + (z[2] * (mx - mn)) / 255))),
+                       'sum') AS sum_abs_err
+            FROM q
+        )
+        SELECT vec_id, label, mn, mx, q_min, q_max, sum_abs_err
+        FROM r ORDER BY vec_id
+    """,
+    doc="Int8 embedding quantization (per-vector min/max affine scale to "
+    "[0,255]) + bit-exact reconstruction-error accounting — the 4x "
+    "storage/bandwidth cut that makes 100 TB ANN shards fit in memory. "
+    "One narrow map over the table: zero shuffle, zero UDF; floor() and "
+    "the sequential float64 error fold are deterministic cross-engine",
+    tags=("vector", "extension"),
+)
+def x_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    d = emb.select("vec_id", "label", e.alias("e"))
+    s = d.select(
+        "vec_id", "label", "e",
+        F.array_min("e").alias("mn"), F.array_max("e").alias("mx"),
+    )
+    mn, mx = F.col("mn"), F.col("mx")
+    qv = F.transform(
+        F.col("e"),
+        lambda v: F.when(mx == mn, F.lit(0).cast("bigint")).otherwise(
+            F.floor(((v - mn) / (mx - mn)) * 255)
+        ),
+    )
+    q = s.select("vec_id", "label", "e", "mn", "mx", qv.alias("qv"))
+    err = F.aggregate(
+        F.zip_with(
+            F.col("e"),
+            F.col("qv"),
+            lambda v, b: F.abs(v - (mn + (b * (mx - mn)) / 255)),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return q.select(
+        "vec_id",
+        "label",
+        "mn",
+        "mx",
+        F.array_min("qv").alias("q_min"),
+        F.array_max("qv").alias("q_max"),
+        err.alias("sum_abs_err"),
+    ).orderBy("vec_id")
+
+
 # ---------------------------------------------------------------------------
 # IVF: spherical k-means coarse quantizer (C cells, few Lloyd iterations)
 # + nprobe-cell probing. The scale path: each query scores only ~nprobe/C

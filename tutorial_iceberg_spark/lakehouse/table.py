@@ -419,8 +419,18 @@ class LakeTable:
             snap = md.snapshot(snapshot_id)
         if snap is None:
             return self._empty_df(md.schema())
+        return self._read_snapshot(md, snap, snap.files)
+
+    def _read_snapshot(
+        self, md: M.TableMetadata, snap: M.Snapshot, files: list[M.DataFile]
+    ) -> DataFrame:
+        """Read a subset of a snapshot's data files with its MoR delete
+        files applied. Sound under pruning: deletes only REMOVE rows, so
+        applying them to any file subset never resurrects anything —
+        position coordinates for unread files simply find no match, and
+        equality keys anti-join whatever subset is present."""
         has_pos = any(d.content == "position" for d in snap.delete_files)
-        df = self._read_files(md, snap.files, with_pos=has_pos)
+        df = self._read_files(md, files, with_pos=has_pos)
         for dfi in snap.delete_files:
             dels = self.spark.read.parquet(self._abs(dfi.path))
             if dfi.content == "position":
@@ -488,10 +498,12 @@ class LakeTable:
         snap = md.snapshot()
         if snap is None:
             return self._empty_df(md.schema())
-        files = snap.files
-        if pred_sql and not snap.delete_files:
-            files = self._candidates(md, snap, pred_sql)
-        df = self._read_files(md, files) if not snap.delete_files else self.read()
+        # pruning composes with MoR deletes: deletes only remove rows, so
+        # reading just the candidate files and then anti-joining the delete
+        # files is exactly the full read filtered (a pruned-out file can
+        # contain no matching row, deleted or not)
+        files = self._candidates(md, snap, pred_sql) if pred_sql else snap.files
+        df = self._read_snapshot(md, snap, files)
         return df.filter(F.expr(pred_sql)) if pred_sql else df
 
     def _candidates(
