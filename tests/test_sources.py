@@ -94,3 +94,30 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     assert "Exchange" not in below_join, below_join
     rows = df.collect()
     assert len(rows) == 5  # order priorities
+
+
+def test_jdbc_roundtrip_partitioned_read(spark, sf_dir):
+    """S8: the JDBC reader must fan the scan across numPartitions
+    concurrent connections (un-partitioned JDBC = one connection pulling
+    the whole table), and the roundtrip must preserve rows exactly."""
+    from pyspark.sql import functions as F
+
+    from tutorial_iceberg_spark.sources import jdbc as J
+
+    url = J._embedded_derby_url(spark)
+    sub = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 11 == 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    J.write_jdbc(sub, url, "t_rt", driver=J.DERBY_DRIVER)
+    hi = sub.agg(F.max("o_orderkey")).first()[0]
+    back = J.read_jdbc(
+        spark, url, "t_rt",
+        partition_column="o_orderkey", lower_bound=0,
+        upper_bound=int(hi) + 1, num_partitions=4, driver=J.DERBY_DRIVER,
+    )
+    assert back.rdd.getNumPartitions() == 4
+    want = sorted(map(tuple, sub.collect()))
+    got = sorted(map(tuple, back.collect()))
+    assert got == want

@@ -65,6 +65,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from tutorial_iceberg_spark.sources import bucketing  # noqa: F401
     from tutorial_iceberg_spark.sources import sinks  # noqa: F401
     from tutorial_iceberg_spark.sources import generator  # noqa: F401
+    from tutorial_iceberg_spark.sources import jdbc  # noqa: F401
     from tutorial_iceberg_spark.sources import parquet_meta  # noqa: F401
     from tutorial_iceberg_spark.lakehouse import queries as lake_queries  # noqa: F401
     from tutorial_iceberg_spark.streaming import events_stream  # noqa: F401
