@@ -265,6 +265,42 @@ def test_merge_on_read_position_delete(cat, spark):
     assert sorted(r["order_id"] for r in t.read().collect()) == [2, 3]
 
 
+def test_merge_on_read_deletion_vector(cat, spark):
+    """V3 deletion-vector flavor: ONE bitmap row per touched file, same
+    visible result as the other flavors, bit test exact at word edges."""
+    t = cat.create_table("db.dv", "k bigint, v string")
+    # 130 rows in one append: positions cross the 64-bit word boundary
+    t.append(
+        spark.range(0, 130, 1, 1).selectExpr("id as k", "'x' as v")
+    )
+    t.set_property("write.delete.mode", "merge-on-read")
+    t.set_property("write.delete.flavor", "vector")
+    files_before = [f.path for f in t.meta.snapshot().files]
+    # delete positions 0, 63, 64, 127, 128 via key (single sorted file:
+    # row position == k) — exercises word 0/1/2 and both edge bits
+    t.delete("k IN (0, 63, 64, 127, 128)")
+    snap = t.meta.snapshot()
+    assert [f.path for f in snap.files] == files_before  # no rewrite
+    assert snap.delete_files and all(
+        d.content == "vector" for d in snap.delete_files
+    )
+    assert sum(d.rows for d in snap.delete_files) == 5
+    got = sorted(r["k"] for r in t.read().collect())
+    assert got == [k for k in range(130) if k not in (0, 63, 64, 127, 128)]
+    # the DV parquet holds ONE row for the one touched file
+    import os as _os
+
+    dv_rows = sum(
+        spark.read.parquet(_os.path.join(t.location, d.path)).count()
+        for d in snap.delete_files
+    )
+    assert dv_rows == 1
+    # compaction resolves deletion vectors into plain files
+    t.compact()
+    assert not t.meta.snapshot().delete_files
+    assert sorted(r["k"] for r in t.read().collect()) == got
+
+
 def test_position_delete_after_schema_evolution(cat, spark):
     """Position deletes must target rows correctly even when candidate
     files were written under an older schema (rename + added column)."""

@@ -84,13 +84,16 @@ class DataFile:
 
 @dataclass
 class DeleteFile:
-    """Merge-on-read delete file (D15, README.md:1096-1121), either flavor
+    """Merge-on-read delete file (D15, README.md:1096-1121), any flavor
     Iceberg defines:
 
     - ``content="equality"``: rows matching these key values are invisible
       at read (``equality_columns`` names the keys).
     - ``content="position"``: rows at these (file_path, pos) coordinates
-      are invisible at read (``equality_columns`` is empty)."""
+      are invisible at read (``equality_columns`` is empty).
+    - ``content="vector"``: V3 deletion vectors — one bitmap of deleted
+      positions per touched data file (README.md:1096-1110's
+      "ビットマップ形式で削除情報を保持"), applied as a bit test at read."""
 
     path: str
     rows: int

@@ -235,6 +235,27 @@ def lake_mor_delete_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lake_mor_delete_vector",
+    oracle=f"""
+        SELECT {ORDERS_COLS} FROM orders WHERE o_orderstatus <> 'F'
+    """,
+    doc="D15 merge-on-read delete, DELETION-VECTOR flavor (Iceberg V3, "
+    "README.md:1096-1110): one bitmap of deleted row positions per "
+    "touched data file; read applies a branch-free bit test after a "
+    "file-keyed join — the delete file is one row per FILE (~rows/8 "
+    "bytes), not one row per deleted row",
+    tags=("lakehouse",),
+)
+def lake_mor_delete_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _fresh_table(spark, "mor_delete_dv")
+    t.append(load_table(spark, sf_dir, "orders"))
+    t.set_property("write.delete.mode", "merge-on-read")
+    t.set_property("write.delete.flavor", "vector")
+    t.delete("o_orderstatus = 'F'")
+    return t.read()
+
+
+@register(
     "lake_partitioned_scan",
     oracle=f"""
         SELECT {ORDERS_COLS} FROM orders

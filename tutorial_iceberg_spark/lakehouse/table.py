@@ -429,7 +429,9 @@ class LakeTable:
         applying them to any file subset never resurrects anything —
         position coordinates for unread files simply find no match, and
         equality keys anti-join whatever subset is present."""
-        has_pos = any(d.content == "position" for d in snap.delete_files)
+        has_pos = any(
+            d.content in ("position", "vector") for d in snap.delete_files
+        )
         df = self._read_files(md, files, with_pos=has_pos)
         for dfi in snap.delete_files:
             dels = self.spark.read.parquet(self._abs(dfi.path))
@@ -438,6 +440,30 @@ class LakeTable:
                     F.col("file_path").alias("__fp"), F.col("pos").alias("__pos")
                 )
                 df = df.join(coords, on=["__fp", "__pos"], how="left_anti")
+            elif dfi.content == "vector":
+                # one bitmap row per touched file: left-join on the file
+                # key (AQE broadcasts the small side), then a branch-free
+                # codegen bit test — rows from untouched files see a NULL
+                # bitmap and pass through
+                dv = dels.select(
+                    F.col("file_path").alias("__fp"),
+                    F.col("words").alias("__dv_words"),
+                )
+                # try_element_at: positions past the bitmap's last word are
+                # out of range => NULL => row kept (ANSI-safe); arithmetic
+                # shiftright is bit-correct for bit 63 because &1 keeps
+                # only the landed bit regardless of sign fill
+                kept = F.expr(
+                    "__dv_words IS NULL OR "
+                    "try_element_at(__dv_words, CAST(__pos DIV 64 AS INT) + 1) "
+                    "IS NULL OR "
+                    "(shiftright(try_element_at(__dv_words, "
+                    "CAST(__pos DIV 64 AS INT) + 1), "
+                    "CAST(__pos % 64 AS INT)) & 1) = 0"
+                )
+                df = df.join(dv, on="__fp", how="left").filter(kept).drop(
+                    "__dv_words"
+                )
             else:
                 df = df.join(
                     F.broadcast(dels), on=dfi.equality_columns, how="left_anti"
@@ -543,8 +569,11 @@ class LakeTable:
         if snap is None:
             return
         if md.properties.get("write.delete.mode") == "merge-on-read" and not snap.delete_files:
-            if md.properties.get("write.delete.flavor", "equality") == "position":
+            flavor = md.properties.get("write.delete.flavor", "equality")
+            if flavor == "position":
                 self._delete_mor_position(md, snap, pred_sql)
+            elif flavor == "vector":
+                self._delete_mor_vector(md, snap, pred_sql)
             else:
                 self._delete_mor(md, snap, pred_sql)
             return
@@ -643,6 +672,107 @@ class LakeTable:
             list(snap.files),
             dels,
             {"mode": "merge-on-read", "content": "position-deletes"},
+        )
+
+    def _delete_mor_vector(
+        self, md: M.TableMetadata, snap: M.Snapshot, pred_sql: str
+    ) -> None:
+        """D15 deletion-vector flavor (Iceberg V3, README.md:1096-1121):
+        ONE row per touched data file holding a bitmap of deleted row
+        positions (array of int64 words). vs the position-list flavor, the
+        delete file shrinks from one row per deleted ROW to one row per
+        touched FILE (~rows/8 bytes of bitmap), and the read side becomes
+        a file-keyed join + branch-free bit test instead of a
+        per-coordinate anti-join. Matching positions are computed
+        executor-side over manifest-pruned candidates; bitmap packing is
+        one Arrow pass per file group."""
+        candidates = self._candidates(md, snap, pred_sql)
+        current = md.schema()
+        by_schema: dict[int, list[M.DataFile]] = {}
+        for f in candidates:
+            by_schema.setdefault(f.schema_id, []).append(f)
+        parts: list[DataFrame] = []
+        for sid, group in by_schema.items():
+            wnames = md.schema(sid).by_id()
+            raw = self.spark.read.parquet(*[self._abs(f.path) for f in group])
+            cols = []
+            for f in current.fields:
+                old = wnames.get(f.id)
+                if old is not None and old.name in raw.columns:
+                    cols.append(F.col(old.name).cast(f.type).alias(f.name))
+                else:
+                    cols.append(F.lit(f.initial_default).cast(f.type).alias(f.name))
+            sel = raw.select(
+                self._pos_coord().alias("file_path"),
+                F.col("_metadata.row_index").alias("pos"),
+                *cols,
+            )
+            parts.append(sel.filter(F.expr(pred_sql)).select("file_path", "pos"))
+        if parts:
+            matches = parts[0]
+            for p in parts[1:]:
+                matches = matches.unionByName(p)
+
+            def _pack(batches):
+                import numpy as np
+                import pandas as pd
+
+                # accumulate across Arrow batches: a file's rows may split
+                # over batches within the partition, and a file must emit
+                # exactly ONE bitmap row (the repartition above guarantees
+                # per-file locality, not per-batch)
+                acc: dict[str, list] = {}
+                for pdf in batches:
+                    for fp, grp in pdf.groupby("file_path"):
+                        acc.setdefault(fp, []).append(grp["pos"].to_numpy())
+                out = []
+                for fp, chunks in acc.items():
+                    pos = np.concatenate(chunks)
+                    words = np.zeros(int(pos.max()) // 64 + 1, dtype=np.uint64)
+                    np.bitwise_or.at(
+                        words,
+                        pos // 64,
+                        np.uint64(1) << (pos % 64).astype(np.uint64),
+                    )
+                    out.append((fp, words.view(np.int64), len(pos)))
+                if out:
+                    yield pd.DataFrame(
+                        out, columns=["file_path", "words", "cardinality"]
+                    )
+
+            vectors = (
+                matches.repartition("file_path")
+                .mapInPandas(
+                    _pack,
+                    "file_path string, words array<bigint>, cardinality bigint",
+                )
+            )
+        else:
+            vectors = self.spark.createDataFrame(
+                [], "file_path string, words array<bigint>, cardinality bigint"
+            )
+        rel = os.path.join("data", f"dv-{uuid.uuid4().hex[:12]}")
+        vectors.write.mode("overwrite").parquet(self._abs(rel))
+        dfile_paths = [
+            os.path.join(rel, n)
+            for n in sorted(os.listdir(self._abs(rel)))
+            if n.endswith(".parquet")
+        ]
+        nrows = (
+            self.spark.read.parquet(self._abs(rel))
+            .agg(F.coalesce(F.sum("cardinality"), F.lit(0)))
+            .first()[0]
+        )
+        dels = list(snap.delete_files) + [
+            M.DeleteFile(path=p, rows=int(nrows), equality_columns=[], content="vector")
+            for p in dfile_paths
+        ]
+        self._new_snapshot(
+            md,
+            "delete",
+            list(snap.files),
+            dels,
+            {"mode": "merge-on-read", "content": "deletion-vectors"},
         )
 
     def update(self, pred_sql: str, set_exprs: dict[str, str]) -> None:
