@@ -137,6 +137,39 @@ def test_show_and_describe(lsql):
     assert desc["region"]["initial_default"] == "unknown"
 
 
+def test_v3_variant_sql_sequence(lsql, spark):
+    """Replay the reference's V3 VARIANT SQL (README.md:1128-1152): CREATE
+    with a VARIANT column, INSERT PARSE_JSON literals, dot-path-style
+    access — through the LakeSQL router on the lakehouse."""
+    lsql.sql("""
+        CREATE TABLE demo.db.events (
+            event_id BIGINT,
+            payload VARIANT
+        ) USING iceberg
+    """)
+    lsql.sql("""
+        INSERT INTO demo.db.events VALUES
+            (1, PARSE_JSON('{"action": "click", "target": "button1", "metadata": {"version": 2}}')),
+            (2, PARSE_JSON('{"action": "purchase", "item_id": 12345, "price": 99.99}'))
+    """)
+    rows = {
+        r["event_id"]: r
+        for r in lsql.sql(
+            "SELECT event_id, "
+            "variant_get(payload, '$.action', 'string') AS action, "
+            "variant_get(payload, '$.metadata.version', 'int') AS version "
+            "FROM demo.db.events"
+        ).collect()
+    }
+    assert rows[1]["action"] == "click" and rows[1]["version"] == 2
+    assert rows[2]["action"] == "purchase" and rows[2]["version"] is None
+    got = lsql.sql(
+        "SELECT event_id FROM demo.db.events "
+        "WHERE variant_get(payload, '$.action', 'string') = 'purchase'"
+    ).collect()
+    assert [r["event_id"] for r in got] == [2]
+
+
 def test_identifier_rewrite_respects_boundaries_and_literals(lsql, spark):
     """Regression: the read-rewrite must not touch (a) a LONGER identifier
     that merely ends with a known table name, or (b) a table name quoted

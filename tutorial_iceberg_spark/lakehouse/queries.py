@@ -31,10 +31,12 @@ ORDERS_DDL = (
 ORDERS_COLS = "o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority"
 
 
-def _fresh_table(spark: SparkSession, name: str, **kwargs) -> LakeTable:
+def _fresh_table(
+    spark: SparkSession, name: str, ddl: str = ORDERS_DDL, **kwargs
+) -> LakeTable:
     wh = os.path.join(tempfile.gettempdir(), "tis_lake", name, uuid.uuid4().hex[:8])
     os.makedirs(wh, exist_ok=True)
-    return LakeTable.create(spark, os.path.join(wh, "t"), ORDERS_DDL, name=name, **kwargs)
+    return LakeTable.create(spark, os.path.join(wh, "t"), ddl, name=name, **kwargs)
 
 
 def _orders_mod(spark: SparkSession, sf_dir: str, k: int, *residues: int) -> DataFrame:
@@ -232,6 +234,44 @@ def lake_mor_delete_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.set_property("write.delete.flavor", "position")
     t.delete("o_orderstatus = 'F'")
     return t.read()
+
+
+@register(
+    "lake_variant_roundtrip",
+    oracle="""
+        SELECT CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS bucket,
+               COUNT(*) AS cnt,
+               CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT)
+                   AS total_k
+        FROM events
+        GROUP BY 1 ORDER BY 1
+    """,
+    doc="V3 VARIANT stored IN the lakehouse (README.md:1128-1145): CREATE "
+    "TABLE with a VARIANT column, append PARSE_JSON snapshots, read back "
+    "and aggregate typed variant_get extractions. pyarrow cannot parse "
+    "VARIANT parquet footers, so manifest stats degrade gracefully for "
+    "such files (fully readable, just no pruning on that column)",
+    tags=("lakehouse", "variant"),
+)
+def lake_variant_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _fresh_table(
+        spark, "variant_rt", ddl="event_id bigint, payload variant"
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.parse_json("props").alias("payload")
+    )
+    t.append(ev)
+    k = F.variant_get(F.col("payload"), "$.k", "int")
+    return (
+        t.read()
+        .select(k.alias("k"))
+        .groupBy((F.col("k") % 10).alias("bucket"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("k").cast("bigint").alias("total_k"),
+        )
+        .orderBy("bucket")
+    )
 
 
 @register(

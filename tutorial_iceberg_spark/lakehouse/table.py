@@ -143,31 +143,41 @@ class LakeTable:
                     if "=" in part:
                         k, v = part.split("=", 1)
                         partition[k.removeprefix("_p_")] = v
-                meta = pq.ParquetFile(fpath).metadata
                 stats: dict[str, list] = {}
-                for rg in range(meta.num_row_groups):
-                    g = meta.row_group(rg)
-                    for ci in range(g.num_columns):
-                        col = g.column(ci)
-                        try:
-                            st = col.statistics
-                            if st is None or not st.has_min_max:
+                try:
+                    meta = pq.ParquetFile(fpath).metadata
+                    nrows = meta.num_rows
+                    for rg in range(meta.num_row_groups):
+                        g = meta.row_group(rg)
+                        for ci in range(g.num_columns):
+                            col = g.column(ci)
+                            try:
+                                st = col.statistics
+                                if st is None or not st.has_min_max:
+                                    continue
+                                lo, hi = _json_safe(st.min), _json_safe(st.max)
+                            except Exception:
+                                # pyarrow can't surface stats for every
+                                # physical type (e.g. decimals); planning
+                                # just won't prune on those columns
                                 continue
-                            lo, hi = _json_safe(st.min), _json_safe(st.max)
-                        except Exception:
-                            # pyarrow can't surface stats for every physical
-                            # type (e.g. decimals); planning just won't prune
-                            # on those columns
-                            continue
-                        cur = stats.get(col.path_in_schema)
-                        if cur is None:
-                            stats[col.path_in_schema] = [lo, hi]
-                        else:
-                            stats[col.path_in_schema] = [min(cur[0], lo), max(cur[1], hi)]
+                            cur = stats.get(col.path_in_schema)
+                            if cur is None:
+                                stats[col.path_in_schema] = [lo, hi]
+                            else:
+                                stats[col.path_in_schema] = [
+                                    min(cur[0], lo), max(cur[1], hi),
+                                ]
+                except Exception:
+                    # pyarrow rejects footers with logical types it doesn't
+                    # know (Spark's VARIANT); count via Spark instead and
+                    # carry no column stats — the file is still fully
+                    # readable, it just never prunes
+                    nrows = self.spark.read.parquet(fpath).count()
                 files.append(
                     M.DataFile(
                         path=rel,
-                        rows=meta.num_rows,
+                        rows=nrows,
                         bytes=os.path.getsize(fpath),
                         schema_id=md.current_schema_id,
                         spec_id=md.current_spec_id,
