@@ -265,6 +265,34 @@ def test_merge_on_read_position_delete(cat, spark):
     assert sorted(r["order_id"] for r in t.read().collect()) == [2, 3]
 
 
+def test_merge_on_read_update(cat, spark):
+    """MoR UPDATE: matched rows position-deleted from their original files
+    and re-appended updated, in ONE snapshot; no candidate file rewritten."""
+    t = cat.create_table("db.um", ORDERS_DDL)
+    t.append(seed_df(spark))
+    t.set_property("write.update.mode", "merge-on-read")
+    files_before = [f.path for f in t.meta.snapshot().files]
+    t.update("customer_id = 101", {"amount": "amount * 2"})
+    snap = t.meta.snapshot()
+    paths = [f.path for f in snap.files]
+    assert set(files_before) <= set(paths)  # originals carried by reference
+    assert len(paths) > len(files_before)  # plus appended updated rows
+    assert snap.delete_files and all(
+        d.content == "position" for d in snap.delete_files
+    )
+    rows = {r["order_id"]: float(r["amount"]) for r in t.read().collect()}
+    assert len(rows) == 4  # no duplicates: old versions masked by deletes
+    base = {r["order_id"]: float(r["amount"]) for r in seed_df(spark).collect()}
+    for oid, amt in base.items():
+        want = amt * 2 if oid in (1, 4) else amt  # customer 101 = orders 1,4
+        assert abs(rows[oid] - want) < 1e-9, (oid, rows[oid], want)
+    # a second update (delete files pending) falls back to materialize
+    t.update("order_id = 2", {"amount": "amount + 1"})
+    rows2 = {r["order_id"]: float(r["amount"]) for r in t.read().collect()}
+    assert abs(rows2[2] - (base[2] + 1)) < 1e-9
+    assert not t.meta.snapshot().delete_files  # materialized
+
+
 def test_merge_on_read_deletion_vector(cat, spark):
     """V3 deletion-vector flavor: ONE bitmap row per touched file, same
     visible result as the other flavors, bit test exact at word edges."""

@@ -80,6 +80,29 @@ def lake_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lake_update_mor",
+    oracle=f"""
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 1.1
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders
+    """,
+    doc="D2 UPDATE under write.update.mode=merge-on-read: one snapshot "
+    "position-deletes the matched rows and appends their updated versions "
+    "- write cost O(matched rows), no candidate file rewritten (the MoR "
+    "extension of README.md:1112-1121's delete-mode property)",
+    tags=("lakehouse",),
+)
+def lake_update_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _fresh_table(spark, "update_mor")
+    t.append(load_table(spark, sf_dir, "orders"))
+    t.set_property("write.update.mode", "merge-on-read")
+    t.update("o_orderstatus = 'O'", {"o_totalprice": "o_totalprice * 1.1"})
+    return t.read()
+
+
+@register(
     "lake_delete",
     oracle=f"""
         SELECT {ORDERS_COLS} FROM orders WHERE o_orderpriority <> '1-URGENT'

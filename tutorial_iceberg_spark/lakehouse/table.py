@@ -626,17 +626,15 @@ class LakeTable:
         ]
         self._new_snapshot(md, "delete", list(snap.files), dels, {"mode": "merge-on-read"})
 
-    def _delete_mor_position(
-        self, md: M.TableMetadata, snap: M.Snapshot, pred_sql: str
-    ) -> None:
-        """D15 position-delete flavor (README.md:1096-1121 teaches both MoR
-        delete-file kinds): the delete file stores (file_path, pos) row
-        coordinates instead of key values — the right flavor when no stable
-        equality key exists or the predicate matches many rows per key.
-        Coordinates come from Spark's ``_metadata.row_index`` file column,
-        computed executor-side over manifest-PRUNED candidate files only;
-        the driver never touches row data."""
-        candidates = self._candidates(md, snap, pred_sql)
+    def _matched_coords(
+        self, md: M.TableMetadata, candidates: list[M.DataFile], pred_sql: str
+    ) -> DataFrame | None:
+        """(file_path, pos, *current-schema columns) for rows matching
+        ``pred_sql`` inside the candidate files — the shared first stage of
+        every coordinate-based MoR write path. Coordinates come from
+        Spark's ``_metadata.row_index`` file column, computed executor-side
+        over manifest-PRUNED candidates only; the driver never touches row
+        data. Returns None when there are no candidate files."""
         current = md.schema()
         by_schema: dict[int, list[M.DataFile]] = {}
         for f in candidates:
@@ -657,21 +655,42 @@ class LakeTable:
                 F.col("_metadata.row_index").alias("pos"),
                 *cols,
             )
-            parts.append(sel.filter(F.expr(pred_sql)).select("file_path", "pos"))
-        if parts:
-            matches = parts[0]
-            for p in parts[1:]:
-                matches = matches.unionByName(p)
-        else:
-            matches = self.spark.createDataFrame([], "file_path string, pos bigint")
+            parts.append(sel.filter(F.expr(pred_sql)))
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _write_position_delete(self, matches: DataFrame) -> tuple[list[str], int]:
+        """Write a (file_path, pos) coordinate parquet; returns (paths, rows)."""
         rel = os.path.join("data", f"pos-delete-{uuid.uuid4().hex[:12]}")
         matches.write.mode("overwrite").parquet(self._abs(rel))
-        dfile_paths = [
+        paths = [
             os.path.join(rel, n)
             for n in sorted(os.listdir(self._abs(rel)))
             if n.endswith(".parquet")
         ]
         nrows = self.spark.read.parquet(self._abs(rel)).count()
+        return paths, nrows
+
+    def _delete_mor_position(
+        self, md: M.TableMetadata, snap: M.Snapshot, pred_sql: str
+    ) -> None:
+        """D15 position-delete flavor (README.md:1096-1121 teaches both MoR
+        delete-file kinds): the delete file stores (file_path, pos) row
+        coordinates instead of key values — the right flavor when no stable
+        equality key exists or the predicate matches many rows per key."""
+        coords = self._matched_coords(
+            md, self._candidates(md, snap, pred_sql), pred_sql
+        )
+        matches = (
+            coords.select("file_path", "pos")
+            if coords is not None
+            else self.spark.createDataFrame([], "file_path string, pos bigint")
+        )
+        dfile_paths, nrows = self._write_position_delete(matches)
         dels = list(snap.delete_files) + [
             M.DeleteFile(path=p, rows=nrows, equality_columns=[], content="position")
             for p in dfile_paths
@@ -696,32 +715,11 @@ class LakeTable:
         per-coordinate anti-join. Matching positions are computed
         executor-side over manifest-pruned candidates; bitmap packing is
         one Arrow pass per file group."""
-        candidates = self._candidates(md, snap, pred_sql)
-        current = md.schema()
-        by_schema: dict[int, list[M.DataFile]] = {}
-        for f in candidates:
-            by_schema.setdefault(f.schema_id, []).append(f)
-        parts: list[DataFrame] = []
-        for sid, group in by_schema.items():
-            wnames = md.schema(sid).by_id()
-            raw = self.spark.read.parquet(*[self._abs(f.path) for f in group])
-            cols = []
-            for f in current.fields:
-                old = wnames.get(f.id)
-                if old is not None and old.name in raw.columns:
-                    cols.append(F.col(old.name).cast(f.type).alias(f.name))
-                else:
-                    cols.append(F.lit(f.initial_default).cast(f.type).alias(f.name))
-            sel = raw.select(
-                self._pos_coord().alias("file_path"),
-                F.col("_metadata.row_index").alias("pos"),
-                *cols,
-            )
-            parts.append(sel.filter(F.expr(pred_sql)).select("file_path", "pos"))
-        if parts:
-            matches = parts[0]
-            for p in parts[1:]:
-                matches = matches.unionByName(p)
+        coords = self._matched_coords(
+            md, self._candidates(md, snap, pred_sql), pred_sql
+        )
+        if coords is not None:
+            matches = coords.select("file_path", "pos")
 
             def _pack(batches):
                 import numpy as np
@@ -787,10 +785,20 @@ class LakeTable:
 
     def update(self, pred_sql: str, set_exprs: dict[str, str]) -> None:
         """D2 UPDATE ... SET ... WHERE — README.md:954-956. Copy-on-write at
-        file granularity: untouched files carry over by reference."""
+        file granularity by default (untouched files carry over by
+        reference); ``write.update.mode=merge-on-read`` switches to a
+        position-delete + append commit whose write cost is O(matched
+        rows), not O(candidate files) — the MoR extension of the
+        reference's delete-mode property (README.md:1112-1121)."""
         md = self.meta
         snap = md.snapshot()
         if snap is None:
+            return
+        if (
+            md.properties.get("write.update.mode") == "merge-on-read"
+            and not snap.delete_files
+        ):
+            self._update_mor(md, snap, pred_sql, set_exprs)
             return
         pred = F.expr(pred_sql)
 
@@ -813,6 +821,46 @@ class LakeTable:
         self._new_snapshot(
             md, "overwrite", untouched + rewritten,
             summary={"mode": "copy-on-write", "rewritten-files": len(candidates)},
+        )
+
+    def _update_mor(
+        self,
+        md: M.TableMetadata,
+        snap: M.Snapshot,
+        pred_sql: str,
+        set_exprs: dict[str, str],
+    ) -> None:
+        """Merge-on-read UPDATE: ONE snapshot that position-deletes the
+        matched rows from their original files AND appends their updated
+        versions as new files. No candidate file is rewritten — the write
+        is O(matched rows). Coordinates target only the ORIGINAL files, so
+        the appended rows are untouched by the delete at read."""
+        coords = self._matched_coords(
+            md, self._candidates(md, snap, pred_sql), pred_sql
+        )
+        if coords is None:
+            self._new_snapshot(
+                md, "overwrite", list(snap.files), list(snap.delete_files),
+                {"mode": "merge-on-read", "op": "update", "matched": 0},
+            )
+            return
+        dfile_paths, nrows = self._write_position_delete(
+            coords.select("file_path", "pos")
+        )
+        updated = coords.drop("file_path", "pos").withColumns(
+            {c: F.expr(e) for c, e in set_exprs.items()}
+        )
+        new_files = self._write_files(self._align(updated, md.schema()), md)
+        dels = list(snap.delete_files) + [
+            M.DeleteFile(path=p, rows=nrows, equality_columns=[], content="position")
+            for p in dfile_paths
+        ]
+        self._new_snapshot(
+            md,
+            "overwrite",
+            list(snap.files) + new_files,
+            dels,
+            {"mode": "merge-on-read", "op": "update", "matched": nrows},
         )
 
     # -- D4 MERGE INTO -------------------------------------------------------
