@@ -924,31 +924,34 @@ def q4_priority_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
         ORDER BY o.o_totalprice DESC, o.o_orderkey
     """,
-    doc="TPC-H Q18 shape: self-aggregating IN-subquery (groupBy + HAVING "
-    "-> left-semi join) restricting a 3-table star join. The heavy "
-    "lineitem pre-aggregation happens before any join; customer is the "
-    "broadcast dim",
+    doc="TPC-H Q18 shape: self-aggregating IN-subquery (groupBy + HAVING) "
+    "restricting a 3-table star join. The per-order quantity sum the "
+    "HAVING computes IS the output's total_qty, so lineitem is scanned "
+    "and shuffled exactly ONCE: aggregate -> filter -> join the "
+    "(small, AQE-broadcast) survivors to orders -> broadcast customer. "
+    "No second lineitem pass, no re-aggregation after the join",
     tags=("join", "agg", "subquery"),
 )
 def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(dec("l_quantity")).alias("qty"))
-        .filter(F.col("qty") > 200)
-        .select("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("qty_dec"))
+        .filter(F.col("qty_dec") > 200)
     )
-    orders = load_table(spark, sf_dir, "orders").join(
-        big.withColumnRenamed("l_orderkey", "bk"),
-        F.col("o_orderkey") == F.col("bk"),
-        "left_semi",
-    )
+    orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(dsum("l_quantity", "total_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.round(F.col("qty_dec"), 2).cast("double").alias("total_qty"),
+        )
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
     )
 
