@@ -265,6 +265,38 @@ def test_merge_on_read_position_delete(cat, spark):
     assert sorted(r["order_id"] for r in t.read().collect()) == [2, 3]
 
 
+@pytest.mark.parametrize(
+    "pred",
+    [
+        "customer_id = 101",
+        "amount > 100",
+        "order_id IN (2, 3)",
+        "product_name LIKE '%o%'",
+        "1 = 0",  # zero matches: every flavor must write an empty delete
+    ],
+)
+def test_all_delete_flavors_agree(cat, spark, pred):
+    """Copy-on-write and all three MoR flavors (equality / position /
+    deletion-vector) must produce identical visible tables for any
+    predicate — including non-prunable (LIKE) and zero-match shapes."""
+    results = {}
+    for i, flavor in enumerate(("cow", "equality", "position", "vector")):
+        t = cat.create_table(f"db.fl_{flavor}", ORDERS_DDL)
+        t.append(seed_df(spark))
+        if flavor != "cow":
+            t.set_property("write.delete.mode", "merge-on-read")
+            if flavor == "equality":
+                t.set_property("write.delete.equality-columns", "order_id")
+            else:
+                t.set_property("write.delete.flavor", flavor)
+        t.delete(pred)
+        results[flavor] = sorted(map(str, t.read().collect()))
+    assert (
+        results["cow"] == results["equality"] == results["position"]
+        == results["vector"]
+    ), {k: len(v) for k, v in results.items()}
+
+
 def test_merge_on_read_update(cat, spark):
     """MoR UPDATE: matched rows position-deleted from their original files
     and re-appended updated, in ONE snapshot; no candidate file rewritten."""
