@@ -170,6 +170,31 @@ def test_v3_variant_sql_sequence(lsql, spark):
     assert [r["event_id"] for r in got] == [2]
 
 
+def test_v3_deletion_vector_sql_sequence(lsql, spark):
+    """Replay the reference's V3 Deletion Vectors SQL (README.md:1110-1121):
+    enable merge-on-read, row-level DELETE with no file rewrite, read with
+    deletes applied — through the router, with the engine's bitmap flavor."""
+    lsql.sql("CREATE TABLE demo.db.dv_orders (order_id BIGINT, status STRING) "
+             "USING iceberg")
+    lsql.sql("INSERT INTO demo.db.dv_orders VALUES "
+             "(1, 'ok'), (2, 'cancelled'), (3, 'ok'), (4, 'cancelled')")
+    lsql.sql("ALTER TABLE demo.db.dv_orders SET TBLPROPERTIES "
+             "('write.delete.mode' = 'merge-on-read')")
+    lsql.sql("ALTER TABLE demo.db.dv_orders SET TBLPROPERTIES "
+             "('write.delete.flavor' = 'vector')")
+    t = lsql.catalog.load_table("db.dv_orders")
+    files_before = [f.path for f in t.meta.snapshot().files]
+    lsql.sql("DELETE FROM demo.db.dv_orders WHERE status = 'cancelled'")
+    snap = t.meta.snapshot()
+    assert [f.path for f in snap.files] == files_before  # no rewrite
+    assert snap.delete_files and all(
+        d.content == "vector" for d in snap.delete_files
+    )
+    got = [r["order_id"] for r in lsql.sql(
+        "SELECT order_id FROM demo.db.dv_orders ORDER BY order_id").collect()]
+    assert got == [1, 3]
+
+
 def test_identifier_rewrite_respects_boundaries_and_literals(lsql, spark):
     """Regression: the read-rewrite must not touch (a) a LONGER identifier
     that merely ends with a known table name, or (b) a table name quoted
