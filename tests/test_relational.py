@@ -100,6 +100,32 @@ def test_q3_fact_join_is_shuffle_dim_is_broadcast(spark, sf_dir):
     assert revs == sorted(revs, reverse=True)
 
 
+def test_approx_quantiles_within_sketch_bound(spark, sf_dir):
+    """The GK sketch with accuracy=10000 must land each estimate within
+    1/10000 of the true RANK; gate generously at rank error <= 1% by
+    checking the estimate lies between the exact (q-0.01) and (q+0.01)
+    percentiles."""
+    from pyspark.sql import functions as F2
+    from tutorial_iceberg_spark.io import load_table as lt
+
+    est = {
+        (r["event_type"], r["quantile"]): r["value_est"]
+        for r in R.x_approx_quantiles(spark, sf_dir).collect()
+    }
+    assert est and all(v is not None for v in est.values())
+    ev = lt(spark, sf_dir, "events")
+    for (etype, q) in list(est):
+        lo, hi = (
+            ev.filter(F2.col("event_type") == etype)
+            .agg(
+                F2.expr(f"percentile(value, {max(q - 0.01, 0.0)})"),
+                F2.expr(f"percentile(value, {min(q + 0.01, 1.0)})"),
+            )
+            .first()
+        )
+        assert lo - 1e-9 <= est[(etype, q)] <= hi + 1e-9, (etype, q)
+
+
 def test_approx_distinct_within_5pct_of_exact(spark, sf_dir):
     from pyspark.sql import functions as F2
     from tutorial_iceberg_spark.io import load_table as lt

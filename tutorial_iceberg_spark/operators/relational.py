@@ -957,6 +957,38 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_approx_quantiles",
+    oracle=None,  # sketch-based: engines' approx algorithms differ by design
+    doc="Approximate percentile sketch (Spark's Greenwald-Khanna variant) "
+    "over events.value per event_type: the single-pass, bounded-memory, "
+    "mergeable-partial path that replaces an exact sort-based percentile "
+    "at 100 TB. Rows-only driver check; pytest gates each estimate "
+    "against the exact percentile within the sketch's accuracy bound",
+    tags=("agg", "sketch", "extension"),
+)
+def x_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    qs = [0.25, 0.5, 0.75, 0.95]
+    agg = events.groupBy("event_type").agg(
+        F.percentile_approx("value", qs, 10_000).alias("qv"),
+        F.count("*").alias("n"),
+    )
+    pairs = F.arrays_zip(
+        F.array(*[F.lit(q) for q in qs]).alias("q"), F.col("qv").alias("v")
+    )
+    return (
+        agg.select("event_type", "n", F.explode(pairs).alias("p"))
+        .select(
+            "event_type",
+            F.col("p.q").alias("quantile"),
+            F.col("p.v").alias("value_est"),
+            "n",
+        )
+        .orderBy("event_type", "quantile")
+    )
+
+
+@register(
     "u1_set_ops",
     oracle="""
         SELECT user_id, 'both' AS tag FROM (
