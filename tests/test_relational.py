@@ -82,10 +82,12 @@ def test_semi_anti_partition_customer(spark, sf_dir):
     ).count()
 
 
-def test_q3_fact_join_is_shuffle_dim_is_broadcast(spark, sf_dir):
-    # At sf0.001 everything fits the auto-broadcast threshold, so simulate
-    # scale: with auto-broadcast off, the fact-fact join must degrade to a
-    # shuffle join while the EXPLICIT customer broadcast hint still holds.
+def test_q3_customer_join_is_aqe_not_hinted(spark, sf_dir):
+    # customer grows with SF, so q3 must NOT hard-hint it (a hint would be
+    # a >8 GB driver OOM at 100x). Simulate scale: with auto-broadcast off,
+    # EVERY join — customer included — must degrade to a shuffle join,
+    # proving no hidden hint survives; at the default threshold the small
+    # customer side broadcasts again via size estimates/AQE.
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
@@ -93,7 +95,9 @@ def test_q3_fact_join_is_shuffle_dim_is_broadcast(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
-    assert "BroadcastHashJoin" in plan  # the hinted customer dim
+    assert "BroadcastHashJoin" not in plan  # no hard hint on customer
+    plan_small = plan_of(R.q3_shipping_priority(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan_small  # stats-chosen at bench scale
     rows = R.q3_shipping_priority(spark, sf_dir).collect()
     assert len(rows) == 10
     revs = [r["revenue"] for r in rows]

@@ -475,9 +475,11 @@ class LakeTable:
                     "__dv_words"
                 )
             else:
-                df = df.join(
-                    F.broadcast(dels), on=dfi.equality_columns, how="left_anti"
-                )
+                # equality-delete row count is bounded only by the DELETE
+                # statement that produced it, so no hard broadcast hint —
+                # AQE broadcasts small delete files and shuffle-anti-joins
+                # bulk deletes
+                df = df.join(dels, on=dfi.equality_columns, how="left_anti")
         return df.drop("__fp", "__pos") if has_pos else df
 
     def incremental_read(

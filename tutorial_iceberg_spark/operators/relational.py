@@ -410,8 +410,19 @@ def s1_scan_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Joins (J1-J3): the star schema the curriculum names (README.md:62) over
-# the driver's TPC-H-ish tables. Dims are broadcast (they stay small even at
-# 100 TB fact scale); the fact side never shuffles for these plans.
+# the driver's TPC-H-ish tables.
+#
+# Broadcast policy (100 TB discipline): ONLY tables whose size is bounded by
+# the schema — nation (25 rows) and region (5 rows) — ever get a hard
+# F.broadcast hint. customer / part / supplier grow linearly with scale
+# factor; a hard hint on them removes AQE's runtime judgment AND Spark's
+# ability to fall back (driver-side broadcasts >8 GB hard-fail), so at 100x
+# scale the hint is an OOM where AQE would have chosen correctly at every
+# scale. Those sides carry no hint: at bench scale AQE still broadcasts them
+# (they're far under spark.sql.autoBroadcastJoinThreshold), and at cluster
+# scale it shifts to shuffle joins on its own. tests/test_plans.py gates
+# both facts (BroadcastHashJoin present at test SF; no hard hint on
+# linear-growth tables anywhere in the package).
 # ---------------------------------------------------------------------------
 
 
@@ -428,12 +439,15 @@ def s1_scan_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY r_name, n_name
         ORDER BY r_name, n_name
     """,
-    doc="J2 star-schema join chain (fact->dim->dim->dim), dims broadcast — SURVEY §2.3",
+    doc="J2 star-schema join chain (fact->dim->dim->dim) — SURVEY §2.3. "
+    "nation/region carry hard broadcast hints (bounded 25/5 rows); customer "
+    "is left to AQE, which broadcasts it at bench scale and shuffle-joins it "
+    "at cluster scale",
     tags=("join", "flagship", "bench-shape"),
 )
 def j2_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    customer = F.broadcast(load_table(spark, sf_dir, "customer"))
+    customer = load_table(spark, sf_dir, "customer")
     nation = F.broadcast(load_table(spark, sf_dir, "nation"))
     region = F.broadcast(load_table(spark, sf_dir, "region"))
     return (
@@ -458,12 +472,13 @@ def j2_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY p_brand
         ORDER BY p_brand
     """,
-    doc="J2 fact x part dim with computed measure; broadcast hash join on the fact scan",
+    doc="J2 fact x part dim with computed measure; part grows with SF so the "
+    "join strategy is AQE's call (BHJ at bench scale, shuffle at 100x)",
     tags=("join",),
 )
 def j2_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    part = F.broadcast(load_table(spark, sf_dir, "part"))
+    part = load_table(spark, sf_dir, "part")
     return (
         li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
@@ -651,9 +666,10 @@ def sql_literal_path_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY revenue DESC, o_orderdate, l_orderkey
         LIMIT 10
     """,
-    doc="TPC-H Q3 shipping-priority shape: broadcast customer filter + "
-    "fact-to-fact shuffle join orders |><| lineitem + top-10 revenue. The "
-    "at-scale join pattern (sort-merge on the order key, AQE skew handling)",
+    doc="TPC-H Q3 shipping-priority shape: segment-filtered customer join "
+    "(AQE broadcasts it while it fits, shuffle-joins beyond) + fact-to-fact "
+    "shuffle join orders |><| lineitem + top-10 revenue. The at-scale join "
+    "pattern (sort-merge on the order key, AQE skew handling)",
     tags=("join", "agg", "flagship", "bench-shape"),
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -667,7 +683,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderdate") < cutoff)
         .select("o_orderkey", "o_custkey", "o_orderdate")
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
     )
     li = (
         load_table(spark, sf_dir, "lineitem")
@@ -928,8 +944,9 @@ def q4_priority_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     "restricting a 3-table star join. The per-order quantity sum the "
     "HAVING computes IS the output's total_qty, so lineitem is scanned "
     "and shuffled exactly ONCE: aggregate -> filter -> join the "
-    "(small, AQE-broadcast) survivors to orders -> broadcast customer. "
-    "No second lineitem pass, no re-aggregation after the join",
+    "(small, AQE-broadcast) survivors to orders -> customer join (also "
+    "AQE's call — no hard hint on a linear-growth table). No second "
+    "lineitem pass, no re-aggregation after the join",
     tags=("join", "agg", "subquery"),
 )
 def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -943,7 +960,7 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
         orders.join(big, orders.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_name",
             "c_custkey",
@@ -1047,7 +1064,7 @@ def q2_min_price_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(mins, "l_partkey")
         .filter(F.col("l_extendedprice") == F.col("minp"))
-        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(parts, F.col("l_partkey") == F.col("p_partkey"))
         .select(
             "p_partkey",
             "p_name",
@@ -1113,8 +1130,9 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY p.p_brand, p.p_type
         ORDER BY supplier_cnt DESC, p.p_brand, p.p_type
     """,
-    doc="TPC-H Q16 shape: NOT IN over a non-nullable key = broadcast "
-    "left-anti join (J3), brand/type dim join, COUNT(DISTINCT) per group. "
+    doc="TPC-H Q16 shape: NOT IN over a non-nullable key = left-anti join "
+    "(J3; supplier grows with SF, so AQE picks broadcast vs shuffle), "
+    "brand/type dim join, COUNT(DISTINCT) per group. "
     "The anti join and the part filter both run before the distinct "
     "aggregation, so the expand-for-distinct shuffle sees only surviving "
     "rows",
@@ -1134,11 +1152,11 @@ def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(
-            F.broadcast(bad_supp),
+            bad_supp,
             li.l_suppkey == bad_supp.s_suppkey,
             "left_anti",
         )
-        .join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
+        .join(parts, li.l_partkey == parts.p_partkey)
         .groupBy("p_brand", "p_type")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type")
@@ -1203,7 +1221,7 @@ def q21_sole_returning_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_orderkey",
         )
         .join(fin_orders, l1.l_orderkey == fin_orders.o_orderkey, "left_semi")
-        .join(F.broadcast(supp), l1.l_suppkey == supp.s_suppkey)
+        .join(supp, l1.l_suppkey == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
@@ -1361,10 +1379,11 @@ def a13_exact_dist_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="TPC-H Q5 shape: the two-paths-to-nation topology — customer and "
     "supplier must resolve to the SAME nation, restricted to one region. "
-    "Every dimension (customer, supplier, nation|x|region) broadcasts; "
-    "lineitem->orders is the only fact-fact shuffle, and the date filter "
-    "prunes orders before that shuffle. The c_nationkey = s_nationkey "
-    "equality rides the supplier join as a residual predicate",
+    "nation|x|region (bounded) carries the only hard broadcast hint; "
+    "customer and supplier are AQE's call (broadcast at bench scale, "
+    "shuffle at 100x). lineitem->orders is the only fact-fact shuffle, and "
+    "the date filter prunes orders before that shuffle. The c_nationkey = "
+    "s_nationkey equality rides the supplier join as a residual predicate",
     tags=("join", "agg", "star"),
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1394,9 +1413,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey)
             & (cust.c_nationkey == supp.s_nationkey),
         )
@@ -1509,9 +1528,10 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND l.l_shipdate < TIMESTAMP '1997-01-01'
     """,
     doc="TPC-H Q14 shape (J2/A3/P6): promotion-revenue share — conditional "
-    "aggregation over a broadcast fact->dim join. part broadcasts (it is "
-    "tiny relative to lineitem at every SF), so the fact table never "
-    "shuffles; both sums ride one hash-aggregate pass and the percentage "
+    "aggregation over a fact->dim join. part is tiny relative to lineitem "
+    "at every SF but grows with SF, so broadcasting is AQE's runtime call "
+    "rather than a hard hint; both sums ride one hash-aggregate pass and "
+    "the percentage "
     "is a single IEEE division of two exactly-summed decimals, making the "
     "scalar bit-stable under any partitioning",
     tags=("join", "agg", "tpch"),
@@ -1526,7 +1546,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).cast("decimal(15,8)") - dec("l_discount").cast("decimal(15,8)")
     )
     zero = (F.lit(0).cast("decimal(15,4)") * F.lit(0).cast("decimal(15,8)"))
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    joined = li.join(part, li.l_partkey == part.p_partkey)
     return joined.agg(
         (
             F.lit(100.0)
@@ -1561,8 +1581,9 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q10 shape (J2/O4): returned-item loss ranking — top-20 "
     "customers by revenue of 'R'-flagged lineitems in a half-year order "
     "window. The returnflag filter prunes lineitem at the scan and the "
-    "date filter prunes orders BEFORE the one fact-fact shuffle; customer "
-    "and nation broadcast. ORDER BY revenue DESC is tie-broken by "
+    "date filter prunes orders BEFORE the one fact-fact shuffle; nation "
+    "(bounded) is hint-broadcast, customer is AQE's call. ORDER BY revenue "
+    "DESC is tie-broken by "
     "c_custkey so the LIMIT 20 frontier is a total order (scale-stable "
     "against duplicate revenue values); Spark executes it as "
     "TakeOrderedAndProject — no global sort",
@@ -1587,7 +1608,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(F.round(F.sum(disc_price), 2).cast("double").alias("revenue"))
@@ -1621,8 +1642,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     "predicates. Catalyst distributes the single-side conjuncts out of "
     "the disjunction (CNF extraction), so a derived part filter "
     "(brand IN ... AND size <= 35) and a lineitem filter (quantity "
-    "BETWEEN 1 AND 30) both push to their scans BEFORE the broadcast "
-    "join; only the cross-side residual runs post-join. The classic "
+    "BETWEEN 1 AND 30) both push to their scans BEFORE the join (strategy "
+    "is AQE's call); only the cross-side residual runs post-join. The classic "
     "probe that an engine does not take disjunctions as 'scan "
     "everything'",
     tags=("join", "agg", "filter", "tpch"),
@@ -1653,7 +1674,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).cast("decimal(15,8)") - dec("l_discount").cast("decimal(15,8)")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(branch)
         .agg(
             F.count("*").alias("matched_lines"),

@@ -12,10 +12,14 @@ profit expression over a 6-way join (Q9), HAVING-over-scalar-subquery
 decimal equality (Q15), correlated per-group average (Q17), nested
 grouped-HAVING semi-join (Q20), anti-join + scalar-average gate (Q22).
 
-Scale stance, uniform across the module: every dimension (nation, region,
-supplier, part, filtered customer) is broadcast; the only shuffles are the
-unavoidable fact-fact lineitem|><|orders joins and fact-side aggregations,
-all keyed on high-cardinality keys. Money math follows functions/numeric.py:
+Scale stance, uniform across the module: ONLY schema-bounded tables (nation
+25 rows, region 5 rows) and 1-row scalar aggregates carry hard F.broadcast
+hints. customer / part / supplier grow linearly with scale factor, so their
+join strategy is left to AQE — it broadcasts them at bench scale (far under
+autoBroadcastJoinThreshold) and falls back to shuffle joins at cluster scale,
+where a hard hint would be a >8 GB driver OOM. The only guaranteed shuffles
+are the fact-fact lineitem|><|orders joins and fact-side aggregations, all
+keyed on high-cardinality keys. Money math follows functions/numeric.py:
 exact DECIMAL accumulation (order-invariant under AQE re-plans and 1000-way
 partitioning), DOUBLE only at the output boundary.
 """
@@ -68,9 +72,10 @@ def _vol() -> F.Column:
     doc="TPC-H Q7 shape (volume shipping between two nations): the fact "
     "table reaches nation twice — once through supplier, once through "
     "orders->customer. Supplier and customer are pre-filtered to the two "
-    "nations BEFORE their broadcast joins (each probe drops ~92% of fact "
-    "rows at 25 nations), and the disjunctive nation-pair predicate runs "
-    "as a residual after both joins. Only shuffle: lineitem|><|orders",
+    "nations BEFORE their joins (each probe drops ~92% of fact rows at 25 "
+    "nations; both sides grow with SF so broadcast vs shuffle is AQE's "
+    "call), and the disjunctive nation-pair predicate runs as a residual "
+    "after both joins. Only guaranteed shuffle: lineitem|><|orders",
     tags=("join", "star", "agg"),
 )
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -101,8 +106,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .filter(
             ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
             | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
@@ -142,8 +147,9 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="TPC-H Q8 shape (national market share): one supplier nation's "
     "share of a region's PROMO-part market by order year. 7-way star "
-    "topology; part (filtered to 1/6 of rows) broadcasts and prunes the "
-    "fact scan first, market region constrains the customer path, and the "
+    "topology; part (filtered to 1/6 of rows) joins first and prunes the "
+    "fact rows — AQE broadcasts it while small; no hard hint since part "
+    "grows with SF — market region constrains the customer path, and the "
     "share is a conditional-over-total ratio of two exact decimal sums, "
     "each ROUNDed to scale 2 BEFORE the double cast (a scale-12 decimal "
     "exceeds 2^53 ulps, so DuckDB's int128->double cast double-rounds and "
@@ -189,11 +195,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero = F.lit(0).cast(DEC)
     vol = _vol()
     return (
-        li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
+        li.join(parts, li.l_partkey == parts.p_partkey)
         .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"),
               li.l_orderkey == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
-        .join(F.broadcast(supp_nat), li.l_suppkey == supp_nat.s_suppkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(supp_nat, li.l_suppkey == supp_nat.s_suppkey)
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             (
@@ -236,8 +242,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "original's revenue-minus-cost join topology. The cost product is "
     "evaluated in double (identical left-assoc IEEE ops in both engines) "
     "and cast to decimal ONCE per row, so group sums stay exact and "
-    "order-invariant. part filtered by LIKE before its broadcast; one "
-    "fact-fact shuffle (lineitem|><|orders)",
+    "order-invariant. part filtered by LIKE before its join (strategy is "
+    "AQE's call); one fact-fact shuffle (lineitem|><|orders)",
     tags=("join", "star", "agg"),
 )
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -260,8 +266,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.1)
     ).cast(DEC)
     return (
-        li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
-        .join(F.broadcast(supp_nat), li.l_suppkey == supp_nat.s_suppkey)
+        li.join(parts, li.l_partkey == parts.p_partkey)
+        .join(supp_nat, li.l_suppkey == supp_nat.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("nation", F.year("o_orderdate").alias("o_year"))
         .agg(F.round(F.sum(amount), 2).cast("double").alias("sum_profit"))
@@ -323,7 +329,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem")
     pv = (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .groupBy("l_partkey")
         .agg(F.sum(_vol()).alias("val"))
     )
@@ -419,9 +425,9 @@ def q12_late_lines_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Equality on an aggregate is only sound because revenue accumulates "
     "in exact DECIMAL — double sums would make '== max' partition-order- "
     "dependent. Plan: one shuffle agg keyed by supplier (100 groups), the "
-    "MAX re-aggs that tiny output and broadcasts one row; supplier dim "
-    "broadcasts. Ties (multiple argmax suppliers) surface deterministically "
-    "ordered by key",
+    "MAX re-aggs that tiny output and broadcasts one row; the supplier "
+    "join strategy is AQE's call (supplier grows with SF). Ties (multiple "
+    "argmax suppliers) surface deterministically ordered by key",
     tags=("agg", "subquery", "argmax"),
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -439,7 +445,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(mx))
         .filter(F.col("total_rev") == F.col("max_rev"))
-        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(supp, F.col("supplier_no") == F.col("s_suppkey"))
         .select(
             "s_suppkey",
             "s_name",
@@ -485,7 +491,7 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey")
     )
     li = load_table(spark, sf_dir, "lineitem")
-    li_f = li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey, "left_semi")
+    li_f = li.join(parts, li.l_partkey == parts.p_partkey, "left_semi")
     avg_qty = li_f.groupBy("l_partkey").agg(
         (F.sum(dec("l_quantity")).cast("double") / F.count("l_quantity")).alias(
             "avg_qty"
@@ -544,7 +550,7 @@ def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
     )
     big_movers = (
-        li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey, "left_semi")
+        li.join(parts, li.l_partkey == parts.p_partkey, "left_semi")
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("qty"))
         .filter(F.col("qty") > 40)

@@ -407,8 +407,10 @@ def x_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c.c_mktsegment
     """,
     doc="Stream-static enrichment join: the events stream joins the static "
-    "customer dimension (broadcast — the stream side never shuffles for the "
-    "join) and aggregates revenue per market segment. The static side is "
+    "customer dimension and aggregates revenue per market segment. No hard "
+    "broadcast hint — customer grows with SF; Spark's size estimate "
+    "broadcasts it while it fits (stream side never shuffles then) and "
+    "shifts to a shuffled stream-static join beyond. The static side is "
     "re-resolved per micro-batch, which is exactly how slowly-changing dims "
     "are refreshed in production streams; decimal-path SUM keeps the result "
     "invariant to micro-batch boundaries and partition order",
@@ -420,7 +422,7 @@ def x_stream_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_mktsegment"
     )
     agg = (
-        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+        ev.join(cust, ev.user_id == cust.c_custkey)
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("cnt"), dsum("value", "total_value"))
     )
