@@ -78,3 +78,65 @@ def test_sim_join_symmetric_bounds(spark, sf_dir):
     rows = G.x_sim_join_threshold(spark, sf_dir).collect()
     assert all(r.left_id < r.right_id for r in rows)
     assert all(G.COSINE_EDGE_THRESHOLD <= r.cosine <= 1.0 + 1e-9 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# Candidate-fed scale path (VERDICT r5 finding 2)
+# ---------------------------------------------------------------------------
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_lsh_candidate_edges_equal_all_pairs_edges(spark):
+    """The LSH candidate generator must cover every true edge on the
+    testdata: after exact verification, candidate-fed edges == all-pairs
+    edges (bit-exact cosines included). Coverage is a seeded-deterministic
+    property of the 16x2-bit band parameters at this threshold; a miss
+    here means the band dial regressed."""
+    sf = "/root/testdata/sf0.01"
+    exact = {
+        (r.left_id, r.right_id): r.cosine
+        for r in G.cosine_edges(spark, sf, candidates="all_pairs").collect()
+    }
+    lsh = {
+        (r.left_id, r.right_id): r.cosine
+        for r in G.cosine_edges(spark, sf, candidates="lsh").collect()
+    }
+    assert exact, "threshold should produce a non-trivial graph"
+    assert lsh == exact
+
+
+def test_lsh_candidate_path_has_no_nested_loop_join(spark, sf_dir):
+    """Scale-path plan gate: the candidate route must be pure equi-joins —
+    no BroadcastNestedLoopJoin, no CartesianProduct, and no broadcast of
+    the full embeddings table (query-set/centroid broadcasts don't appear
+    in this plan at all)."""
+    df = G.cosine_edges(spark, sf_dir, candidates="lsh")
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_caller_supplied_candidate_pairs(spark, sf_dir):
+    """A caller-provided (left_id, right_id) frame is verified through the
+    same predicate: feeding the true edge pairs back in reproduces exactly
+    those edges."""
+    truth = G.cosine_edges(spark, sf_dir, candidates="all_pairs").select(
+        "left_id", "right_id"
+    )
+    out = G.cosine_edges(spark, sf_dir, candidates=truth).collect()
+    assert {(r.left_id, r.right_id) for r in out} == {
+        (r.left_id, r.right_id) for r in truth.collect()
+    }
+
+
+def test_auto_picks_all_pairs_below_cutoff(spark, sf_dir):
+    """testdata is far under ALL_PAIRS_MAX_ROWS, so auto == all_pairs —
+    keeping the driver's oracle comparison on the exact baseline."""
+    auto = G.cosine_edges(spark, sf_dir).collect()
+    exact = G.cosine_edges(spark, sf_dir, candidates="all_pairs").collect()
+    assert sorted(map(tuple, auto)) == sorted(map(tuple, exact))

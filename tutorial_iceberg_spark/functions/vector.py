@@ -340,36 +340,44 @@ PLANE_BANDS = 4  # 4 bits per band
 _PLANE_SEED = 7
 
 
-def _sign_matrix(dim: int):
-    """(N_PLANES, dim) Rademacher +-1 matrix, fixed seed — the deterministic
-    'model'. Tiny (N_PLANES x dim scalars): rebuilt per task from the seed,
+def _sign_matrix(dim: int, n_planes: int = N_PLANES, seed: int = _PLANE_SEED):
+    """(n_planes, dim) Rademacher +-1 matrix, fixed seed — the deterministic
+    'model'. Tiny (n_planes x dim scalars): rebuilt per task from the seed,
     so nothing is broadcast or joined."""
     import random as _r
 
     import numpy as np
 
-    rng = _r.Random(_PLANE_SEED)
+    rng = _r.Random(seed)
     return np.array(
-        [[rng.choice((-1.0, 1.0)) for _ in range(dim)] for _ in range(N_PLANES)]
+        [[rng.choice((-1.0, 1.0)) for _ in range(dim)] for _ in range(n_planes)]
     )
 
 
-def hyperplane_signatures(emb_u: DataFrame, dim: int) -> DataFrame:
-    """vec_id -> N_PLANES-bit signature: ONE Arrow batch pass, ZERO shuffle.
+def hyperplane_signatures(
+    emb_u: DataFrame,
+    dim: int,
+    n_planes: int = N_PLANES,
+    seed: int = _PLANE_SEED,
+) -> DataFrame:
+    """vec_id -> n_planes-bit signature: ONE Arrow batch pass, ZERO shuffle.
 
     Each batch is a single numpy matmul ``vecs @ signs.T`` followed by a
     sign-bit pack — the same build pattern as dedup._index_batches. This
     replaces the old posexplode -> sign-table join -> two keyed
     aggregations, which exploded every vector to dim rows and shuffled
     them twice before banding; embarrassingly parallel, scales linearly
-    with corpus bytes."""
+    with corpus bytes. n_planes is capped at 63 so the packed signature
+    fits a signed int64 without touching the sign bit."""
+    if not 0 < n_planes < 64:
+        raise ValueError(f"n_planes must be in [1, 63], got {n_planes}")
 
     def batches(it):
         import numpy as np
         import pandas as pd
 
-        signs_t = _sign_matrix(dim).T  # (dim, N_PLANES)
-        weights = (np.int64(1) << np.arange(N_PLANES, dtype=np.int64))
+        signs_t = _sign_matrix(dim, n_planes, seed).T  # (dim, n_planes)
+        weights = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
         for pdf in it:
             if len(pdf):
                 vecs = np.vstack(pdf["u"].to_numpy())  # (rows, dim)
@@ -381,7 +389,7 @@ def hyperplane_signatures(emb_u: DataFrame, dim: int) -> DataFrame:
     return emb_u.mapInPandas(batches, "vec_id bigint, sig bigint")
 
 
-def _band_cols(bits_per_band: int):
+def _band_cols(bits_per_band: int, n_bands: int = PLANE_BANDS):
     mask = (1 << bits_per_band) - 1
     return [
         F.struct(
@@ -390,8 +398,59 @@ def _band_cols(bits_per_band: int):
             .bitwiseAND(mask)
             .alias("key"),
         )
-        for bi in range(PLANE_BANDS)
+        for bi in range(n_bands)
     ]
+
+
+def lsh_candidate_pairs(
+    emb: DataFrame,
+    dim: int,
+    n_planes: int = 32,
+    n_bands: int = 16,
+    seed: int = _PLANE_SEED,
+) -> DataFrame:
+    """Distinct (left_id, right_id) candidate pairs via an LSH band-bucket
+    SELF-join — the scale-path pair generator for threshold similarity
+    joins and semantic dedup (operators/graph.py).
+
+    Plan shape: one zero-shuffle Arrow signature pass, a band explode, and
+    a bucketed equi-join on (band, key) — every stage hash-partitions on
+    bounded keys; NO broadcast of the corpus and NO nested-loop join, so
+    the compare space is sum(bucket^2) instead of n^2 and the whole thing
+    scales horizontally.
+
+    Parameter choice is the recall/selectivity dial: many narrow bands
+    (default 16 bands x 2 bits) push recall toward 1 at moderate cosine
+    thresholds — P(miss) = (1 - p^bits)^bands with p = 1 - theta/pi —
+    at the cost of more candidates; production near-dup cuts (cos >= 0.9,
+    p >= 0.9) can afford wider bands for sharper selectivity. Recall and
+    the candidate-superset property are pytest-gated on the testdata."""
+    u = emb.select("vec_id", _unit(F.col("embedding")).alias("u"))
+    bits_per_band = n_planes // n_bands
+    bands = (
+        hyperplane_signatures(u, dim, n_planes=n_planes, seed=seed)
+        .select(
+            "vec_id",
+            F.explode(
+                F.array(*_band_cols(bits_per_band, n_bands=n_bands))
+            ).alias("bk"),
+        )
+        .select("vec_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    )
+    x, y = bands.alias("x"), bands.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.vec_id").alias("left_id"),
+            F.col("y.vec_id").alias("right_id"),
+        )
+        .distinct()
+    )
 
 
 @register(

@@ -12,12 +12,16 @@ similarity graph — the SemDedup / NearDup pipeline shape:
 
 Spark-first design:
 
-- The similarity join here is the exact baseline (broadcast nested-loop
-  over ``vec_id < vec_id`` with a float64 cosine predicate) so it is
-  bit-checkable against a DuckDB oracle. At 100 TB the identical operator
-  runs with the IVF candidate generator in functions/vector.py
-  (``x_ann_ivf_cosine``) supplying the pairs instead of all-pairs — the
-  verification predicate and everything downstream is unchanged.
+- The similarity join has two WIRED pair sources behind one contract
+  (``cosine_edges(candidates=...)``): the exact all-pairs baseline
+  (broadcast nested-loop over ``vec_id < vec_id``, bit-checkable against
+  the DuckDB oracle) and the scale path — hyperplane-LSH band buckets
+  self-joined on (band, key), i.e. plain shuffle equi-joins with no
+  corpus broadcast and no BroadcastNestedLoopJoin (plan-gated). ``auto``
+  picks all-pairs under ALL_PAIRS_MAX_ROWS and LSH above it; the float64
+  verification predicate and everything downstream is identical either
+  way. A caller can also hand in any (left_id, right_id) pair frame
+  (e.g. IVF probe output).
 - Connected components is min-label propagation with pointer jumping
   (label <- min(neighbours' labels); label <- label(label)), which
   converges in O(log n) rounds, each round a pair of shuffle joins. This
@@ -66,35 +70,95 @@ _O_EDGES = f"""
 """
 
 
+# Above this row count "auto" switches cosine_edges from the exact
+# all-pairs baseline to the LSH-bucketed candidate path. 100k vectors =
+# ~5e9 pairs, already past what a broadcast nested loop should ever see.
+ALL_PAIRS_MAX_ROWS = 100_000
+
+
 def cosine_edges(
-    spark: SparkSession, sf_dir: str, threshold: float = COSINE_EDGE_THRESHOLD
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = COSINE_EDGE_THRESHOLD,
+    candidates: DataFrame | str = "auto",
 ) -> DataFrame:
     """All (left_id < right_id) embedding pairs with cosine >= threshold.
 
-    Baseline form: one side broadcast, nested-loop with the cosine computed
-    as a JVM-side higher-order expression (zip_with + aggregate, float64 —
-    bit-identical folds on both engines, see functions/vector.py). The
-    O(n^2) pair space never materializes: the predicate filters inside the
-    join operator. Scale path: swap the pair generator for the IVF/LSH
-    candidate join; this function's contract (columns, predicate) is the
-    fixed interface.
+    ``candidates`` selects the pair generator; the exact float64 cosine
+    verification (zip_with + aggregate fold, bit-identical to the DuckDB
+    oracle) and the output contract (left_id, right_id, cosine) are the
+    fixed interface regardless of source:
+
+    - ``"all_pairs"`` — exact O(n^2) baseline: one side broadcast, nested
+      loop with the cosine predicate filtering inside the join. Only sound
+      while one side fits the driver; this is the oracle-checkable form.
+    - ``"lsh"`` — the scale path: hyperplane-LSH band buckets self-joined
+      on (band, key) — plain shuffle equi-joins, NO BroadcastNestedLoopJoin
+      and no corpus broadcast (plan-gated in tests/test_graph.py) — then
+      exact cosine verification on candidates only. Recall is the LSH
+      band-parameter dial; candidate-set coverage of every true edge on
+      the testdata is pytest-gated.
+    - ``"auto"`` (default) — all-pairs when the table is under
+      ALL_PAIRS_MAX_ROWS (a parquet-metadata count, no scan), else LSH.
+    - a DataFrame of (left_id, right_id) — caller-supplied pairs (e.g. the
+      IVF prober in functions/vector.py); verified the same way.
     """
-    from tutorial_iceberg_spark.functions.vector import dot, norm
+    from tutorial_iceberg_spark.functions.vector import (
+        dot,
+        lsh_candidate_pairs,
+        norm,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
     )
-    a, b = emb.alias("a"), emb.alias("b")
-    cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
-        F.col("a.nrm") * F.col("b.nrm")
-    )
-    return (
-        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("left_id"),
-            F.col("b.vec_id").alias("right_id"),
-            cos.alias("cosine"),
+    if isinstance(candidates, str) and candidates == "auto":
+        # parquet footer row count: metadata-only job, no data scan
+        candidates = (
+            "all_pairs" if emb.count() <= ALL_PAIRS_MAX_ROWS else "lsh"
         )
+
+    if isinstance(candidates, str):
+        if candidates == "all_pairs":
+            a, b = emb.alias("a"), emb.alias("b")
+            cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
+                F.col("a.nrm") * F.col("b.nrm")
+            )
+            return (
+                a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
+                .select(
+                    F.col("a.vec_id").alias("left_id"),
+                    F.col("b.vec_id").alias("right_id"),
+                    cos.alias("cosine"),
+                )
+                .filter(F.col("cosine") >= threshold)
+            )
+        if candidates == "lsh":
+            dim = emb.select(F.size("embedding")).first()[0]
+            candidates = lsh_candidate_pairs(
+                load_table(spark, sf_dir, "embeddings"), dim
+            )
+        else:
+            raise ValueError(f"unknown candidate source: {candidates!r}")
+
+    # candidate-fed path: equi-join the pair list back to the embeddings
+    # (both joins are key-partitioned shuffles — broadcast is AQE's call),
+    # then the same exact verification predicate as the baseline
+    left = emb.select(
+        F.col("vec_id").alias("left_id"),
+        F.col("embedding").alias("l_emb"),
+        F.col("nrm").alias("l_nrm"),
+    )
+    right = emb.select(
+        F.col("vec_id").alias("right_id"),
+        F.col("embedding").alias("r_emb"),
+        F.col("nrm").alias("r_nrm"),
+    )
+    cos = dot(F.col("l_emb"), F.col("r_emb")) / (F.col("l_nrm") * F.col("r_nrm"))
+    return (
+        candidates.join(left, "left_id")
+        .join(right, "right_id")
+        .select("left_id", "right_id", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
 
@@ -109,8 +173,10 @@ def cosine_edges(
         ORDER BY left_id, right_id
     """,
     doc="Threshold similarity self-join over embeddings (bit-exact float64 "
-    "cosine): the edge generator for semantic dedup. Baseline all-pairs "
-    "broadcast form; IVF candidates replace the pair space at scale",
+    "cosine): the edge generator for semantic dedup. Pair source is "
+    "auto-selected: exact all-pairs baseline at oracle scale, LSH "
+    "band-bucket equi-join candidates above ALL_PAIRS_MAX_ROWS (same "
+    "verification predicate; candidate coverage pytest-gated)",
     tags=("vector", "dedup", "extension"),
 )
 def x_sim_join_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -131,8 +197,11 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     vertices allowed); ``edges`` is directed (src, dst) and is symmetrized
     here. Each round: every node takes the min label over itself and its
     neighbours, then labels compress one pointer hop (label <- label's
-    label). Converges when a round changes nothing — checked with a
-    LIMIT-1 existence query, not a full count.
+    label). Convergence check: labels only ever DECREASE, so the label
+    total is strictly monotone — a round is a no-op iff sum(comp) is
+    unchanged. That makes the per-round check ONE aggregation scan over
+    the O(nodes) checkpointed state (decimal accumulator, overflow-proof
+    at any node count) instead of a join-based diff job.
     """
     sym = edges.select(
         F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
@@ -143,6 +212,8 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     labels = nodes.select(
         F.col("id").cast("long").alias("id"), F.col("id").cast("long").alias("comp")
     ).localCheckpoint(eager=True)
+    _sum = F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+    prev_total = labels.agg(_sum).first()["s"]
 
     for _ in range(MAX_CC_ROUNDS):
         # neighbour min: each edge forwards the src label to dst
@@ -166,17 +237,12 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
+        total = new.agg(_sum).first()["s"]
         labels.unpersist()
         labels = new
-        if changed == 0:
+        if total == prev_total:
             break
+        prev_total = total
     else:
         raise RuntimeError(f"CC did not converge in {MAX_CC_ROUNDS} rounds")
     return labels
