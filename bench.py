@@ -58,8 +58,15 @@ HEADLINE = (
 # so raw round-over-round totals are not interpretable without it.
 # Reference = the probe's deeply-JIT-warmed value on the round-5 build host
 # measured in bench position (after the full warm-up + timed suite), on a
-# quiet machine. A calibration_sec near this => calibrated ~= raw; above it
-# => the run was slowed by external load and the total is scaled down.
+# quiet machine.
+#
+# The probe is ADVISORY context, not a correction factor (ADVICE r5): the
+# suite mixes parquet I/O, shuffles, and lakehouse commits whose slowdown
+# under load is NOT proportional to a pure-CPU probe, so rescaling the
+# headline by it can overstate performance and mask regressions. The
+# headline "value" is therefore always the RAW wall-clock total; consumers
+# get "calibration_ratio" (probe / reference; >1 = machine slower than the
+# reference host) to judge whether a raw delta is machine noise.
 CALIBRATION_REF_SEC = 0.24
 
 
@@ -114,8 +121,8 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s ({rows} rows)", file=sys.stderr)
     cal_after = run_calibration(spark)
 
-    # calibrated total = raw total scaled to the reference machine speed;
-    # the mean of before/after probes absorbs load drift across the run
+    # the mean of before/after probes absorbs load drift across the run;
+    # reported as a ratio only — "value" stays the raw wall-clock gate
     cal = (cal_before + cal_after) / 2
     total = round(sum(timings.values()), 4)
     print(
@@ -129,7 +136,7 @@ def main() -> None:
                 "sf": sf_dir,
                 "calibration_sec": round(cal, 4),
                 "calibration_ref_sec": CALIBRATION_REF_SEC,
-                "value_calibrated": round(total * CALIBRATION_REF_SEC / cal, 4),
+                "calibration_ratio": round(cal / CALIBRATION_REF_SEC, 4),
             }
         )
     )

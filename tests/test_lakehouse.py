@@ -845,3 +845,107 @@ def test_bucket_partition_pruning_equality_only(cat, spark):
     assert t.scan("order_id = 1").count() == 1
     t.delete("order_id = 1")  # correctness through the pruned path
     assert sorted(r["order_id"] for r in t.read().collect()) == [2, 3, 4]
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r5 regression gates
+# ---------------------------------------------------------------------------
+
+
+def test_mor_paths_survive_reserved_column_names(cat, spark):
+    """A user schema that names its columns file_path/pos must not make the
+    MoR coordinate write paths ambiguous: coordinates ride the reserved
+    __fp/__pos names until user columns are dropped."""
+    t = cat.create_table("db.rsvd", "file_path string, pos bigint, v string")
+    t.append(
+        spark.range(0, 6, 1, 1).selectExpr(
+            "concat('f', id) as file_path", "id as pos", "'x' as v"
+        )
+    )
+    t.set_property("write.delete.mode", "merge-on-read")
+    t.set_property("write.delete.flavor", "position")
+    t.delete("pos = 2")
+    assert sorted(r["pos"] for r in t.read().collect()) == [0, 1, 3, 4, 5]
+    # deletion-vector flavor over the survivors (fresh table: DV fast path
+    # requires no pending delete files)
+    t2 = cat.create_table("db.rsvd2", "file_path string, pos bigint, v string")
+    t2.append(
+        spark.range(0, 6, 1, 1).selectExpr(
+            "concat('f', id) as file_path", "id as pos", "'x' as v"
+        )
+    )
+    t2.set_property("write.delete.mode", "merge-on-read")
+    t2.set_property("write.delete.flavor", "vector")
+    t2.delete("pos >= 4")
+    assert sorted(r["pos"] for r in t2.read().collect()) == [0, 1, 2, 3]
+    # MoR UPDATE with the reserved names
+    t3 = cat.create_table("db.rsvd3", "file_path string, pos bigint, v string")
+    t3.append(
+        spark.range(0, 4, 1, 1).selectExpr(
+            "concat('f', id) as file_path", "id as pos", "'x' as v"
+        )
+    )
+    t3.set_property("write.update.mode", "merge-on-read")
+    t3.update("pos = 1", {"v": "'updated'"})
+    got = {r["pos"]: r["v"] for r in t3.read().collect()}
+    assert got == {0: "x", 1: "updated", 2: "x", 3: "x"}
+
+
+def test_noop_mor_write_keeps_fast_paths(cat, spark):
+    """A MoR update/delete matching ZERO rows must not register an empty
+    delete file: snap.delete_files stays empty, so the next MoR write
+    still takes the O(matched-rows) fast path instead of degrading to a
+    full cow-materialize forever."""
+    t = cat.create_table("db.noop", ORDERS_DDL)
+    t.append(seed_df(spark))
+    t.set_property("write.update.mode", "merge-on-read")
+    t.set_property("write.delete.mode", "merge-on-read")
+    t.set_property("write.delete.flavor", "position")
+    files_before = {f.path for f in t.meta.snapshot().files}
+
+    t.update("order_id = 999", {"amount": "amount * 2"})  # matches nothing
+    snap = t.meta.snapshot()
+    assert not snap.delete_files  # no empty delete file registered
+    assert snap.summary.get("matched") == 0
+    t.delete("order_id = 999")  # zero-match MoR position delete
+    assert not t.meta.snapshot().delete_files
+    # equality + vector flavors behave the same
+    t.set_property("write.delete.flavor", "vector")
+    t.delete("order_id = 999")
+    assert not t.meta.snapshot().delete_files
+    t.set_property("write.delete.flavor", "equality")
+    t.set_property("write.delete.equality-columns", "order_id")
+    t.delete("order_id = 999")
+    assert not t.meta.snapshot().delete_files
+
+    # the fast path is still available: a real MoR update appends + deletes
+    # by position instead of rewriting, proving no downgrade happened
+    t.update("order_id = 1", {"amount": "amount * 2"})
+    snap = t.meta.snapshot()
+    assert snap.summary.get("mode") == "merge-on-read"
+    assert files_before <= {f.path for f in snap.files}  # carried over
+    rows = {r["order_id"]: float(r["amount"]) for r in t.read().collect()}
+    assert rows[1] == 2400.0 and rows[2] == 25.5
+
+
+def test_deletion_vector_bitmap_is_offset_trimmed(cat, spark):
+    """Deleting one high-position row must store a bitmap of O(span)
+    words, not O(position): a single delete at row ~1e6 in one file keeps
+    the delete parquet's word array at length 1."""
+    t = cat.create_table("db.sparse", "k bigint, v string")
+    n = 1_000_001
+    t.append(spark.range(0, n, 1, 1).selectExpr("id as k", "'x' as v"))
+    t.set_property("write.delete.mode", "merge-on-read")
+    t.set_property("write.delete.flavor", "vector")
+    t.delete(f"k = {n - 1}")  # single sorted file: position == k
+    dfl = t.meta.snapshot().delete_files
+    assert dfl and all(d.content == "vector" for d in dfl)
+    dv = spark.read.parquet(*[t._abs(d.path) for d in dfl]).collect()
+    assert len(dv) == 1
+    row = dv[0]
+    assert len(row["words"]) == 1  # trimmed: one word, not ~15,625
+    assert row["offset"] == (n - 1) // 64
+    assert row["cardinality"] == 1
+    assert t.read().count() == n - 1
+    assert t.scan(f"k = {n - 1}").count() == 0
+    assert t.scan("k = 0").count() == 1  # positions below offset survive

@@ -21,6 +21,7 @@ Single-writer commit protocol; see metadata.commit_metadata.
 from __future__ import annotations
 
 import os
+import shutil
 import uuid
 from datetime import date, datetime
 from decimal import Decimal
@@ -458,21 +459,25 @@ class LakeTable:
                 dv = dels.select(
                     F.col("file_path").alias("__fp"),
                     F.col("words").alias("__dv_words"),
+                    F.col("offset").alias("__dv_off"),
                 )
-                # try_element_at: positions past the bitmap's last word are
-                # out of range => NULL => row kept (ANSI-safe); arithmetic
-                # shiftright is bit-correct for bit 63 because &1 keeps
-                # only the landed bit regardless of sign fill
+                # bitmaps are offset-trimmed (words start at word index
+                # __dv_off): positions below the first stored word (idx <
+                # 1 — must be guarded, a NEGATIVE try_element_at index
+                # counts from the array END) or past the last one (NULL)
+                # are kept; arithmetic shiftright is bit-correct for bit
+                # 63 because &1 keeps only the landed bit regardless of
+                # sign fill
+                idx = "(CAST(__pos DIV 64 AS INT) - __dv_off + 1)"
                 kept = F.expr(
                     "__dv_words IS NULL OR "
-                    "try_element_at(__dv_words, CAST(__pos DIV 64 AS INT) + 1) "
-                    "IS NULL OR "
-                    "(shiftright(try_element_at(__dv_words, "
-                    "CAST(__pos DIV 64 AS INT) + 1), "
+                    f"{idx} < 1 OR "
+                    f"try_element_at(__dv_words, {idx}) IS NULL OR "
+                    f"(shiftright(try_element_at(__dv_words, {idx}), "
                     "CAST(__pos % 64 AS INT)) & 1) = 0"
                 )
                 df = df.join(dv, on="__fp", how="left").filter(kept).drop(
-                    "__dv_words"
+                    "__dv_words", "__dv_off"
                 )
             else:
                 # equality-delete row count is bounded only by the DELETE
@@ -617,26 +622,38 @@ class LakeTable:
         matches = self.read().filter(F.expr(pred_sql)).select(*eq_cols).distinct()
         rel = os.path.join("data", f"delete-{uuid.uuid4().hex[:12]}")
         matches.write.mode("overwrite").parquet(self._abs(rel))
-        nrows = matches.count()
-        dfile_paths = [
-            os.path.join(rel, n)
-            for n in sorted(os.listdir(self._abs(rel)))
-            if n.endswith(".parquet")
-        ]
-        dels = list(snap.delete_files) + [
-            M.DeleteFile(path=p, rows=nrows, equality_columns=eq_cols) for p in dfile_paths
-        ]
+        nrows = self.spark.read.parquet(self._abs(rel)).count()
+        dels = list(snap.delete_files)
+        if nrows == 0:
+            # nothing matched: no delete file, or every later read pays an
+            # anti-join against an empty set and the MoR fast paths
+            # (gated on `not delete_files`) are lost forever (ADVICE r5)
+            shutil.rmtree(self._abs(rel), ignore_errors=True)
+        else:
+            dels += [
+                M.DeleteFile(path=p, rows=nrows, equality_columns=eq_cols)
+                for p in (
+                    os.path.join(rel, n)
+                    for n in sorted(os.listdir(self._abs(rel)))
+                    if n.endswith(".parquet")
+                )
+            ]
         self._new_snapshot(md, "delete", list(snap.files), dels, {"mode": "merge-on-read"})
 
     def _matched_coords(
         self, md: M.TableMetadata, candidates: list[M.DataFile], pred_sql: str
     ) -> DataFrame | None:
-        """(file_path, pos, *current-schema columns) for rows matching
+        """(__fp, __pos, *current-schema columns) for rows matching
         ``pred_sql`` inside the candidate files — the shared first stage of
         every coordinate-based MoR write path. Coordinates come from
         Spark's ``_metadata.row_index`` file column, computed executor-side
         over manifest-PRUNED candidates only; the driver never touches row
-        data. Returns None when there are no candidate files."""
+        data. The coordinate columns use the same reserved ``__fp``/
+        ``__pos`` names as the read path so a user column named
+        ``file_path`` or ``pos`` cannot make downstream selects ambiguous
+        (ADVICE r5); they are renamed to the on-disk delete-file schema
+        (file_path, pos) only at write time, after user columns are
+        dropped. Returns None when there are no candidate files."""
         current = md.schema()
         by_schema: dict[int, list[M.DataFile]] = {}
         for f in candidates:
@@ -653,8 +670,8 @@ class LakeTable:
                 else:
                     cols.append(F.lit(f.initial_default).cast(f.type).alias(f.name))
             sel = raw.select(
-                self._pos_coord().alias("file_path"),
-                F.col("_metadata.row_index").alias("pos"),
+                self._pos_coord().alias("__fp"),
+                F.col("_metadata.row_index").alias("__pos"),
                 *cols,
             )
             parts.append(sel.filter(F.expr(pred_sql)))
@@ -665,16 +682,28 @@ class LakeTable:
             out = out.unionByName(p)
         return out
 
-    def _write_position_delete(self, matches: DataFrame) -> tuple[list[str], int]:
-        """Write a (file_path, pos) coordinate parquet; returns (paths, rows)."""
+    def _write_position_delete(self, coords: DataFrame) -> tuple[list[str], int]:
+        """Write a coordinate parquet from a (__fp, __pos) frame; returns
+        (paths, rows). The reserved names are rewritten to the on-disk
+        delete-file schema (file_path, pos) here — user columns are gone
+        by this point, so the rename cannot collide. If zero rows matched,
+        the (empty) output directory is removed and no paths are returned,
+        so callers never register an empty delete file (ADVICE r5: one
+        no-op MoR write must not downgrade every later fast path)."""
+        matches = coords.select(
+            F.col("__fp").alias("file_path"), F.col("__pos").alias("pos")
+        )
         rel = os.path.join("data", f"pos-delete-{uuid.uuid4().hex[:12]}")
         matches.write.mode("overwrite").parquet(self._abs(rel))
+        nrows = self.spark.read.parquet(self._abs(rel)).count()
+        if nrows == 0:
+            shutil.rmtree(self._abs(rel), ignore_errors=True)
+            return [], 0
         paths = [
             os.path.join(rel, n)
             for n in sorted(os.listdir(self._abs(rel)))
             if n.endswith(".parquet")
         ]
-        nrows = self.spark.read.parquet(self._abs(rel)).count()
         return paths, nrows
 
     def _delete_mor_position(
@@ -687,12 +716,14 @@ class LakeTable:
         coords = self._matched_coords(
             md, self._candidates(md, snap, pred_sql), pred_sql
         )
-        matches = (
-            coords.select("file_path", "pos")
+        dfile_paths, nrows = (
+            self._write_position_delete(coords.select("__fp", "__pos"))
             if coords is not None
-            else self.spark.createDataFrame([], "file_path string, pos bigint")
+            else ([], 0)
         )
-        dfile_paths, nrows = self._write_position_delete(matches)
+        # zero matches => no delete file registered: the snapshot is a
+        # no-op and every later fast path (gated on `not delete_files`)
+        # stays fast
         dels = list(snap.delete_files) + [
             M.DeleteFile(path=p, rows=nrows, equality_columns=[], content="position")
             for p in dfile_paths
@@ -712,16 +743,28 @@ class LakeTable:
         ONE row per touched data file holding a bitmap of deleted row
         positions (array of int64 words). vs the position-list flavor, the
         delete file shrinks from one row per deleted ROW to one row per
-        touched FILE (~rows/8 bytes of bitmap), and the read side becomes
-        a file-keyed join + branch-free bit test instead of a
-        per-coordinate anti-join. Matching positions are computed
-        executor-side over manifest-pruned candidates; bitmap packing is
-        one Arrow pass per file group."""
+        touched FILE, and the read side becomes a file-keyed join +
+        branch-free bit test instead of a per-coordinate anti-join.
+        Matching positions are computed executor-side over manifest-pruned
+        candidates; bitmap packing is one Arrow pass per file group.
+
+        The bitmap is OFFSET-TRIMMED: each row stores the first set word's
+        index plus only the words from first-set to last-set, so a sparse
+        delete near the end of a billion-row file costs O(span/8) bytes,
+        not O(rows/8) (ADVICE r5; real Iceberg V3 goes further with
+        roaring compression — word-range trimming keeps the read-side bit
+        test branch-free while fixing the dense worst case)."""
         coords = self._matched_coords(
             md, self._candidates(md, snap, pred_sql), pred_sql
         )
-        if coords is not None:
-            matches = coords.select("file_path", "pos")
+        if coords is None:
+            nrows = 0
+        else:
+            # user columns are dropped before the rename, so a table
+            # column named file_path/pos cannot collide (ADVICE r5)
+            matches = coords.select(
+                F.col("__fp").alias("file_path"), F.col("__pos").alias("pos")
+            )
 
             def _pack(batches):
                 import numpy as np
@@ -738,45 +781,46 @@ class LakeTable:
                 out = []
                 for fp, chunks in acc.items():
                     pos = np.concatenate(chunks)
-                    words = np.zeros(int(pos.max()) // 64 + 1, dtype=np.uint64)
+                    lo = int(pos.min()) // 64
+                    words = np.zeros(
+                        int(pos.max()) // 64 - lo + 1, dtype=np.uint64
+                    )
                     np.bitwise_or.at(
                         words,
-                        pos // 64,
+                        pos // 64 - lo,
                         np.uint64(1) << (pos % 64).astype(np.uint64),
                     )
-                    out.append((fp, words.view(np.int64), len(pos)))
+                    out.append((fp, words.view(np.int64), lo, len(pos)))
                 if out:
                     yield pd.DataFrame(
-                        out, columns=["file_path", "words", "cardinality"]
+                        out,
+                        columns=["file_path", "words", "offset", "cardinality"],
                     )
 
-            vectors = (
-                matches.repartition("file_path")
-                .mapInPandas(
-                    _pack,
-                    "file_path string, words array<bigint>, cardinality bigint",
+            vectors = matches.repartition("file_path").mapInPandas(
+                _pack,
+                "file_path string, words array<bigint>, offset int, "
+                "cardinality bigint",
+            )
+            rel = os.path.join("data", f"dv-{uuid.uuid4().hex[:12]}")
+            vectors.write.mode("overwrite").parquet(self._abs(rel))
+            nrows = int(
+                self.spark.read.parquet(self._abs(rel))
+                .agg(F.coalesce(F.sum("cardinality"), F.lit(0)))
+                .first()[0]
+            )
+            if nrows == 0:
+                shutil.rmtree(self._abs(rel), ignore_errors=True)
+        dels = list(snap.delete_files)
+        if nrows:
+            dels += [
+                M.DeleteFile(path=p, rows=nrows, equality_columns=[], content="vector")
+                for p in (
+                    os.path.join(rel, n)
+                    for n in sorted(os.listdir(self._abs(rel)))
+                    if n.endswith(".parquet")
                 )
-            )
-        else:
-            vectors = self.spark.createDataFrame(
-                [], "file_path string, words array<bigint>, cardinality bigint"
-            )
-        rel = os.path.join("data", f"dv-{uuid.uuid4().hex[:12]}")
-        vectors.write.mode("overwrite").parquet(self._abs(rel))
-        dfile_paths = [
-            os.path.join(rel, n)
-            for n in sorted(os.listdir(self._abs(rel)))
-            if n.endswith(".parquet")
-        ]
-        nrows = (
-            self.spark.read.parquet(self._abs(rel))
-            .agg(F.coalesce(F.sum("cardinality"), F.lit(0)))
-            .first()[0]
-        )
-        dels = list(snap.delete_files) + [
-            M.DeleteFile(path=p, rows=int(nrows), equality_columns=[], content="vector")
-            for p in dfile_paths
-        ]
+            ]
         self._new_snapshot(
             md,
             "delete",
@@ -840,16 +884,22 @@ class LakeTable:
         coords = self._matched_coords(
             md, self._candidates(md, snap, pred_sql), pred_sql
         )
-        if coords is None:
+        dfile_paths, nrows = (
+            self._write_position_delete(coords.select("__fp", "__pos"))
+            if coords is not None
+            else ([], 0)
+        )
+        if nrows == 0:
+            # candidate files existed but the predicate matched nothing
+            # (or no candidates at all): commit a no-op snapshot WITHOUT a
+            # delete file — an empty delete entry would permanently gate
+            # every later update/delete off the MoR fast path (ADVICE r5)
             self._new_snapshot(
                 md, "overwrite", list(snap.files), list(snap.delete_files),
                 {"mode": "merge-on-read", "op": "update", "matched": 0},
             )
             return
-        dfile_paths, nrows = self._write_position_delete(
-            coords.select("file_path", "pos")
-        )
-        updated = coords.drop("file_path", "pos").withColumns(
+        updated = coords.drop("__fp", "__pos").withColumns(
             {c: F.expr(e) for c, e in set_exprs.items()}
         )
         new_files = self._write_files(self._align(updated, md.schema()), md)

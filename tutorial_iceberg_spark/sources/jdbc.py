@@ -14,11 +14,24 @@ Derby database (the Derby jars ship inside the Spark distribution —
 nothing external): seed Derby from the ``orders`` testdata through the
 JDBC WRITER, read it back through the partitioned JDBC READER, aggregate.
 A user pointing this at PostgreSQL swaps the URL and driver string only.
+
+LOCAL-MODE ASSUMPTION (ADVICE r5): the embedded ``jdbc:derby:<dir>`` form
+boots the database inside whichever JVM opens it, and Derby allows exactly
+ONE booting JVM per database directory. The 8-way partitioned read
+therefore works here only because local-mode executors share the driver
+JVM. On a real multi-JVM cluster this exact demo would fail to boot from
+the executors — point the URL at a server-form database instead (Derby
+network server ``jdbc:derby://host/db``, or PostgreSQL/MySQL/...); the
+reader/writer wrappers themselves are cluster-correct, the embedded URL is
+the demo fixture. Per-run scratch databases live under /tmp/tis_jdbc and
+stale ones are swept on the next run.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -75,12 +88,36 @@ def write_jdbc(
     w.mode(mode).save()
 
 
+_SCRATCH_ROOT = "/tmp/tis_jdbc"
+_STALE_AFTER_SEC = 3600  # grace window: never sweep a possibly-live run
+
+
+def _sweep_stale_scratch() -> None:
+    """Remove scratch databases from finished runs (ADVICE r5: they were
+    never cleaned up). Age-gated so a concurrent bench/test session's live
+    database is never deleted; the new run's own directory is created
+    after the sweep."""
+    try:
+        entries = os.listdir(_SCRATCH_ROOT)
+    except FileNotFoundError:
+        return
+    cutoff = time.time() - _STALE_AFTER_SEC
+    for name in entries:
+        p = os.path.join(_SCRATCH_ROOT, name)
+        try:
+            if os.path.getmtime(p) < cutoff:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+
+
 def _embedded_derby_url(spark: SparkSession) -> str:
     # keep Derby's boot log out of the repo cwd (read once at engine boot)
     spark._jvm.java.lang.System.setProperty(
         "derby.stream.error.file", "/tmp/derby.log"
     )
-    db = os.path.join("/tmp", "tis_jdbc", uuid.uuid4().hex[:12], "db")
+    _sweep_stale_scratch()
+    db = os.path.join(_SCRATCH_ROOT, uuid.uuid4().hex[:12], "db")
     os.makedirs(os.path.dirname(db), exist_ok=True)
     return f"jdbc:derby:{db};create=true"
 
@@ -99,7 +136,9 @@ def _embedded_derby_url(spark: SparkSession) -> str:
     "READER with an 8-way partitioned scan (8 concurrent connections, "
     "one o_orderkey stride each — never one connection pulling the whole "
     "table), aggregate per status. Same datasource path as PostgreSQL; "
-    "only the URL/driver strings differ",
+    "only the URL/driver strings differ. Embedded Derby admits one booting "
+    "JVM, so the partitioned read of THIS DEMO FIXTURE requires local mode "
+    "(executors sharing the driver JVM) — a server-form URL lifts that",
     tags=("source", "jdbc"),
 )
 def s8_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
