@@ -14,12 +14,61 @@ import re
 import time
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
+
+from tutorial_iceberg_spark.io import load_table
+from tutorial_iceberg_spark.registry import register
 
 
 def explain_str(df: DataFrame, mode: str = "formatted") -> str:
     """df.explain(...) as a string instead of stdout."""
     return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+def describe_select(spark: SparkSession, sql: str) -> DataFrame:
+    """``DESCRIBE SELECT ...`` parity (README.md:313-316): the schema a
+    query WOULD produce, resolved by the analyzer only — no job runs, no
+    data is read beyond the parquet footer the scan node needs. Returns
+    (column_name, column_type) rows using Spark's simpleString type names.
+    """
+    fields = spark.sql(sql).schema.fields  # analysis-only
+    return spark.createDataFrame(
+        [(f.name, f.dataType.simpleString()) for f in fields],
+        "column_name string, column_type string",
+    )
+
+
+@register(
+    "e1_describe_select",
+    oracle="""
+        SELECT column_name,
+               CASE column_type
+                   WHEN 'BIGINT' THEN 'bigint'
+                   WHEN 'DOUBLE' THEN 'double'
+                   WHEN 'TIMESTAMP' THEN 'timestamp_ntz'
+                   WHEN 'VARCHAR' THEN 'string'
+                   ELSE lower(column_type) END AS column_type
+        FROM (DESCRIBE SELECT l_orderkey, l_quantity,
+                  l_extendedprice * (1 - l_discount) AS disc_price,
+                  l_shipdate, l_returnflag
+              FROM lineitem)
+        ORDER BY column_name
+    """,
+    doc="E1 DESCRIBE SELECT parity (README.md:313-316 — schema of a query "
+    "without running it): the analyzer resolves names, the computed "
+    "column's type, and the parquet footer schema; the CASE in the oracle "
+    "maps DuckDB's type names onto Spark simpleString names (the engine's "
+    "documented load mapping: TIMESTAMP->timestamp_ntz, VARCHAR->string)",
+    tags=("explain", "metadata"),
+)
+def e1_describe_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("e1_li")
+    return describe_select(
+        spark,
+        "SELECT l_orderkey, l_quantity, "
+        "l_extendedprice * (1 - l_discount) AS disc_price, "
+        "l_shipdate, l_returnflag FROM e1_li",
+    ).orderBy("column_name")
 
 
 @dataclass

@@ -70,5 +70,6 @@ def all_queries() -> dict[str, QuerySpec]:
     from tutorial_iceberg_spark.lakehouse import queries as lake_queries  # noqa: F401
     from tutorial_iceberg_spark.streaming import events_stream  # noqa: F401
     from tutorial_iceberg_spark.operators import multimodal  # noqa: F401
+    from tutorial_iceberg_spark.plans import explain  # noqa: F401
 
     return dict(_REGISTRY)
