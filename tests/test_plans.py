@@ -58,6 +58,8 @@ ALLOWED = {
     ],
     "functions/text.py": [
         r"n_docs\b",  # 1-row corpus-size scalar
+        r"corpus_stats\b",  # 1-row (N, avgdl) aggregate
+        r"term_df\b",  # BM25 df table: |query terms| rows
     ],
     "operators/dedup.py": [
         r"pos\b",  # shingle-position frame: n_hashes permutation rows

@@ -143,3 +143,71 @@ def test_shingles_empty_for_short_docs(spark, sf_dir):
     rows = {r["doc_id"]: r["s"] for r in df.select("doc_id", D.shingles().alias("s")).collect()}
     assert rows[1] == [] and rows[2] == [] and rows[3] == []
     assert rows[4] == ["alpha beta gamma", "beta gamma delta"]
+
+
+def test_bm25_invariants(spark, sf_dir):
+    rows = T.x_bm25_search(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 10
+    scores = [r["score"] for r in rows]
+    # probabilistic idf is positive whenever df < N; scores ranked desc
+    assert all(s > 0 for s in scores)
+    assert scores == sorted(scores, reverse=True)
+    assert all(1 <= r["n_match"] <= len(T.BM25_TERMS) for r in rows)
+
+
+def test_bm25_single_term_doc_ordering(spark, sf_dir):
+    # A doc that repeats one query term but is shorter must outscore a doc
+    # with the same tf padded with filler (BM25 length normalization).
+    import os
+    import tempfile
+
+    docs = spark.createDataFrame(
+        [
+            (1, "vector vector vector"),
+            (2, "vector vector vector " + "pad " * 50),
+        ],
+        "doc_id long, text string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        out = {r["doc_id"]: r["score"] for r in T.x_bm25_search(spark, d).collect()}
+    assert out[1] > out[2]
+
+
+def test_hash_sample_rate_and_determinism(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    a = [r["doc_id"] for r in T.x_hash_sample(spark, sf_dir).collect()]
+    b = [r["doc_id"] for r in T.x_hash_sample(spark, sf_dir).collect()]
+    assert a == b  # seedless determinism across runs
+    # expected rate 26/256 ~= 10.2%; loose binomial bounds for small n
+    assert 0.02 * n <= len(a) <= 0.25 * n
+
+
+def test_hash_sample_filter_is_shuffle_free(spark, sf_dir):
+    # The sampling predicate itself (before presentation ordering) must be
+    # a narrow scan+filter: no Exchange anywhere in the plan.
+    docs = load_table(spark, sf_dir, "documents")
+    keep = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "1a"
+    plan = docs.filter(keep)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_approx_distinct_within_rsd(spark, sf_dir):
+    from tutorial_iceberg_spark.operators import relational as R
+
+    est = {
+        r["event_type"]: r["approx_users"]
+        for r in R.x_approx_distinct(spark, sf_dir).collect()
+    }
+    events = load_table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r["exact"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for k, e in exact.items():
+        # 5 sigma of the configured rsd=0.02 — loose but regression-catching
+        assert abs(est[k] - e) <= max(2.0, 5 * 0.02 * e)

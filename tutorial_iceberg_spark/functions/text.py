@@ -542,3 +542,160 @@ def x_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# BM25 query: three mid-frequency corpus terms (fixed so the oracle SQL is a
+# closed expression; a production caller parameterizes this list).
+BM25_TERMS = ("vector", "join", "stream")
+BM25_K1 = 1.5  # exact in binary -> cross-engine deterministic
+BM25_B = 0.75  # exact in binary
+
+
+@register(
+    "x_bm25_search",
+    oracle=r"""
+        WITH stats AS (
+            SELECT COUNT(*) AS n_docs,
+                   (CAST(SUM(len(string_split_regex(trim(lower(text)), '\s+')))
+                         AS DOUBLE) / COUNT(*)) AS avgdl
+            FROM documents
+        ),
+        tok AS (
+            SELECT doc_id,
+                   len(string_split_regex(trim(lower(text)), '\s+')) AS dl,
+                   unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, MAX(dl) AS dl, COUNT(*) AS tf
+            FROM tok
+            WHERE term IN ('vector', 'join', 'stream')
+            GROUP BY doc_id, term
+        ),
+        term_df AS (
+            SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+        ),
+        scored AS (
+            SELECT tf.doc_id,
+                   tf.term,
+                   (((CAST(stats.n_docs AS DOUBLE) - CAST(term_df.df AS DOUBLE))
+                     + 0.5) / (CAST(term_df.df AS DOUBLE) + 0.5))
+                   * ((CAST(tf.tf AS DOUBLE) * 2.5)
+                      / (CAST(tf.tf AS DOUBLE)
+                         + (1.5 * (0.25 + (0.75 * (CAST(tf.dl AS DOUBLE)
+                                                   / stats.avgdl)))))) AS s
+            FROM tf
+            JOIN term_df USING (term)
+            CROSS JOIN stats
+        )
+        SELECT doc_id,
+               list_aggregate(list(s ORDER BY term), 'sum') AS score,
+               COUNT(*) AS n_match
+        FROM scored
+        GROUP BY doc_id
+        ORDER BY score DESC, doc_id
+        LIMIT 10
+    """,
+    doc="BM25 ranked retrieval (SURVEY §2.11 text; quality-retrieval stage "
+    "of a training-data pipeline): top-10 documents for a fixed 3-term "
+    "query under BM25 with k1=1.5, b=0.75 and the probabilistic idf "
+    "(N-df+0.5)/(df+0.5) — every constant exact in binary and every "
+    "operation a deterministic IEEE-754 chain, so scores are bit-identical "
+    "to the DuckDB oracle. The per-document score is a term-ordered "
+    "sequential float64 fold (array_sort + F.aggregate ≡ list(ORDER BY) + "
+    "list_aggregate 'sum'), not an unordered SUM — FP addition is not "
+    "associative. Scale shape: ONE explode pass filtered to the query "
+    "vocabulary BEFORE aggregation (the token stream shrinks to "
+    "|query|-term rows immediately), tf hash agg with map-side partials, "
+    "df re-aggregated from tf (|query| rows, broadcast), the 1-row "
+    "(N, avgdl) aggregate broadcast, and a TakeOrdered top-k — no window "
+    "over a per-term partition (df-per-term partitions are unbounded at "
+    "100 TB), no global sort, no Python",
+    tags=("text", "search", "extension"),
+)
+def x_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # spread: tokenize + partial agg otherwise run in the lone scan task
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    # 1-row corpus stats: the whole query stays ONE plan (no .count() job)
+    corpus_stats = docs.select(F.size(toks).alias("dl")).agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tok = docs.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        F.explode(toks).alias("term"),
+    ).filter(F.col("term").isin(*BM25_TERMS))
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.max("dl").alias("dl"), F.count("*").alias("tf")
+    )
+    # df from the tf table (rows unique per (doc, term)): |query|-row frame,
+    # provably bounded -> hard broadcast is safe (see tests/test_plans.py)
+    term_df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    tf_d = F.col("tf").cast("double")
+    df_d = F.col("df").cast("double")
+    idf = ((F.col("n_docs").cast("double") - df_d) + F.lit(0.5)) / (
+        df_d + F.lit(0.5)
+    )
+    denom = tf_d + (
+        F.lit(BM25_K1)
+        * (
+            F.lit(1.0 - BM25_B)
+            + (F.lit(BM25_B) * (F.col("dl").cast("double") / F.col("avgdl")))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(term_df), "term")
+        .crossJoin(F.broadcast(corpus_stats))
+        .select(
+            "doc_id",
+            "term",
+            (idf * ((tf_d * F.lit(BM25_K1 + 1.0)) / denom)).alias("s"),
+        )
+    )
+    # term-ordered sequential fold: array_sort on (term, s) structs orders
+    # by term asc (terms unique per doc), matching list(s ORDER BY term)
+    arr = F.array_sort(F.collect_list(F.struct("term", "s")))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.aggregate(
+                F.transform(arr, lambda x: x["s"]),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("score"),
+            F.count("*").alias("n_match"),
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(10)
+    )
+
+
+@register(
+    "x_hash_sample",
+    oracle="""
+        SELECT doc_id, lang, source, n_chars
+        FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+        ORDER BY doc_id
+    """,
+    doc="Deterministic hash-rate sampling (SURVEY §2.11 sampling): keep a "
+    "document iff the first byte of md5(doc_id) falls below 0x1a — a "
+    "seedless ~10.2% (26/256) uniform draw that is reproducible across "
+    "engines, retries, AQE re-plans, and incremental reruns (a doc's "
+    "fate never depends on what else is in the corpus). This is the "
+    "100 TB sampling path: a pure narrow filter — zero shuffle, zero "
+    "window, no per-stratum state — where x_quota_sample's exact-quota "
+    "window is the bounded-stratum complement. Rate changes are one "
+    "threshold edit; disjoint samples stack by hash range",
+    tags=("text", "sampling", "extension"),
+)
+def x_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    keep = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "1a"
+    return (
+        docs.filter(keep)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )

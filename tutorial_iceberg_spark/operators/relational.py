@@ -1006,6 +1006,30 @@ def x_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_approx_distinct",
+    oracle=None,  # sketch-based: engines' HLL implementations differ by design
+    doc="Approximate distinct-count sketch (HyperLogLog++, rsd=0.02) over "
+    "events.user_id per event_type, beside the exact event count. The "
+    "100 TB cardinality path: a constant-size mergeable sketch per group "
+    "(map-side partials, one small shuffle of sketches) instead of "
+    "COUNT(DISTINCT)'s full shuffle of every distinct key. Rows-only "
+    "driver check; pytest gates each estimate against the exact distinct "
+    "count within the configured relative standard deviation",
+    tags=("agg", "sketch", "extension"),
+)
+def x_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "u1_set_ops",
     oracle="""
         SELECT user_id, 'both' AS tag FROM (
