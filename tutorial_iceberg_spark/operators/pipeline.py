@@ -254,3 +254,60 @@ def x_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("docs"), F.sum("ntok").alias("packed_tokens"))
         .orderBy("shard", "bin")
     )
+
+
+N_SHARDS = 8
+
+
+@register(
+    "x_shard_corpus",
+    oracle=f"""
+        SELECT (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                     AS INTEGER) % {N_SHARDS}) AS shard,
+               COUNT(*) AS n_docs,
+               SUM(n_chars) AS total_chars,
+               COUNT(DISTINCT lang) AS n_langs
+        FROM documents
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    doc="Deterministic corpus sharding (pretraining shard writer): shard = "
+    "md5(doc_id) 16-bit prefix mod 8 — seedless, engine-independent, and "
+    "stable under retries/re-plans, so a resumed 100 TB write regenerates "
+    "byte-identical shards. The write path repartitions BY THE SHARD "
+    "COLUMN and sorts within partitions by the hash key (one shuffle; "
+    "each task writes whole shard files in deterministic document order, "
+    "no small-file spray), then partitionBy(shard) lays out "
+    "shard=N/ directories that partition discovery prunes on read. The "
+    "registered result is the post-write per-shard audit read BACK from "
+    "the sharded layout: doc counts, char mass, and language spread per "
+    "shard (md5 uniformity keeps shards balanced — skew pytest-gated)",
+    tags=("pipeline", "sink", "extension"),
+)
+def x_shard_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tutorial_iceberg_spark.sources.sinks import scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    hkey = F.md5(F.col("doc_id").cast("string"))
+    sharded = docs.withColumn(
+        "shard",
+        (F.conv(F.substring(hkey, 1, 4), 16, 10).cast("int") % N_SHARDS),
+    )
+    path = scratch_dir("shard_corpus")
+    (
+        sharded.repartition(N_SHARDS, "shard")
+        .sortWithinPartitions("shard", hkey)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)  # shard=N/ partition discovery
+    return (
+        back.groupBy(F.col("shard").cast("int").alias("shard"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("shard")
+    )
