@@ -211,3 +211,40 @@ def test_approx_distinct_within_rsd(spark, sf_dir):
     for k, e in exact.items():
         # 5 sigma of the configured rsd=0.02 — loose but regression-catching
         assert abs(est[k] - e) <= max(2.0, 5 * 0.02 * e)
+
+
+def test_incremental_dedup_flags_exact_copy(spark):
+    import os
+    import tempfile
+
+    txt_a = "the quick brown fox jumps over the lazy dog tonight"
+    txt_b = "completely different words about spark shuffles and parquet files"
+    docs = spark.createDataFrame(
+        [
+            (1, txt_a),  # corpus
+            (2, txt_b),  # corpus
+            (5, txt_a),  # batch: exact copy of corpus doc 1
+            (10, "zebra quasar nebula comet asteroid meteor planet star moon"),
+        ],
+        "doc_id long, text string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        out = {
+            r["batch_id"]: r for r in D.x_dedup_incremental(spark, d).collect()
+        }
+    # every batch doc gets a verdict row
+    assert set(out) == {5, 10}
+    assert out[5]["is_dup"] == 1 and out[5]["best_jaccard"] == 1.0
+    assert out[10]["is_dup"] == 0 and out[10]["best_jaccard"] == 0.0
+
+
+def test_incremental_dedup_no_nested_loop_join(spark, sf_dir):
+    plan = (
+        D.x_dedup_incremental(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
