@@ -49,6 +49,8 @@ HEADLINE = (
     "q18_large_volume_orders",  # agg-filtered semi join over lineitem
     "lake_merge_upsert",  # lakehouse MERGE: CoW rewrite + snapshot commit
     "lake_sorted_compaction",  # rewrite_data_files(sort) + pruned scan
+    "x_bm25_search",  # ranked retrieval: explode + bounded-broadcast join + top-k
+    "x_dedup_incremental",  # batch-vs-corpus posting-list join + verdicts
 )
 
 # Fixed CPU-bound calibration probe (no I/O, no data dependence): 1B-row

@@ -155,3 +155,18 @@ def test_lakehouse_sink_replay_is_exactly_once(spark, sf_dir):
     assert t.meta.properties[BATCH_PROP] == "1"
     ingest(b0, 0)  # stale replay far behind: still skipped
     assert t.read().count() == 3
+
+
+def test_stream_hash_sample_equals_batch_filter(spark, sf_dir):
+    """Batch-stream parity: the streaming md5 gate must select exactly the
+    rows the same predicate selects from the batch table."""
+    got = [
+        r["event_id"] for r in S.x_stream_hash_sample(spark, sf_dir).collect()
+    ]
+    ev = load_table(spark, sf_dir, "events")
+    keep = F.substring(F.md5(F.col("event_id").cast("string")), 1, 2) < "1a"
+    want = [
+        r["event_id"]
+        for r in ev.filter(keep).select("event_id").orderBy("event_id").collect()
+    ]
+    assert got == want and len(got) > 0

@@ -660,3 +660,30 @@ if _tws_available():
         "sessions flush at end-of-replay; equal to the batch x_sessionize",
         tags=("streaming", "stateful", "extension", "pandas-udf"),
     )(x_stream_sessionize_tws)
+
+
+@register(
+    "x_stream_hash_sample",
+    oracle="""
+        SELECT event_id, user_id, event_type, value
+        FROM events
+        WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 2) < '1a'
+        ORDER BY event_id
+    """,
+    doc="Streaming hash-rate sampling: the same seedless md5-prefix gate as "
+    "the batch x_hash_sample (functions/text.py), applied to the event "
+    "stream — a STATELESS row filter, so there is no watermark, no state "
+    "store, and no shuffle; each micro-batch thins independently and the "
+    "exactly-once file sink makes the sampled stream replay-identical. "
+    "Batch-stream parity is the point: one predicate definition gives the "
+    "same ~10.2% sample whether applied to the table or the stream, so a "
+    "pipeline can downsample at ingest and backfill from batch with "
+    "identical selection. Oracle = the batch filter over the same events",
+    tags=("streaming", "sampling", "extension"),
+)
+def x_stream_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    keep = F.substring(F.md5(F.col("event_id").cast("string")), 1, 2) < "1a"
+    sampled = ev.filter(keep).select("event_id", "user_id", "event_type", "value")
+    out = run_stream(sampled, mode="append")
+    return out.orderBy("event_id")
