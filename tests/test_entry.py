@@ -21,7 +21,18 @@ def test_queries_and_oracles_consistent():
 
 
 def test_all_queries_runnable_smoke(spark, sf_dir):
-    """Every registered query must at least build + execute at sf0.001."""
+    """Every registered query must build + execute at sf0.001, and every
+    physical plan must satisfy the fleet-wide scale-hygiene floor:
+
+    - no CartesianProduct anywhere (an unbroadcast cross join is always a
+      scale bug; 1-row scalar cross joins plan as BroadcastNestedLoopJoin);
+    - no BatchEvalPython anywhere (row-at-a-time pickled Python UDFs are
+      banned package-wide — Python is allowed only through Arrow-batched
+      mapInPandas/ArrowEvalPython, which render differently in the plan).
+    """
     for name, fn in entry_mod.queries().items():
         df = fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
         assert df.count() >= 0, name

@@ -78,10 +78,12 @@ def main():
             failed.append((name, f"SPARK ERROR: {type(e).__name__}: {e}"))
             print(f"FAIL  {name}: spark error {e}")
             continue
+        t_spark = time.time() - t0
         if spec.oracle is None:
             rows_only.append(name)
-            print(f"ROWS  {name}: {len(s_rows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            print(f"ROWS  {name}: {len(s_rows)} rows (no oracle) [{t_spark:.1f}s]")
             continue
+        t1 = time.time()
         try:
             rel = con.sql(spec.oracle)
             d_cols = [c for c in rel.columns]
@@ -90,6 +92,7 @@ def main():
             failed.append((name, f"DUCKDB ERROR: {e}"))
             print(f"FAIL  {name}: duckdb error {e}")
             continue
+        t_duck = time.time() - t1
 
         problems = []
         if len(s_rows) != len(d_rows):
@@ -106,7 +109,12 @@ def main():
             print(f"FAIL  {name}: {'; '.join(problems)}")
         else:
             passed.append(name)
-            print(f"PASS  {name}: {len(s_rows)} rows [{time.time()-t0:.1f}s]")
+            # spark vs oracle time split: a slow line can be the DuckDB
+            # oracle (e.g. the recursive-CTE CC check), not the engine
+            print(
+                f"PASS  {name}: {len(s_rows)} rows "
+                f"[{t_spark:.1f}s spark + {t_duck:.1f}s oracle]"
+            )
 
     print(
         f"\n== {len(passed)} passed, {len(failed)} failed, "
