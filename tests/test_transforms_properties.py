@@ -134,3 +134,25 @@ def test_stats_pruning_sound_strings(data, op):
     v = data.draw(st.text(max_size=12))
     if _holds(x, op, v):
         assert T.stats_may_match([lo, hi], op, v)
+
+
+def test_mixture_plan_budgets_sum_to_total(spark, sf_dir):
+    """The per-language token budgets must sum to (weights-sum x total);
+    with the full weight vector covering every language, that is exactly
+    the corpus total. Rates are positive; epochs = ceil(rate)."""
+    import math
+
+    from tutorial_iceberg_spark.operators.pipeline import (
+        MIX_WEIGHTS,
+        x_mixture_plan,
+    )
+
+    rows = x_mixture_plan(spark, sf_dir).collect()
+    assert {r["lang"] for r in rows} <= set(MIX_WEIGHTS)
+    total = sum(r["n_tokens"] for r in rows)
+    budget = sum(r["target_tokens"] for r in rows)
+    covered = sum(MIX_WEIGHTS[r["lang"]] for r in rows)
+    assert abs(budget - covered * total) < 1e-6 * total
+    for r in rows:
+        assert r["sample_rate"] > 0
+        assert r["epochs"] == math.ceil(r["sample_rate"])

@@ -311,3 +311,88 @@ def x_shard_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# Target training-mix weights by language (a fixed literal plan so the
+# oracle is a closed expression; production parameterizes this map).
+MIX_WEIGHTS = {"en": 0.5, "de": 0.15, "es": 0.15, "fr": 0.1, "zh": 0.1}
+
+
+@register(
+    "x_mixture_plan",
+    oracle=r"""
+        WITH stats AS (
+            SELECT lang,
+                   COUNT(*) AS n_docs,
+                   SUM(len(string_split_regex(trim(text), '\s+'))) AS n_tokens
+            FROM documents
+            GROUP BY lang
+        ),
+        tot AS (SELECT SUM(n_tokens) AS total_tokens FROM stats)
+        SELECT stats.lang,
+               stats.n_docs,
+               stats.n_tokens,
+               CAST(CASE stats.lang
+                    WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.15
+                    WHEN 'es' THEN 0.15 WHEN 'fr' THEN 0.1
+                    ELSE 0.1 END AS DOUBLE) AS target_weight,
+               (CASE stats.lang
+                    WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.15
+                    WHEN 'es' THEN 0.15 WHEN 'fr' THEN 0.1
+                    ELSE 0.1 END
+                * CAST(tot.total_tokens AS DOUBLE)) AS target_tokens,
+               ((CASE stats.lang
+                    WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.15
+                    WHEN 'es' THEN 0.15 WHEN 'fr' THEN 0.1
+                    ELSE 0.1 END
+                * CAST(tot.total_tokens AS DOUBLE))
+                / CAST(stats.n_tokens AS DOUBLE)) AS sample_rate,
+               CAST(ceil((CASE stats.lang
+                    WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.15
+                    WHEN 'es' THEN 0.15 WHEN 'fr' THEN 0.1
+                    ELSE 0.1 END
+                * CAST(tot.total_tokens AS DOUBLE))
+                / CAST(stats.n_tokens AS DOUBLE)) AS INTEGER) AS epochs
+        FROM stats CROSS JOIN tot
+        ORDER BY stats.lang
+    """,
+    doc="Training-mixture planning (dataset mixing): given per-language "
+    "token inventories and a target weight vector, compute each "
+    "language's token budget, the sampling rate that hits it "
+    "(rate > 1 means the pool must repeat = oversampling), and the epoch "
+    "count (ceil of rate) a sampler like x_hash_sample / x_quota_sample "
+    "would need. This is the bookkeeping layer that turns 'we want "
+    "50% English' into per-stream sample rates. One hash agg over the "
+    "corpus + a 1-row total broadcast; all arithmetic is a deterministic "
+    "IEEE chain (int sums, literal weights, one multiply + one divide), "
+    "bit-identical to the oracle",
+    tags=("pipeline", "sampling", "extension"),
+)
+def x_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    ntok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    stats = (
+        docs.select("lang", ntok.alias("ntok"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("ntok").alias("n_tokens"))
+    )
+    tot = stats.agg(F.sum("n_tokens").alias("total_tokens"))
+    w = F.when(F.col("lang") == "en", F.lit(0.5))
+    for lang_key, wt in (("de", 0.15), ("es", 0.15), ("fr", 0.1)):
+        w = w.when(F.col("lang") == lang_key, F.lit(wt))
+    w = w.otherwise(F.lit(0.1))
+    target = w * F.col("total_tokens").cast("double")
+    rate = target / F.col("n_tokens").cast("double")
+    return (
+        stats.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            w.alias("target_weight"),
+            target.alias("target_tokens"),
+            rate.alias("sample_rate"),
+            F.ceil(rate).cast("int").alias("epochs"),
+        )
+        .orderBy("lang")
+    )
