@@ -127,20 +127,20 @@ def test_shard_corpus_covers_and_balances(spark, sf_dir):
     import glob
     import os
 
-    from tutorial_iceberg_spark.operators.pipeline import N_SHARDS, x_shard_corpus
+    from tutorial_iceberg_spark.operators.pipeline import CORPUS_SHARDS, x_shard_corpus
 
     rows = x_shard_corpus(spark, sf_dir).collect()
     n_total = load_table(spark, sf_dir, "documents").count()
     # partition function: every doc lands in exactly one shard
     assert sum(r["n_docs"] for r in rows) == n_total
-    assert sorted(r["shard"] for r in rows) == list(range(N_SHARDS))
+    assert sorted(r["shard"] for r in rows) == list(range(CORPUS_SHARDS))
     # md5 uniformity: no shard more than 3x the mean (loose for small sf)
-    mean = n_total / N_SHARDS
+    mean = n_total / CORPUS_SHARDS
     assert all(r["n_docs"] <= 3 * mean for r in rows)
     # physical layout: one shard=N directory per shard
     path = os.path.join(sinks.SCRATCH_BASE, "shard_corpus")
     dirs = sorted(glob.glob(os.path.join(path, "shard=*")))
-    assert len(dirs) == N_SHARDS
+    assert len(dirs) == CORPUS_SHARDS
 
 
 def test_shard_corpus_is_deterministic(spark, sf_dir):

@@ -256,14 +256,16 @@ def x_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-N_SHARDS = 8
+# Physical shard count for the corpus shard WRITER (distinct from
+# N_SHARDS above, which is the logical packing-parallelism dial).
+CORPUS_SHARDS = 8
 
 
 @register(
     "x_shard_corpus",
     oracle=f"""
         SELECT (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
-                     AS INTEGER) % {N_SHARDS}) AS shard,
+                     AS INTEGER) % {CORPUS_SHARDS}) AS shard,
                COUNT(*) AS n_docs,
                SUM(n_chars) AS total_chars,
                COUNT(DISTINCT lang) AS n_langs
@@ -291,11 +293,11 @@ def x_shard_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     hkey = F.md5(F.col("doc_id").cast("string"))
     sharded = docs.withColumn(
         "shard",
-        (F.conv(F.substring(hkey, 1, 4), 16, 10).cast("int") % N_SHARDS),
+        (F.conv(F.substring(hkey, 1, 4), 16, 10).cast("int") % CORPUS_SHARDS),
     )
     path = scratch_dir("shard_corpus")
     (
-        sharded.repartition(N_SHARDS, "shard")
+        sharded.repartition(CORPUS_SHARDS, "shard")
         .sortWithinPartitions("shard", hkey)
         .write.mode("overwrite")
         .partitionBy("shard")
