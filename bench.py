@@ -51,6 +51,8 @@ HEADLINE = (
     "lake_sorted_compaction",  # rewrite_data_files(sort) + pruned scan
     "x_bm25_search",  # ranked retrieval: explode + bounded-broadcast join + top-k
     "x_dedup_incremental",  # batch-vs-corpus posting-list join + verdicts
+    "x_chunk_documents",  # RAG chunking: tokenize -> explode -> slice, narrow
+    "x_embed_pca",  # two-Arrow-pass PCA fit + project
 )
 
 # Fixed CPU-bound calibration probe (no I/O, no data dependence): 1B-row

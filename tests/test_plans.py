@@ -66,6 +66,8 @@ ALLOWED = {
     ],
     "operators/pipeline.py": [
         r"eval_grams\b",  # eval-benchmark 5-grams: eval set is fixed-size
+        r"tot\b",  # 1-row corpus-total aggregate (x_mixture_plan)
+        r"stats\b",  # 1-row global group-size stats (x_skew_profile)
     ],
     "operators/graph.py": [
         r"b$",  # all-pairs oracle baseline, gated to small inputs only

@@ -156,3 +156,75 @@ def test_mixture_plan_budgets_sum_to_total(spark, sf_dir):
     for r in rows:
         assert r["sample_rate"] > 0
         assert r["epochs"] == math.ceil(r["sample_rate"])
+
+
+def test_chunking_reconstructs_token_stream(spark, sf_dir):
+    """Stride-window property: taking the first CHUNK_STRIDE tokens of
+    every chunk plus the tail of the last chunk reproduces each document's
+    exact token stream — no token lost or duplicated by the windowing."""
+    from tutorial_iceberg_spark.io import load_table
+    from tutorial_iceberg_spark.operators.pipeline import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        x_chunk_documents,
+    )
+
+    chunks = {}
+    for r in x_chunk_documents(spark, sf_dir).collect():
+        chunks.setdefault(r["doc_id"], []).append(r)
+    docs = {
+        r["doc_id"]: r["text"].strip().split()
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    assert set(chunks) == set(docs)
+    for doc_id, rows in chunks.items():
+        rows.sort(key=lambda r: r["chunk_id"])
+        toks = []
+        for i, r in enumerate(rows):
+            ct = r["chunk_text"].split(" ")
+            assert len(ct) == r["chunk_tokens"] <= CHUNK_TOKENS
+            if i + 1 < len(rows):
+                assert r["chunk_tokens"] == CHUNK_TOKENS  # only tail is short
+                toks.extend(ct[:CHUNK_STRIDE])
+            else:
+                toks.extend(ct)
+        want = docs[doc_id] if docs[doc_id] else [""]
+        assert toks == want, f"doc {doc_id} token stream mismatch"
+
+
+def test_chunk_overlap_matches_predecessor(spark, sf_dir):
+    """Each chunk's leading overlap tokens equal the previous chunk's
+    trailing tokens (the RAG context-continuity contract)."""
+    from tutorial_iceberg_spark.operators.pipeline import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        x_chunk_documents,
+    )
+
+    overlap = CHUNK_TOKENS - CHUNK_STRIDE
+    by_doc = {}
+    for r in x_chunk_documents(spark, sf_dir).collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    checked = 0
+    for rows in by_doc.values():
+        rows.sort(key=lambda r: r["chunk_id"])
+        for prev, cur in zip(rows, rows[1:]):
+            p, c = prev["chunk_text"].split(" "), cur["chunk_text"].split(" ")
+            assert c[:overlap] == p[CHUNK_STRIDE:CHUNK_STRIDE + overlap]
+            checked += 1
+    assert checked > 0
+
+
+def test_skew_profile_shares_and_ratio(spark, sf_dir):
+    """Top-10 shares must be <= max share sum 1, counts descending, and the
+    skew ratio consistent with the reported max/p50 columns."""
+    from tutorial_iceberg_spark.operators.pipeline import x_skew_profile
+
+    rows = x_skew_profile(spark, sf_dir).collect()
+    assert len(rows) == 10
+    cnts = [r["cnt"] for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+    r0 = rows[0]
+    assert 0 < sum(r["share"] for r in rows) <= 1.0 + 1e-12
+    assert abs(r0["skew_ratio"] - r0["cnt"] / r0["p50_group"]) < 1e-9
+    assert r0["p99_group"] >= r0["p50_group"]

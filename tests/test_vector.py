@@ -133,3 +133,52 @@ def test_hyperplane_lsh_candidates_are_selective(spark, sf_dir):
         .count()
     )
     assert nc < 0.5 * n * (n - 1) / 2
+
+
+def test_pca_matches_numpy_and_is_orthonormal(spark, sf_dir):
+    """x_embed_pca is rows-only in the driver gate; this is its oracle:
+    the distributed moment-partial fit must equal numpy PCA on the
+    collected table (same eigvecs up to the deterministic sign fix), the
+    components must be orthonormal, and the projected variance must equal
+    the eigenvalues in descending order."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mean, comps, vals = V.fit_pca(spark, emb)
+    x = np.stack([r["embedding"] for r in emb.select("embedding").collect()]).astype(
+        np.float64
+    )
+    # distributed moments == exact moments
+    assert np.allclose(mean, x.mean(0), atol=1e-9)
+    cov = np.cov(x.T, bias=True)
+    # orthonormal rows
+    assert np.allclose(comps @ comps.T, np.eye(V.PCA_K), atol=1e-9)
+    # eigen pairs: cov @ v == lambda * v, eigenvalues descending
+    for i in range(V.PCA_K):
+        assert np.allclose(cov @ comps[i], vals[i] * comps[i], atol=1e-6)
+    assert all(vals[i] >= vals[i + 1] - 1e-12 for i in range(V.PCA_K - 1))
+
+    out = V.x_embed_pca(spark, sf_dir).toPandas()
+    assert list(out.columns) == ["vec_id"] + [f"pc{i+1}" for i in range(V.PCA_K)]
+    assert len(out) == x.shape[0]
+    p = out[[f"pc{i+1}" for i in range(V.PCA_K)]].to_numpy()
+    # projected variance per dim == eigenvalue (population variance)
+    assert np.allclose(p.var(0), vals, rtol=1e-9, atol=1e-12)
+    # exact reprojection check vs numpy
+    want = (x - x.mean(0)) @ comps.T
+    got = out.sort_values("vec_id")[[f"pc{i+1}" for i in range(V.PCA_K)]].to_numpy()
+    assert np.allclose(got, want, atol=1e-9)
+
+
+def test_pca_fit_collects_only_partials(spark, sf_dir):
+    """Scale gate: the fit's only driver-bound data is one moment row per
+    partition (cnt, d, d^2 arrays) — repartitioning changes the partial
+    count but must not change the fitted model."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    m1, c1, v1 = V.fit_pca(spark, emb.repartition(7))
+    m2, c2, v2 = V.fit_pca(spark, emb.coalesce(1))
+    assert np.allclose(m1, m2, atol=1e-9)
+    assert np.allclose(v1, v2, atol=1e-7)
+    assert np.allclose(np.abs(c1), np.abs(c2), atol=1e-7)

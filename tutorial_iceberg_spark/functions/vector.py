@@ -501,3 +501,109 @@ def x_ann_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rank", "neighbor_id", "score")
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA projection (dimensionality reduction for embedding pipelines)
+# ---------------------------------------------------------------------------
+
+PCA_K = 8
+
+
+def _moment_partials(emb: DataFrame) -> DataFrame:
+    """One row PER PARTITION of (count, sum vector, sum of outer products,
+    flattened d*d) — the treeAggregate pattern: full-rank covariance state
+    crosses the executor boundary once per partition (O(P * d^2) driver
+    bytes, independent of row count), never per row and never via a
+    per-element shuffle."""
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        cnt, s, ss = 0, None, None
+        for pdf in it:
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            cnt += x.shape[0]
+            s = x.sum(0) if s is None else s + x.sum(0)
+            g = x.T @ x
+            ss = g if ss is None else ss + g
+        if cnt:
+            yield pd.DataFrame(
+                {"cnt": [cnt], "s": [s.tolist()], "ss": [ss.ravel().tolist()]}
+            )
+
+    return emb.select("embedding").mapInPandas(
+        batches, "cnt long, s array<double>, ss array<double>"
+    )
+
+
+def fit_pca(spark: SparkSession, emb: DataFrame, k: int = PCA_K):
+    """Fit PCA: returns (mean: ndarray[d], components: ndarray[k, d],
+    eigenvalues: ndarray[k]). Only partition-level moment partials are
+    collected (bounded model state, not data); the d x d eigendecomposition
+    runs on the driver — d is embedding width, never corpus size.
+
+    Component sign is fixed deterministically (largest-|w| coordinate made
+    positive) so results are reproducible across partitionings."""
+    import numpy as np
+
+    parts = _moment_partials(emb).collect()
+    n = sum(p["cnt"] for p in parts)
+    s = np.sum([np.asarray(p["s"]) for p in parts], axis=0)
+    ss = np.sum([np.asarray(p["ss"]) for p in parts], axis=0)
+    d = s.shape[0]
+    mean = s / n
+    cov = ss.reshape(d, d) / n - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T  # (k, d)
+    flip = np.sign(comps[np.arange(k), np.abs(comps).argmax(axis=1)])
+    flip[flip == 0] = 1.0
+    return mean, comps * flip[:, None], vals[order]
+
+
+@register(
+    "x_embed_pca",
+    oracle=None,  # eigendecomposition: no single-statement SQL equivalent.
+    # Gated instead by pytest invariants: orthonormal components,
+    # descending per-dim variance == eigenvalues, exact match vs numpy
+    # PCA on the collected table (tests/test_vector.py).
+    doc=f"PCA projection of the embeddings table to {PCA_K} dims: "
+    "partition-level moment partials (count / sum / outer-product sum) via "
+    "one Arrow pass — the treeAggregate pattern, O(partitions * d^2) "
+    "driver state independent of corpus size — then a d x d eigh on the "
+    "driver and a second narrow Arrow pass projecting every row. Two "
+    "scans, zero shuffles, model state bounded by embedding width. "
+    f"Output is flat double columns pc1..pc{PCA_K} (deterministic "
+    "component signs), ordered by vec_id",
+    tags=("vector", "extension", "pandas-udf"),
+)
+def x_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mean, comps, _ = fit_pca(spark, emb)
+    mean_l, comps_l = mean.tolist(), comps.tolist()
+    k = len(comps_l)
+
+    def project(it):
+        import numpy as np
+        import pandas as pd
+
+        m = np.asarray(mean_l)
+        c = np.asarray(comps_l)  # (k, d)
+        for pdf in it:
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            p = (x - m) @ c.T
+            out = {"vec_id": pdf["vec_id"]}
+            for i in range(k):
+                out[f"pc{i + 1}"] = p[:, i]
+            yield pd.DataFrame(out)
+
+    schema = "vec_id long, " + ", ".join(f"pc{i + 1} double" for i in range(k))
+    return (
+        emb.select("vec_id", "embedding")
+        .mapInPandas(project, schema)
+        .orderBy("vec_id")
+    )

@@ -398,3 +398,153 @@ def x_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # overlap = CHUNK_TOKENS - CHUNK_STRIDE = 16 tokens
+
+
+@register(
+    "x_chunk_documents",
+    oracle=rf"""
+        WITH t AS (
+            SELECT doc_id,
+                   string_split_regex(trim(text), '\s+') AS toks,
+                   len(string_split_regex(trim(text), '\s+')) AS n
+            FROM documents
+        ), s AS (
+            SELECT doc_id, toks, n, CAST(start AS BIGINT) AS start
+            FROM t, UNNEST(range(0, CAST(n AS BIGINT), {CHUNK_STRIDE}))
+                    AS u(start)
+            WHERE start = 0
+               OR start < n - {CHUNK_TOKENS - CHUNK_STRIDE}
+        )
+        SELECT doc_id,
+               CAST(start // {CHUNK_STRIDE} AS INT) AS chunk_id,
+               array_to_string(
+                   list_slice(toks, start + 1, start + {CHUNK_TOKENS}), ' '
+               ) AS chunk_text,
+               CAST(least({CHUNK_TOKENS}, n - start) AS INT) AS chunk_tokens
+        FROM s
+        ORDER BY doc_id, chunk_id
+    """,
+    doc=f"RAG-style document chunking: overlapping {CHUNK_TOKENS}-token "
+    f"windows every {CHUNK_STRIDE} tokens (16-token overlap), tail chunks "
+    "that would be wholly contained in their predecessor dropped. Pure "
+    "narrow Catalyst plan — tokenize once, sequence() start offsets, "
+    "posexplode, slice + array_join — zero shuffles, zero Python; output "
+    "partitioning inherits the scan, so 100 TB chunks in one "
+    "embarrassingly-parallel pass. The downstream embed step is "
+    "x_multimodal_features' Arrow batch shape over chunk_text",
+    tags=("text", "pipeline", "extension"),
+)
+def x_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    overlap = CHUNK_TOKENS - CHUNK_STRIDE
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    t = docs.select(
+        "doc_id", toks.alias("toks"), F.size(toks).alias("n")
+    )
+    # start offsets 0, stride, 2*stride, ... < n  (n >= 1 always: split of
+    # an empty string yields [""]); sequence() is ascending-safe because
+    # the upper bound n-1 >= 0
+    starts = F.sequence(
+        F.lit(0).cast("long"),
+        (F.col("n") - 1).cast("long"),
+        F.lit(CHUNK_STRIDE).cast("long"),
+    )
+    s = (
+        t.select("doc_id", "toks", "n", F.explode(starts).alias("start"))
+        .filter((F.col("start") == 0) | (F.col("start") < F.col("n") - overlap))
+    )
+    return (
+        s.select(
+            "doc_id",
+            (F.col("start") / CHUNK_STRIDE).cast("int").alias("chunk_id"),
+            F.array_join(
+                F.slice(F.col("toks"), F.col("start") + 1, F.lit(CHUNK_TOKENS)),
+                " ",
+            ).alias("chunk_text"),
+            F.least(F.lit(CHUNK_TOKENS), F.col("n") - F.col("start"))
+            .cast("int")
+            .alias("chunk_tokens"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+@register(
+    "x_skew_profile",
+    oracle="""
+        WITH g AS (
+            SELECT user_id, COUNT(*) AS cnt
+            FROM events
+            GROUP BY user_id
+        ), stats AS (
+            SELECT COUNT(*) AS n_keys,
+                   SUM(cnt) AS total_rows,
+                   quantile_cont(cnt, 0.5) AS p50_group,
+                   quantile_cont(cnt, 0.99) AS p99_group,
+                   MAX(cnt) AS max_group
+            FROM g
+        )
+        SELECT user_id, cnt,
+               CAST(cnt AS DOUBLE) / total_rows AS share,
+               n_keys, total_rows, p50_group, p99_group,
+               CAST(max_group AS DOUBLE) / p50_group AS skew_ratio
+        FROM g, stats
+        ORDER BY cnt DESC, user_id
+        LIMIT 10
+    """,
+    doc="Join-key skew diagnostics: per-key cardinality profile of "
+    "events.user_id — the top heavy hitters with their share of all rows, "
+    "plus corpus-level group-size percentiles and the max/median skew "
+    "ratio. This is the probe that decides whether a downstream join "
+    "needs salting (j4_salted_skew_join) or can rely on AQE skew "
+    "splitting. One hash groupBy (partial agg map-side), a 1-row global "
+    "stats broadcast, and a TakeOrdered top-10 — per-key counts never "
+    "collect on the driver, so the profile costs one shuffle at any scale",
+    tags=("pipeline", "diagnostics", "extension"),
+)
+def x_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # Lazy checkpoint: the per-key count frame feeds BOTH the 1-row stats
+    # aggregate and the top-10 TakeOrdered; without lineage truncation
+    # Catalyst plans two full scans of the base table (exchange reuse does
+    # not fire across the differing agg subtrees). Checkpointed, the 100 TB
+    # scan + shuffle happens once and the O(keys) count frame is reread.
+    g = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    pct = F.percentile(F.col("cnt"), F.array(F.lit(0.5), F.lit(0.99)))
+    stats = g.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("cnt").alias("total_rows"),
+        pct.alias("pcts"),
+        F.max("cnt").alias("max_group"),
+    ).select(
+        "n_keys",
+        "total_rows",
+        F.col("pcts")[0].alias("p50_group"),
+        F.col("pcts")[1].alias("p99_group"),
+        "max_group",
+    )
+    return (
+        g.crossJoin(F.broadcast(stats))
+        .select(
+            "user_id",
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("total_rows")).alias("share"),
+            "n_keys",
+            "total_rows",
+            "p50_group",
+            "p99_group",
+            (F.col("max_group").cast("double") / F.col("p50_group")).alias(
+                "skew_ratio"
+            ),
+        )
+        .orderBy(F.desc("cnt"), "user_id")
+        .limit(10)
+    )
