@@ -53,6 +53,7 @@ HEADLINE = (
     "x_dedup_incremental",  # batch-vs-corpus posting-list join + verdicts
     "x_chunk_documents",  # RAG chunking: tokenize -> explode -> slice, narrow
     "x_embed_pca",  # two-Arrow-pass PCA fit + project
+    "x_tfidf_terms",  # full-vocab explode + df shuffle join + per-doc top-k
 )
 
 # Fixed CPU-bound calibration probe (no I/O, no data dependence): 1B-row

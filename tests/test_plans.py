@@ -60,6 +60,7 @@ ALLOWED = {
         r"n_docs\b",  # 1-row corpus-size scalar
         r"corpus_stats\b",  # 1-row (N, avgdl) aggregate
         r"term_df\b",  # BM25 df table: |query terms| rows
+        r"n$",  # 1-row doc-count aggregate (x_tfidf_terms)
     ],
     "operators/dedup.py": [
         r"pos\b",  # shingle-position frame: n_hashes permutation rows

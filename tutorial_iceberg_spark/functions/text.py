@@ -699,3 +699,82 @@ def x_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
     )
+
+
+TFIDF_TOP = 3
+
+
+@register(
+    "x_tfidf_terms",
+    oracle=r"""
+        WITH tok AS (
+            SELECT doc_id,
+                   len(string_split_regex(trim(lower(text)), '\s+')) AS dl,
+                   unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, MAX(dl) AS dl, COUNT(*) AS tf
+            FROM tok
+            GROUP BY doc_id, term
+        ),
+        term_df AS (
+            SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+        ),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf, term_df.df,
+                   (CAST(tf.tf AS DOUBLE) / CAST(tf.dl AS DOUBLE))
+                   * (((CAST(n.n_docs AS DOUBLE) - CAST(term_df.df AS DOUBLE))
+                       + 0.5) / (CAST(term_df.df AS DOUBLE) + 0.5)) AS score
+            FROM tf JOIN term_df USING (term) CROSS JOIN n
+        )
+        SELECT doc_id, rank, term, tf, df, score
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+            FROM scored) t
+        WHERE rank <= 3
+        ORDER BY doc_id, rank
+    """,
+    doc=f"Per-document top-{TFIDF_TOP} characteristic terms by TF-IDF with "
+    "the log-free probabilistic idf (N-df+0.5)/(df+0.5) — same trick as "
+    "x_bm25_search: JVM Math.log and DuckDB ln differ by 1 ulp on ~7% of "
+    "inputs (measured), so the weight is kept an exact IEEE chain and the "
+    "whole result stays hash-checkable. Scale shape: one explode pass, tf "
+    "hash agg (map-side partials), df re-aggregated FROM tf (O(vocab) "
+    "rows) and joined back on term — a shuffle equi-join, NOT broadcast: "
+    "vocabulary is unbounded at 100 TB. The 1-row doc count broadcasts; "
+    "the final top-k window partitions by doc_id, whose size is bounded "
+    "by document length, never corpus size",
+    tags=("text", "extension"),
+)
+def x_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    tok = docs.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        F.explode(toks).alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.max("dl").alias("dl"), F.count("*").alias("tf")
+    )
+    term_df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    score = (F.col("tf").cast("double") / F.col("dl").cast("double")) * (
+        ((F.col("n_docs").cast("double") - F.col("df").cast("double")) + 0.5)
+        / (F.col("df").cast("double") + 0.5)
+    )
+    scored = (
+        tf.join(term_df, "term")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "term", "tf", "df", score.alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP)
+        .select("doc_id", "rank", "term", "tf", "df", "score")
+        .orderBy("doc_id", "rank")
+    )

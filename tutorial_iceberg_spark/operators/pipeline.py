@@ -548,3 +548,82 @@ def x_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), "user_id")
         .limit(10)
     )
+
+
+WINSOR_LO, WINSOR_HI = 0.05, 0.95
+
+
+@register(
+    "x_winsorize",
+    oracle="""
+        WITH stats AS (
+            SELECT event_type,
+                   quantile_cont(value, 0.05) AS p05,
+                   quantile_cont(value, 0.95) AS p95
+            FROM events
+            GROUP BY event_type
+        )
+        SELECT e.event_type,
+               COUNT(*) AS n,
+               SUM(CASE WHEN value < p05 THEN 1 ELSE 0 END) AS n_clip_low,
+               SUM(CASE WHEN value > p95 THEN 1 ELSE 0 END) AS n_clip_high,
+               (CAST(SUM(CAST(value AS DECIMAL(15,4))) AS DOUBLE)
+                 / COUNT(value)) AS mean_before,
+               (CAST(SUM(CAST(least(greatest(value, p05), p95)
+                              AS DECIMAL(15,4))) AS DOUBLE)
+                 / COUNT(value)) AS mean_after,
+               MAX(p05) AS p05,
+               MAX(p95) AS p95
+        FROM events e JOIN stats s USING (event_type)
+        GROUP BY e.event_type
+        ORDER BY e.event_type
+    """,
+    doc="Winsorization audit (robust feature normalization): clip "
+    "events.value to its per-type [p05, p95] band and report, per type, "
+    "how many rows clipped each side and the exact-decimal mean before/"
+    "after. Canonical two-pass normalize: pass 1 computes per-group "
+    "percentile bounds (tiny frame, broadcast — bounded by event-type "
+    "cardinality), pass 2 re-reads only (event_type, value) columns, "
+    "clips via least/greatest and aggregates. Percentiles are exact "
+    "interpolated (same IEEE formula as DuckDB quantile_cont); means use "
+    "the DECIMAL sum discipline so results are partitioning-invariant. "
+    "At extreme group cardinality swap pass 1 to approx_percentile",
+    tags=("pipeline", "agg", "extension"),
+)
+def x_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tutorial_iceberg_spark.functions.numeric import davg, dec
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    pct = F.percentile(
+        F.col("value"), F.array(F.lit(WINSOR_LO), F.lit(WINSOR_HI))
+    )
+    stats = (
+        ev.groupBy("event_type")
+        .agg(pct.alias("p"))
+        .select(
+            "event_type",
+            F.col("p")[0].alias("p05"),
+            F.col("p")[1].alias("p95"),
+        )
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("value") < F.col("p05"), 1).otherwise(0)
+            ).alias("n_clip_low"),
+            F.sum(
+                F.when(F.col("value") > F.col("p95"), 1).otherwise(0)
+            ).alias("n_clip_high"),
+            davg("value", "mean_before"),
+            (F.sum(dec(clipped)).cast("double") / F.count("value")).alias(
+                "mean_after"
+            ),
+            F.max("p05").alias("p05"),
+            F.max("p95").alias("p95"),
+        )
+        .orderBy("event_type")
+    )
