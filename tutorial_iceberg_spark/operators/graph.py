@@ -295,3 +295,81 @@ def x_dedup_semantic_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("comp").alias("component"),
         F.when(F.col("id") == F.col("comp"), 1).otherwise(0).alias("is_canonical"),
     ).orderBy("vec_id")
+
+
+@register(
+    "x_semantic_dedup_corpus",
+    oracle=f"""
+        WITH RECURSIVE n AS (
+            SELECT vec_id, embedding,
+                   sqrt({_O_DOT.format(a='embedding', b='embedding')}) AS nrm
+            FROM embeddings
+        ), e AS (
+            SELECT a.vec_id AS left_id, b.vec_id AS right_id
+            FROM n a JOIN n b ON a.vec_id < b.vec_id
+            WHERE {_O_DOT.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm)
+                  >= {{thr}}
+        ), sym AS (
+            SELECT left_id AS src, right_id AS dst FROM e
+            UNION ALL
+            SELECT right_id, left_id FROM e
+        ), reach(node, label) AS (
+            SELECT vec_id, vec_id FROM embeddings
+            UNION
+            SELECT s.dst, r.label FROM reach r JOIN sym s ON s.src = r.node
+        ), comp AS (
+            SELECT node AS vec_id, MIN(label) AS component
+            FROM reach GROUP BY node
+        )
+        SELECT d.lang,
+               COUNT(*) AS docs,
+               SUM(CASE WHEN c.vec_id = c.component THEN 1 ELSE 0 END)
+                   AS kept_docs,
+               SUM(CASE WHEN c.vec_id = c.component THEN 0 ELSE 1 END)
+                   AS dropped_docs,
+               SUM(CASE WHEN c.vec_id = c.component
+                        THEN len(string_split_regex(trim(d.text), '\\s+'))
+                        ELSE 0 END) AS kept_tokens
+        FROM documents d JOIN comp c ON d.doc_id = c.vec_id
+        GROUP BY d.lang
+        ORDER BY d.lang
+    """.replace("{thr}", str(COSINE_EDGE_THRESHOLD)),
+    doc="End-to-end SemDedup corpus pass: cosine similarity graph -> "
+    "connected components -> keep the min-id canonical per cluster -> "
+    "join the keep-list back to the documents table (doc_id == vec_id in "
+    "the testdata) and account kept/dropped docs and surviving tokens "
+    "per language. This is the full 'near-duplicate clusters collapse to "
+    "one survivor' training-data flow, composed from the wired candidate "
+    "generator (all-pairs baseline under ALL_PAIRS_MAX_ROWS, LSH buckets "
+    "above), the O(log n)-round CC, and one equi-join against the corpus "
+    "— the keep-list is O(docs) and joins on the table key, no broadcast "
+    "of anything corpus-sized. Oracle: DuckDB recursive-CTE transitive "
+    "closure joined to documents",
+    tags=("dedup", "vector", "graph", "pipeline", "extension"),
+)
+def x_semantic_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    nodes = emb.select(F.col("vec_id").alias("id"))
+    edges = cosine_edges(spark, sf_dir).select(
+        F.col("left_id").alias("src"), F.col("right_id").alias("dst")
+    )
+    comp = connected_components(nodes, edges).select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("component")
+    )
+    keep = F.col("doc_id") == F.col("component")
+    ntok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return (
+        docs.join(comp, "doc_id")
+        .select("lang", keep.alias("keep"), ntok.alias("ntok"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("kept_docs"),
+            F.sum(F.when(F.col("keep"), 0).otherwise(1)).alias("dropped_docs"),
+            F.sum(F.when(F.col("keep"), F.col("ntok")).otherwise(0)).alias(
+                "kept_tokens"
+            ),
+        )
+        .orderBy("lang")
+    )
