@@ -627,3 +627,101 @@ def x_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "x_data_quality_audit",
+    oracle="""
+        SELECT 'events_value_null' AS check_name,
+               COUNT(*) AS n_checked,
+               SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_violations
+        FROM events
+        UNION ALL
+        SELECT 'events_value_negative',
+               COUNT(*),
+               SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END)
+        FROM events
+        UNION ALL
+        SELECT 'documents_pk_unique',
+               COUNT(*),
+               COUNT(*) - COUNT(DISTINCT doc_id)
+        FROM documents
+        UNION ALL
+        SELECT 'orders_fk_customer',
+               (SELECT COUNT(*) FROM orders),
+               (SELECT COUNT(*) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = o.o_custkey))
+        UNION ALL
+        SELECT 'lineitem_fk_orders',
+               (SELECT COUNT(*) FROM lineitem),
+               (SELECT COUNT(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey))
+        ORDER BY check_name
+    """,
+    doc="Declarative data-quality audit (Great-Expectations shape): null "
+    "rate, value-range, primary-key uniqueness, and two referential-"
+    "integrity checks, each one row of (check, n_checked, n_violations). "
+    "Scale shape: same-table checks fuse into ONE conditional aggregate "
+    "scan (events runs null + range in a single pass); FK checks are "
+    "left-anti joins counted — shuffle equi-joins AQE can turn into "
+    "broadcasts when the parent side is small, never a driver-side "
+    "row loop. The union of 1-row frames is free",
+    tags=("pipeline", "diagnostics", "extension"),
+)
+def x_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def row(name, n_checked, n_violations):
+        return F.struct(
+            F.lit(name).alias("check_name"),
+            n_checked.cast("long").alias("n_checked"),
+            n_violations.cast("long").alias("n_violations"),
+        )
+
+    # events: two checks in one conditional-agg scan
+    ev_checks = ev.agg(
+        F.array(
+            row(
+                "events_value_null",
+                F.count("*"),
+                F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)),
+            ),
+            row(
+                "events_value_negative",
+                F.count("*"),
+                F.sum(F.when(F.col("value") < 0, 1).otherwise(0)),
+            ),
+        ).alias("checks")
+    ).select(F.explode("checks").alias("c"))
+    doc_checks = docs.agg(
+        row(
+            "documents_pk_unique",
+            F.count("*"),
+            F.count("*") - F.countDistinct("doc_id"),
+        ).alias("c")
+    ).select("c")
+    fk_orders = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti")
+        .agg(F.count("*").alias("v"))
+        .crossJoin(orders.agg(F.count("*").alias("n")))
+        .select(row("orders_fk_customer", F.col("n"), F.col("v")).alias("c"))
+    )
+    fk_lines = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
+        .agg(F.count("*").alias("v"))
+        .crossJoin(li.agg(F.count("*").alias("n")))
+        .select(row("lineitem_fk_orders", F.col("n"), F.col("v")).alias("c"))
+    )
+    return (
+        ev_checks.unionByName(doc_checks)
+        .unionByName(fk_orders)
+        .unionByName(fk_lines)
+        .select("c.check_name", "c.n_checked", "c.n_violations")
+        .orderBy("check_name")
+    )
