@@ -182,3 +182,40 @@ def test_pca_fit_collects_only_partials(spark, sf_dir):
     assert np.allclose(m1, m2, atol=1e-9)
     assert np.allclose(v1, v2, atol=1e-7)
     assert np.allclose(np.abs(c1), np.abs(c2), atol=1e-7)
+
+
+def test_pq_codes_valid_and_beat_mean_baseline(spark, sf_dir):
+    """PQ gates: every code in [0, PQ_K); per-vector recon_mse matches a
+    driver-side numpy recomputation against the fitted codebooks (codes
+    are nearest-codeword optimal); and mean PQ reconstruction error beats
+    the 1-codeword (global mean) baseline by a wide margin."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = V.fit_pq(spark, emb)
+    m, k, sub = books.shape
+    assert (m, k) == (V.PQ_M, V.PQ_K)
+
+    out = V.x_embed_pq(spark, sf_dir).collect()
+    x = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    assert len(out) == len(x)
+    tot = 0.0
+    for r in out:
+        codes = r["codes"]
+        assert len(codes) == m and all(0 <= c < k for c in codes)
+        v = x[r["vec_id"]]
+        err = 0.0
+        for j in range(m):
+            xj = v[j * sub : (j + 1) * sub]
+            d2 = ((xj[None, :] - books[j]) ** 2).sum(-1)
+            assert codes[j] == int(d2.argmin())  # nearest-codeword optimal
+            err += d2[codes[j]]
+        assert abs(err / v.shape[0] - r["recon_mse"]) < 1e-9
+        tot += r["recon_mse"]
+    pq_mse = tot / len(out)
+    allx = np.stack(list(x.values()))
+    mean_mse = ((allx - allx.mean(0)) ** 2).sum(1).mean() / allx.shape[1]
+    assert pq_mse < 0.8 * mean_mse, (pq_mse, mean_mse)

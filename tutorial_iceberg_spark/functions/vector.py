@@ -607,3 +607,119 @@ def x_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(project, schema)
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — memory-bounded ANN codes
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces
+PQ_K = 16  # codewords per subspace (codes fit in 4 bits; stored as int)
+PQ_ITERS = 4
+
+
+def fit_pq(spark: SparkSession, emb: DataFrame, m: int = PQ_M, k: int = PQ_K):
+    """Fit PQ codebooks: m independent k-means, one per dim/m-wide
+    subspace. Returns ndarray (m, k, sub).
+
+    Every Lloyd iteration is ONE Arrow pass emitting per-partition
+    (count, sum) partials per (subspace, codeword) — the same
+    treeAggregate shape as fit_pca: driver traffic is
+    O(partitions * m * k * sub), independent of corpus size; assignment
+    happens executor-side against the broadcast codebooks. Init is the
+    first k vectors' subvectors (deterministic)."""
+    import numpy as np
+
+    first = emb.orderBy("vec_id").limit(k).collect()  # k rows, bounded
+    x0 = np.stack([r["embedding"] for r in first]).astype(np.float64)
+    d = x0.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    books = np.stack([x0[:, j * sub : (j + 1) * sub] for j in range(m)])
+
+    for _ in range(PQ_ITERS):
+        bl = books.tolist()
+
+        def partials(it):
+            import numpy as np
+            import pandas as pd
+
+            b = np.asarray(bl)  # (m, k, sub)
+            cnt = np.zeros((m, k))
+            s = np.zeros((m, k, sub))
+            seen = False
+            for pdf in it:
+                x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                seen = True
+                for j in range(m):
+                    xj = x[:, j * sub : (j + 1) * sub]
+                    d2 = ((xj[:, None, :] - b[j][None, :, :]) ** 2).sum(-1)
+                    a = d2.argmin(1)
+                    np.add.at(cnt[j], a, 1.0)
+                    np.add.at(s[j], a, xj)
+            if seen:
+                yield pd.DataFrame(
+                    {"cnt": [cnt.ravel().tolist()], "s": [s.ravel().tolist()]}
+                )
+
+        parts = emb.select("embedding").mapInPandas(
+            partials, "cnt array<double>, s array<double>"
+        ).collect()
+        cnt = sum(np.asarray(p["cnt"]).reshape(m, k) for p in parts)
+        s = sum(np.asarray(p["s"]).reshape(m, k, sub) for p in parts)
+        nz = cnt > 0  # empty codeword keeps its previous position
+        books = np.where(
+            nz[..., None], s / np.maximum(cnt, 1.0)[..., None], books
+        )
+    return books
+
+
+@register(
+    "x_embed_pq",
+    oracle=None,  # iterative per-subspace k-means: rows-only driver check;
+    # pytest gates code validity, nearest-codeword optimality, and that
+    # PQ reconstruction beats the global-mean (1-codeword) baseline.
+    doc=f"Product quantization: {PQ_M} subspaces x {PQ_K} codewords "
+    f"({PQ_ITERS} Lloyd iters each) compress every embedding to "
+    f"{PQ_M} small codes — 64 float32 dims become {PQ_M} x 4-bit ids, a "
+    "64:1 memory cut, the standard trick for holding a 100 TB ANN index "
+    "in RAM (IVF-PQ). Training: one Arrow partial-sum pass per "
+    "iteration, O(partitions * m * k * subdim) driver state; encoding: "
+    "one narrow Arrow pass emitting (vec_id, codes, per-vector "
+    "reconstruction MSE). Nothing corpus-sized leaves the executors",
+    tags=("vector", "extension", "ann", "pandas-udf"),
+)
+def x_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = fit_pq(spark, emb)
+    bl = books.tolist()
+    m, k, sub = books.shape
+
+    def encode(it):
+        import numpy as np
+        import pandas as pd
+
+        b = np.asarray(bl)
+        for pdf in it:
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            codes = np.empty((x.shape[0], m), dtype=np.int32)
+            err = np.zeros(x.shape[0])
+            for j in range(m):
+                xj = x[:, j * sub : (j + 1) * sub]
+                d2 = ((xj[:, None, :] - b[j][None, :, :]) ** 2).sum(-1)
+                codes[:, j] = d2.argmin(1)
+                err += d2[np.arange(x.shape[0]), codes[:, j]]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "codes": list(codes.tolist()),
+                    "recon_mse": err / x.shape[1],  # mean sq. err over dims
+                }
+            )
+
+    return (
+        emb.select("vec_id", "embedding")
+        .mapInPandas(encode, "vec_id long, codes array<int>, recon_mse double")
+        .orderBy("vec_id")
+    )

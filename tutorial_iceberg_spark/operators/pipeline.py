@@ -725,3 +725,118 @@ def x_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c.check_name", "c.n_checked", "c.n_violations")
         .orderBy("check_name")
     )
+
+
+FUNNEL = ("view", "click", "purchase")
+
+
+@register(
+    "x_funnel_conversion",
+    oracle="""
+        WITH v AS (
+            SELECT user_id, MIN(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ), c AS (
+            SELECT e.user_id, MIN(e.ts) AS t2
+            FROM events e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.ts > v.t1
+            GROUP BY e.user_id
+        ), p AS (
+            SELECT e.user_id, MIN(e.ts) AS t3
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.t2
+            GROUP BY e.user_id
+        ), counts AS (
+            SELECT (SELECT COUNT(*) FROM v) AS n1,
+                   (SELECT COUNT(*) FROM c) AS n2,
+                   (SELECT COUNT(*) FROM p) AS n3
+        )
+        SELECT stage_idx, stage, users,
+               CAST(users AS DOUBLE)
+                 / NULLIF(LAG(users) OVER (ORDER BY stage_idx), 0)
+                 AS conv_from_prev,
+               CAST(users AS DOUBLE) / NULLIF(first_n, 0) AS conv_from_first
+        FROM (
+            SELECT 1 AS stage_idx, 'view' AS stage, n1 AS users, n1 AS first_n
+            FROM counts
+            UNION ALL
+            SELECT 2, 'click', n2, n1 FROM counts
+            UNION ALL
+            SELECT 3, 'purchase', n3, n1 FROM counts
+        ) t
+        ORDER BY stage_idx
+    """,
+    doc="Ordered funnel analysis (view -> click -> purchase): a user "
+    "advances a stage only with an event STRICTLY AFTER their previous "
+    "stage's first event — the classic product-analytics conversion "
+    "funnel. Plan: one pushed-filter scan per stage, three groupBys and "
+    "two equi-joins ALL keyed on user_id, so every shuffle reuses the "
+    "same hash partitioning (co-partitioned chain, no re-shuffle); "
+    "per-stage user sets shrink monotonically. The 3-row summary with "
+    "lag-based step conversion is driver-free",
+    tags=("pipeline", "analytics", "extension"),
+)
+def x_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == FUNNEL[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == FUNNEL[1])
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == FUNNEL[2])
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    n1 = v.agg(F.count("*").alias("n1"))
+    n2 = c.agg(F.count("*").alias("n2"))
+    n3 = p.agg(F.count("*").alias("n3"))
+    counts = n1.crossJoin(n2).crossJoin(n3)
+    stages = counts.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("stage_idx"),
+                    F.lit("view").alias("stage"),
+                    F.col("n1").alias("users"),
+                    F.col("n1").alias("first_n"),
+                ),
+                F.struct(
+                    F.lit(2).alias("stage_idx"),
+                    F.lit("click").alias("stage"),
+                    F.col("n2").alias("users"),
+                    F.col("n1").alias("first_n"),
+                ),
+                F.struct(
+                    F.lit(3).alias("stage_idx"),
+                    F.lit("purchase").alias("stage"),
+                    F.col("n3").alias("users"),
+                    F.col("n1").alias("first_n"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.stage_idx", "s.stage", "s.users", "s.first_n")
+    w = Window.orderBy("stage_idx")
+    prev = F.lag("users").over(w)
+    return stages.select(
+        "stage_idx",
+        "stage",
+        "users",
+        (
+            F.col("users").cast("double")
+            / F.nullif(prev, F.lit(0)).cast("double")
+        ).alias("conv_from_prev"),
+        (
+            F.col("users").cast("double")
+            / F.nullif(F.col("first_n"), F.lit(0)).cast("double")
+        ).alias("conv_from_first"),
+    ).orderBy("stage_idx")
