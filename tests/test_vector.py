@@ -219,3 +219,22 @@ def test_pq_codes_valid_and_beat_mean_baseline(spark, sf_dir):
     allx = np.stack(list(x.values()))
     mean_mse = ((allx - allx.mean(0)) ** 2).sum(1).mean() / allx.shape[1]
     assert pq_mse < 0.8 * mean_mse, (pq_mse, mean_mse)
+
+
+def test_ivf_pq_recall_vs_brute_force(spark, sf_dir):
+    """IVF-PQ must recover a solid fraction of the true top-10 despite the
+    double approximation (cell probing + 4-bit codes): recall@10 >= 0.5
+    on the testdata, and the exact re-rank means every returned score is
+    a true cosine (bounded by 1)."""
+    brute = {}
+    for r in V.x_knn_brute_cosine(spark, sf_dir).collect():
+        brute.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got = {}
+    rows = V.x_ann_ivf_pq(spark, sf_dir).collect()
+    for r in rows:
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        assert -1.0 - 1e-9 <= r["score"] <= 1.0 + 1e-9
+    assert set(got) == set(brute)
+    hits = sum(len(got[q] & brute[q]) for q in brute)
+    total = sum(len(brute[q]) for q in brute)
+    assert hits / total >= 0.5, f"recall {hits}/{total}"

@@ -723,3 +723,125 @@ def x_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(encode, "vec_id long, codes array<int>, recon_mse double")
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse quantizer (IVF cells) + PQ codes + ADC scoring
+# ---------------------------------------------------------------------------
+
+ADC_SHORTLIST = 50
+
+
+@register(
+    "x_ann_ivf_pq",
+    oracle=None,  # iterative k-means x2 + ADC approximation: rows-only;
+    # recall-vs-brute-force pytest gate (tests/test_vector.py).
+    doc=f"IVF-PQ ANN — the way a 100 TB ANN index actually fits in "
+    f"memory: IVF cells ({N_CELLS}, probe {N_PROBE}) narrow the search, "
+    f"PQ codes ({PQ_M}x{PQ_K}) stand in for the vectors during scoring "
+    "via ADC (per-query lookup table of query-subvector x codeword dot "
+    f"products, {PQ_M}*{PQ_K} entries), the top-{ADC_SHORTLIST} ADC "
+    f"shortlist is re-ranked exactly, and only the top-{TOP_K} survive. "
+    "Scale shape: probed-cell candidates join their codes on vec_id "
+    "(co-partitioned equi-join), ADC scoring is one Arrow gather-sum "
+    "over the broadcast table — full vectors are touched ONLY for the "
+    "bounded shortlist re-rank. Codes are 64:1 smaller than float32 "
+    "embeddings, so the scored working set shrinks by the same factor",
+    tags=("vector", "extension", "ann", "pandas-udf"),
+)
+def x_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = fit_ivf_cells(spark, emb)
+    books = fit_pq(spark, emb)
+    m, k, sub = books.shape
+
+    u = emb.select("vec_id", _unit(F.col("embedding")).alias("u"))
+    inv = _assign(u, cents)  # vec_id -> cell
+
+    # PQ codes for every vector (encode pass; no recon column needed)
+    codes = x_embed_pq(spark, sf_dir).select("vec_id", "codes")
+
+    q = u.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("u").alias("q_u")
+    )
+    qc = q.crossJoin(F.broadcast(cents)).select(
+        "query_id", "q_u", "cell", dot(F.col("q_u"), F.col("c_emb")).alias("cs")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("cell"))
+    probes = (
+        qc.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= N_PROBE)
+        .select("query_id", "q_u", "cell")
+    )
+    # candidates: members of probed cells, joined to their PQ codes
+    cand = (
+        inv.join(F.broadcast(probes.select("query_id", "cell")), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(codes, "vec_id")
+    )
+
+    # ADC: per-query lookup tables T[q][j][c] = q_subvec_j . codeword_jc.
+    # The query set is bounded (N_QUERIES), so the tables broadcast as a
+    # plain python structure into one Arrow scorer.
+    q_rows = q.collect()  # N_QUERIES rows, bounded
+    bl = books.tolist()
+    tables = {}
+    b = np.asarray(bl)
+    for r in q_rows:
+        qv = np.asarray(r["q_u"], dtype=np.float64)
+        tables[r["query_id"]] = np.stack(
+            [b[j] @ qv[j * sub : (j + 1) * sub] for j in range(m)]
+        ).tolist()  # (m, k)
+
+    def adc(it):
+        import numpy as np
+        import pandas as pd
+
+        t = {qid: np.asarray(v) for qid, v in tables.items()}
+        for pdf in it:
+            c = np.stack(pdf["codes"].to_numpy()).astype(np.int64)  # (n, m)
+            qids = pdf["query_id"].to_numpy()
+            s = np.empty(len(qids))
+            for qid in np.unique(qids):
+                mask = qids == qid
+                tt = t[int(qid)]  # (m, k)
+                s[mask] = tt[np.arange(m)[None, :], c[mask]].sum(1)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "vec_id": pdf["vec_id"],
+                    "adc": s,
+                }
+            )
+
+    shortlisted = cand.select("query_id", "vec_id", "codes").mapInPandas(
+        adc, "query_id long, vec_id long, adc double"
+    )
+    ws = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("vec_id"))
+    short = (
+        shortlisted.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= ADC_SHORTLIST)
+        .select("query_id", "vec_id")
+    )
+    # exact re-rank of the bounded shortlist only
+    qv = q.select("query_id", F.col("q_u").alias("qv"))
+    exact = (
+        short.join(u, "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dot(F.col("qv"), F.col("u")).alias("score"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", "score")
+        .orderBy("query_id", "rank")
+    )
