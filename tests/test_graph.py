@@ -140,3 +140,35 @@ def test_auto_picks_all_pairs_below_cutoff(spark, sf_dir):
     auto = G.cosine_edges(spark, sf_dir).collect()
     exact = G.cosine_edges(spark, sf_dir, candidates="all_pairs").collect()
     assert sorted(map(tuple, auto)) == sorted(map(tuple, exact))
+
+
+def test_pagerank_mass_and_uniform_fixpoint(spark):
+    """Rank mass must stay 1 after any number of rounds, and a k-regular
+    graph's fixpoint is exactly uniform (ring of 6, each node degree 2)."""
+    from tutorial_iceberg_spark.operators.graph import pagerank
+
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    ring = [(i, (i + 1) % 6) for i in range(6)] + [((i + 1) % 6, i) for i in range(6)]
+    edges = spark.createDataFrame(ring, "src long, dst long")
+    rows = pagerank(nodes, edges, iters=5).collect()
+    total = sum(r["rank"] for r in rows)
+    assert abs(total - 1.0) < 1e-9
+    for r in rows:
+        assert abs(r["rank"] - 1.0 / 6) < 1e-12
+
+
+def test_pagerank_star_hub_dominates_and_corpus_mass(spark, sf_dir):
+    """Star graph: the hub must out-rank every leaf. And the registered
+    similarity-graph query conserves mass over the real corpus (isolated
+    nodes = dangling, exercised by construction)."""
+    from tutorial_iceberg_spark.operators.graph import pagerank, x_pagerank_sim
+
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    star = [(0, i) for i in range(1, 5)] + [(i, 0) for i in range(1, 5)]
+    edges = spark.createDataFrame(star, "src long, dst long")
+    rows = {r["id"]: r["rank"] for r in pagerank(nodes, edges, iters=8).collect()}
+    assert all(rows[0] > rows[i] for i in range(1, 5))
+
+    corpus = x_pagerank_sim(spark, sf_dir).collect()
+    assert abs(sum(r["rank"] for r in corpus) - 1.0) < 1e-6
+    assert all(r["rank"] > 0 for r in corpus)

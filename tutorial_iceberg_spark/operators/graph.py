@@ -373,3 +373,93 @@ def x_semantic_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+PR_DAMPING = 0.85
+PR_ITERS = 10
+
+
+def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
+    """Power-iteration PageRank: (id) x (src, dst) -> (id, rank).
+
+    Each round is one edges|x|ranks equi-join + one groupBy(dst) sum —
+    the canonical distributed PageRank shape. Dangling-node mass (nodes
+    with no out-edges) and the teleport term need the GLOBAL rank mass,
+    which is a 1-row aggregate broadcast back in — never a driver loop
+    over vertices. State per round is one (id, rank) row per node,
+    localCheckpoint-ed so lineage stays O(1) deep (durable checkpoint on
+    a real cluster). Ranks sum to 1 every round (pytest-gated)."""
+    n_row = nodes.count()  # scalar, one job
+    out_deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("deg")
+    )
+    ranks = nodes.select("id", F.lit(1.0 / n_row).alias("rank")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(iters):
+        with_deg = ranks.join(out_deg, "id", "left")
+        # contribution flow along edges from non-dangling nodes
+        contrib = (
+            edges.join(
+                with_deg.filter(F.col("deg").isNotNull()).select(
+                    F.col("id").alias("src"),
+                    (F.col("rank") / F.col("deg")).alias("share"),
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("share").alias("inflow"))
+        )
+        # dangling mass: rank stuck on nodes without out-edges
+        dangling = (
+            with_deg.filter(F.col("deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        )
+        base = (1.0 - PR_DAMPING) / n_row
+        new = (
+            nodes.join(contrib, "id", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.lit(PR_DAMPING)
+                    * (
+                        F.coalesce(F.col("inflow"), F.lit(0.0))
+                        + F.col("dm") / n_row
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        ranks.unpersist()
+        ranks = new
+    return ranks
+
+
+@register(
+    "x_pagerank_sim",
+    oracle=None,  # iterative float power method: rows-only driver check;
+    # pytest gates mass conservation, uniform-graph fixpoint, and
+    # hub-dominance on a constructed star graph.
+    doc=f"PageRank over the semantic-similarity graph ({PR_ITERS} power "
+    f"iterations, damping {PR_DAMPING}): ranks duplicate-cluster hubs — "
+    "the 'most representative' documents — directly from the same edge "
+    "feed the SemDedup pass uses. Per-round cost is one equi-join + one "
+    "hash agg over O(edges); global terms (dangling mass) travel as a "
+    "1-row broadcast; per-round state is one row per node, checkpointed",
+    tags=("graph", "vector", "extension"),
+)
+def x_pagerank_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    nodes = emb.select(F.col("vec_id").alias("id"))
+    e = cosine_edges(spark, sf_dir)
+    edges = e.select(F.col("left_id").alias("src"), F.col("right_id").alias("dst"))
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return (
+        pagerank(nodes, edges)
+        .select(F.col("id").alias("vec_id"), "rank")
+        .orderBy("vec_id")
+    )

@@ -840,3 +840,79 @@ def x_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(F.col("first_n"), F.lit(0)).cast("double")
         ).alias("conv_from_first"),
     ).orderBy("stage_idx")
+
+
+@register(
+    "x_retention_cohorts",
+    oracle="""
+        WITH signup AS (
+            SELECT user_id,
+                   CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP)
+                       AS cohort_week
+            FROM events WHERE event_type = 'signup' GROUP BY user_id
+        ), activity AS (
+            SELECT DISTINCT e.user_id, s.cohort_week,
+                   CAST(datediff('day', s.cohort_week,
+                                 CAST(date_trunc('week', e.ts) AS TIMESTAMP))
+                        // 7 AS INT) AS week_no
+            FROM events e JOIN signup s ON e.user_id = s.user_id
+            WHERE e.ts >= s.cohort_week
+        ), cohort_size AS (
+            SELECT cohort_week, COUNT(DISTINCT user_id) AS n_users
+            FROM signup GROUP BY cohort_week
+        )
+        SELECT a.cohort_week, a.week_no,
+               COUNT(*) AS active_users,
+               CAST(COUNT(*) AS DOUBLE) / MAX(c.n_users) AS retention
+        FROM activity a JOIN cohort_size c USING (cohort_week)
+        GROUP BY a.cohort_week, a.week_no
+        ORDER BY a.cohort_week, a.week_no
+    """,
+    doc="Cohort retention matrix: users cohorted by signup week; for each "
+    "(cohort, weeks-since-signup) cell, the count and fraction of the "
+    "cohort active that week (any event). The standard product/growth "
+    "analysis. Scale shape: signup frame and activity dedup both key on "
+    "user_id (co-partitioned equi-join + distinct), cohort sizes are an "
+    "O(weeks) frame joined on cohort_week, and the final cell agg is "
+    "tiny. Week arithmetic stays on week-truncated timestamps so "
+    "day-diff // 7 is exact in both engines",
+    tags=("pipeline", "analytics", "extension"),
+)
+def x_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    )
+    activity = (
+        ev.join(signup, "user_id")
+        .filter(F.col("ts") >= F.col("cohort_week"))
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")), F.col("cohort_week")
+                )
+                / 7
+            )
+            .cast("int")
+            .alias("week_no"),
+        )
+        .distinct()
+    )
+    cohort_size = signup.groupBy("cohort_week").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+    return (
+        activity.join(cohort_size, "cohort_week")
+        .groupBy("cohort_week", "week_no")
+        .agg(
+            F.count("*").alias("active_users"),
+            (F.count("*").cast("double") / F.max("n_users")).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_week", "week_no")
+    )
