@@ -72,6 +72,7 @@ ALLOWED = {
     ],
     "operators/graph.py": [
         r"b$",  # all-pairs oracle baseline, gated to small inputs only
+        r"dangling\b",  # 1-row dangling-mass aggregate (pagerank)
     ],
 }
 
