@@ -208,7 +208,11 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     )
     sym = sym.unionByName(
         sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    # Materialize the symmetrized edge list once: every propagation round
+    # joins it, and an expensive upstream edge generator (the cosine
+    # similarity join) would otherwise re-run per round. O(edges)
+    # executor-local blocks; durable checkpoint on a cluster.
+    ).localCheckpoint(eager=True)
     labels = nodes.select(
         F.col("id").cast("long").alias("id"), F.col("id").cast("long").alias("comp")
     ).localCheckpoint(eager=True)
@@ -390,9 +394,14 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = PR_ITERS) -> DataF
     localCheckpoint-ed so lineage stays O(1) deep (durable checkpoint on
     a real cluster). Ranks sum to 1 every round (pytest-gated)."""
     n_row = nodes.count()  # scalar, one job
+    # Materialize the edge list once: every iteration joins against it,
+    # and an expensive upstream generator (the cosine similarity join)
+    # would otherwise re-run per round — 10 rounds re-scoring the corpus.
+    # O(edges) executor-local blocks; durable checkpoint on a cluster.
+    edges = edges.localCheckpoint(eager=True)
     out_deg = edges.groupBy(F.col("src").alias("id")).agg(
         F.count("*").alias("deg")
-    )
+    ).localCheckpoint(eager=True)
     ranks = nodes.select("id", F.lit(1.0 / n_row).alias("rank")).localCheckpoint(
         eager=True
     )
