@@ -172,3 +172,30 @@ def test_pagerank_star_hub_dominates_and_corpus_mass(spark, sf_dir):
     corpus = x_pagerank_sim(spark, sf_dir).collect()
     assert abs(sum(r["rank"] for r in corpus) - 1.0) < 1e-6
     assert all(r["rank"] > 0 for r in corpus)
+
+
+def test_triangle_counts_match_bruteforce(spark):
+    # K4 plus a pendant: known triangle structure
+    from tutorial_iceberg_spark.operators.graph import triangle_counts
+
+    edges = [(a, b) for a in range(4) for b in range(a + 1, 4)] + [(3, 9)]
+    e = spark.createDataFrame(edges, "left_id long, right_id long")
+    got = {r["vec_id"]: r for r in triangle_counts(e).collect()}
+    # every K4 vertex sits in C(3,2)=3 triangles; pendant vertex in none
+    for v in range(4):
+        assert got[v]["triangles"] == 3
+    assert got[9]["triangles"] == 0 and got[9]["degree"] == 1
+    # clustering: K4 interior vertices deg 3 -> 2*3/(3*2)=1.0; vertex 3 deg 4
+    assert got[0]["clustering"] == 1.0
+    assert got[3]["clustering"] == 2 * 3 / (4 * 3)
+
+
+def test_triangle_registry_consistency(spark, sf_dir):
+    # total triangle incidence = 3 * distinct triangles; all coefficients in [0,1]
+    from tutorial_iceberg_spark.registry import all_queries
+
+    df = all_queries()["x_triangle_count"].builder(spark, sf_dir).collect()
+    assert len(df) > 0
+    assert sum(r["triangles"] for r in df) % 3 == 0
+    assert all(0.0 <= r["clustering"] <= 1.0 for r in df)
+    assert all(r["triangles"] == 0 for r in df if r["degree"] < 2)

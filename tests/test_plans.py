@@ -39,6 +39,7 @@ ALLOWED = {
         r"nation\b",  # nation dim frame
         r"nation_region\b",  # nation |x| region (<= 25 rows)
         r"salts\b",  # salt-explode helper: SALT_N literal rows
+        r"offsets\b",  # distributed_row_number: <= n_partitions offset rows
     ],
     "operators/tpch_extra.py": [
         r'load_table\(spark, sf_dir, "(nation|region)"\)',

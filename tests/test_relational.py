@@ -144,3 +144,64 @@ def test_approx_distinct_within_5pct_of_exact(spark, sf_dir):
     }
     for k, ex in exact.items():
         assert abs(approx[k] - ex) / ex <= 0.05, (k, ex, approx[k])
+
+
+def test_distributed_row_number_matches_global_window(spark, sf_dir):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from tutorial_iceberg_spark.io import load_table
+    from tutorial_iceberg_spark.operators.relational import distributed_row_number
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    got = distributed_row_number(cust, ["c_acctbal", "c_custkey"], n_partitions=7)
+    ref = cust.withColumn(
+        "rn", F.row_number().over(Window.orderBy("c_acctbal", "c_custkey"))
+    )
+    assert got.select("c_custkey", "rn").exceptAll(
+        ref.select("c_custkey", "rn")
+    ).count() == 0
+    # dense 1..n with no gaps or dupes
+    n = cust.count()
+    assert got.agg(F.min("rn"), F.max("rn"), F.count_distinct("rn")).first() == (
+        1, n, n,
+    )
+
+
+def test_decile_segments_balanced(spark, sf_dir):
+    from tutorial_iceberg_spark.registry import all_queries
+
+    rows = all_queries()["w5_decile_segments"].builder(spark, sf_dir).collect()
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    sizes = [r["n_customers"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1  # NTILE balance property
+    # deciles are contiguous, non-overlapping balance ranges
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo["max_bal"] <= hi["min_bal"]
+
+
+def test_anomaly_mad_flags_planted_outlier(spark):
+    from pyspark.sql import functions as F
+
+    from tutorial_iceberg_spark.operators.relational import x_anomaly_mad  # noqa: F401
+    # direct invariant on registry output over smoke data is covered by the
+    # oracle; here check MAD logic on a constructed frame via the same exprs
+    vals = [10.0] * 50 + [11.0] * 49 + [1000.0]
+    df = spark.createDataFrame([("t", v) for v in vals], "event_type string, value double")
+    med = df.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5d)").alias("m")
+    ).first()["m"]
+    dev = df.withColumn("adev", F.abs(F.col("value") - F.lit(med)))
+    mad = dev.agg(F.expr("percentile(adev, 0.5d)").alias("mad")).first()["mad"]
+    n_out = dev.filter(F.col("adev") > 3 * mad).count()
+    assert n_out == 1  # only the planted 1000.0
+
+
+def test_histogram_cdf_monotone_and_complete(spark, sf_dir):
+    from tutorial_iceberg_spark.registry import all_queries
+
+    rows = all_queries()["a15_histogram_cdf"].builder(spark, sf_dir).collect()
+    assert abs(sum(r["pct"] for r in rows) - 1.0) < 1e-9
+    cum = [r["cum_pct"] for r in rows]
+    assert all(a < b or abs(a - b) < 1e-15 for a, b in zip(cum, cum[1:]))
+    assert abs(cum[-1] - 1.0) < 1e-15

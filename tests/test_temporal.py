@@ -75,3 +75,14 @@ def test_range_join_avoids_nested_loop(spark, sf_dir):
     )
     for r in out[:50]:
         assert r["clicks_last_hour"] <= clicks_per_user.get(r["user_id"], 0)
+
+
+def test_ema_daily_matches_python_fold(spark, sf_dir):
+    from tutorial_iceberg_spark.registry import all_queries
+
+    rows = all_queries()["x_ema_daily"].builder(spark, sf_dir).collect()
+    assert len(rows) >= 28  # calendar-bounded series
+    ema = None
+    for r in rows:  # already day-ordered
+        ema = float(r["n_events"]) if ema is None else 0.25 * r["n_events"] + 0.75 * ema
+        assert r["ema"] == ema  # bit-exact same fold

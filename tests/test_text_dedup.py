@@ -248,3 +248,25 @@ def test_incremental_dedup_no_nested_loop_join(spark, sf_dir):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cooccur_pairs_are_real_cofrequencies(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from tutorial_iceberg_spark.io import load_table
+    from tutorial_iceberg_spark.registry import all_queries
+
+    rows = all_queries()["x_cooccur_pairs"].builder(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    assert all(r["t1"] < r["t2"] for r in rows)
+    # spot-verify the top pair's count by direct recount
+    top = rows[0]
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("ts"),
+    )
+    n = toks.filter(
+        F.array_contains("ts", top["t1"]) & F.array_contains("ts", top["t2"])
+    ).count()
+    assert n == top["n_docs"]

@@ -778,3 +778,66 @@ def x_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "rank", "term", "tf", "df", "score")
         .orderBy("doc_id", "rank")
     )
+
+
+COOCCUR_VOCAB = 50  # top-df vocabulary size for pair mining
+COOCCUR_TOP = 20  # result pairs
+
+
+@register(
+    "x_cooccur_pairs",
+    oracle=f"""
+        WITH tok AS (
+            SELECT DISTINCT doc_id, lower(t) AS tok FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), '\\s+')) AS t
+                FROM documents
+            ) WHERE t <> ''
+        ), dfreq AS (
+            SELECT tok, count(*) AS df FROM tok GROUP BY tok
+        ), vocab AS (
+            SELECT tok FROM dfreq ORDER BY df DESC, tok LIMIT {COOCCUR_VOCAB}
+        ), tv AS (
+            SELECT t.doc_id, t.tok FROM tok t JOIN vocab v USING (tok)
+        ), pairs AS (
+            SELECT a.tok AS t1, b.tok AS t2, count(*) AS n_docs
+            FROM tv a JOIN tv b ON a.doc_id = b.doc_id AND a.tok < b.tok
+            GROUP BY 1, 2
+        )
+        SELECT t1, t2, n_docs FROM pairs
+        ORDER BY n_docs DESC, t1, t2 LIMIT {COOCCUR_TOP}
+    """,
+    doc=f"Term co-occurrence mining: top-{COOCCUR_TOP} token pairs by "
+    f"document co-frequency, restricted to the top-{COOCCUR_VOCAB}-df "
+    "vocabulary. The vocabulary restriction is the scale control: the "
+    "per-doc pair explosion is bounded by C(vocab,2), not by document "
+    "length squared, and the vocab itself is a TakeOrdered top-k (no "
+    "global sort). The doc_id self-join runs on vocab-filtered rows "
+    "(<= vocab per doc) with the tiny vocab side AQE-broadcast. "
+    "Deterministic under total order (df desc, token; count desc, pair)",
+    tags=("text", "extension"),
+)
+def x_cooccur_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    tok = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t")
+        )
+        .filter(F.col("t") != "")
+        .select("doc_id", F.lower("t").alias("tok"))
+        .distinct()
+    )
+    dfreq = tok.groupBy("tok").agg(F.count("*").alias("df"))
+    vocab = dfreq.orderBy(F.desc("df"), "tok").limit(COOCCUR_VOCAB).select("tok")
+    tv = tok.join(vocab, "tok")
+    a, b = tv.alias("a"), tv.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.tok") < F.col("b.tok")),
+        )
+        .groupBy(F.col("a.tok").alias("t1"), F.col("b.tok").alias("t2"))
+        .agg(F.count("*").alias("n_docs"))
+    )
+    return pairs.orderBy(F.desc("n_docs"), "t1", "t2").limit(COOCCUR_TOP)

@@ -472,3 +472,124 @@ def x_pagerank_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id").alias("vec_id"), "rank")
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting / local clustering coefficient
+# ---------------------------------------------------------------------------
+
+# Looser threshold than the dedup edge cut: triangles need transitive
+# near-duplicate structure, and at 0.40 the synthetic embeddings yield a
+# near-forest (0-7 triangles). 0.30 produces 53/71/3548 triangles at
+# sf0.001/0.01/0.1 — non-degenerate at every scale factor.
+TRIANGLE_THRESHOLD = 0.30
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient.
+
+    ``edges`` is an oriented (left_id < right_id) undirected edge list.
+    Enumeration is the canonical two-join shape: wedges (a<b<c from
+    a-b joined b-c) closed by probing the a-c edge — every join a plain
+    shuffle equi-join over O(edges), no broadcast of the corpus. The id
+    orientation bounds each wedge fan-out by forward-degree; on a skewed
+    power-law graph the standard refinement is degree orientation
+    (orient toward the higher-degree endpoint, making fan-out O(sqrt(E))
+    per node) — same joins, different orientation key, noted here because
+    the synthetic similarity graph is near-uniform and does not need it.
+
+    Output: (vec_id, degree, triangles, clustering) for every node with
+    degree >= 1; clustering = 2T / (deg * (deg - 1)) — exact integer
+    products under an IEEE double divide, bit-identical across engines.
+
+    Reference parity: reference has no graph surface (SURVEY §2.11
+    extension, grouped with the dedup/graph operators).
+    """
+    # The edge feed (a similarity self-join) backs THREE self-joins plus
+    # the degree aggregation — materialize once, same reasoning as CC and
+    # PageRank above. O(edges) executor-local blocks.
+    e = edges.select("left_id", "right_id").localCheckpoint(eager=True)
+    wedge = (
+        e.select(F.col("left_id").alias("a"), F.col("right_id").alias("b"))
+        .join(
+            e.select(F.col("left_id").alias("b"), F.col("right_id").alias("c")),
+            "b",
+        )
+    )
+    tri = wedge.join(
+        e.select(F.col("left_id").alias("a"), F.col("right_id").alias("c")),
+        ["a", "c"],
+    )
+    per_node = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("vec_id"))
+        .groupBy("vec_id")
+        .agg(F.count("*").alias("triangles"))
+    )
+    deg = (
+        e.select(F.col("left_id").alias("vec_id"))
+        .unionByName(e.select(F.col("right_id").alias("vec_id")))
+        .groupBy("vec_id")
+        .agg(F.count("*").alias("degree"))
+    )
+    return deg.join(per_node, "vec_id", "left").select(
+        "vec_id",
+        "degree",
+        F.coalesce(F.col("triangles"), F.lit(0).cast("long")).alias("triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            (F.lit(2) * F.coalesce(F.col("triangles"), F.lit(0))).cast("double")
+            / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering"),
+    )
+
+
+@register(
+    "x_triangle_count",
+    oracle=f"""
+        WITH n AS (
+            SELECT vec_id, embedding,
+                   sqrt({_O_DOT.format(a='embedding', b='embedding')}) AS nrm
+            FROM embeddings
+        ), e AS (
+            SELECT a.vec_id AS l, b.vec_id AS r
+            FROM n a JOIN n b ON a.vec_id < b.vec_id
+            WHERE {_O_DOT.format(a='a.embedding', b='b.embedding')}
+                  / (a.nrm * b.nrm) >= {TRIANGLE_THRESHOLD}
+        ), tri AS (
+            SELECT e1.l AS a, e1.r AS b, e2.r AS c
+            FROM e e1
+            JOIN e e2 ON e2.l = e1.r
+            JOIN e e3 ON e3.l = e1.l AND e3.r = e2.r
+        ), tcnt AS (
+            SELECT id AS vec_id, count(*) AS triangles FROM (
+                SELECT a AS id FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri
+            ) GROUP BY id
+        ), deg AS (
+            SELECT id AS vec_id, count(*) AS degree FROM (
+                SELECT l AS id FROM e UNION ALL SELECT r FROM e
+            ) GROUP BY id
+        )
+        SELECT d.vec_id, d.degree,
+               COALESCE(t.triangles, 0) AS triangles,
+               CASE WHEN d.degree >= 2
+                    THEN CAST(2 * COALESCE(t.triangles, 0) AS DOUBLE)
+                         / CAST(d.degree * (d.degree - 1) AS DOUBLE)
+                    ELSE 0.0 END AS clustering
+        FROM deg d LEFT JOIN tcnt t ON t.vec_id = d.vec_id
+        ORDER BY d.vec_id
+    """,
+    doc="Triangle counting + local clustering coefficient over the "
+    "semantic-similarity graph: measures how clique-like each near-dup "
+    "neighbourhood is (chains dedup differently from cliques). Two "
+    "shuffle equi-joins over the oriented edge list (wedge build + "
+    "closure probe), edge feed materialized once; bit-exact vs the "
+    "DuckDB 3-way-join oracle",
+    tags=("graph", "vector", "extension"),
+)
+def x_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = cosine_edges(spark, sf_dir, threshold=TRIANGLE_THRESHOLD)
+    return triangle_counts(edges).orderBy("vec_id")

@@ -1705,3 +1705,200 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(disc_price), 2).cast("double").alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# W5: global ranking / NTILE segmentation (distributed, no single-reducer)
+# ---------------------------------------------------------------------------
+
+
+def distributed_row_number(
+    df: DataFrame, order_cols: list[str], n_partitions: int = 32
+) -> DataFrame:
+    """Global row_number over ``order_cols`` WITHOUT a one-partition sort.
+
+    A bare ``Window.orderBy(...)`` (no partitionBy) collapses the whole
+    table into ONE reducer — the classic global-rank scale trap. This is
+    the distributed formulation:
+
+    1. ``repartitionByRange`` on the order key — a range shuffle whose
+       sampled boundaries put partition i strictly before partition i+1;
+    2. per-partition counts (``spark_partition_id`` groupBy — one tiny
+       agg, <= n_partitions rows);
+    3. cumulative offsets over that tiny frame (bounded window), then a
+       broadcast join back: rank = local row_number + partition offset.
+
+    Every partition sorts only its own range slice; the only global
+    structure is the <= n_partitions-row offset table. Order columns
+    must make rows unique (pass a key as tiebreaker) for determinism.
+    """
+    cols = [F.col(c) for c in order_cols]
+    part = df.repartitionByRange(n_partitions, *cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    sizes = part.groupBy("__pid").agg(F.count("*").alias("__cnt"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "__pid",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_local = Window.partitionBy("__pid").orderBy(*cols)
+    return (
+        part.join(F.broadcast(offsets), "__pid")
+        .withColumn("rn", F.row_number().over(w_local) + F.col("__off"))
+        .drop("__pid", "__off")
+    )
+
+
+@register(
+    "w5_decile_segments",
+    oracle=f"""
+        WITH d AS (
+            SELECT ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile,
+                   c_acctbal
+            FROM customer
+        )
+        SELECT decile,
+               count(*) AS n_customers,
+               min(c_acctbal) AS min_bal,
+               max(c_acctbal) AS max_bal,
+               {o_dsum('c_acctbal', 'sum_bal')}
+        FROM d GROUP BY decile ORDER BY decile
+    """,
+    doc="NTILE(10) decile segmentation of customers by account balance — "
+    "but computed WITHOUT the single-reducer global window: global rank "
+    "comes from distributed_row_number (range repartition + local sort + "
+    "broadcast offset table, <= n_partitions rows), then the exact NTILE "
+    "bucket formula from (rank, total). Bit-exact vs DuckDB's native "
+    "ntile because (c_acctbal, c_custkey) is a unique total order",
+    tags=("window", "relational"),
+)
+def w5_decile_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    n = cust.count()  # one scalar job; drives the NTILE bucket formula
+    k = 10
+    size, rem = n // k, n % k
+    cut = rem * (size + 1)
+    ranked = distributed_row_number(cust, ["c_acctbal", "c_custkey"])
+    decile = F.when(
+        F.col("rn") <= cut, F.expr(f"(rn - 1) div {size + 1}") + 1
+    ).otherwise(F.expr(f"{rem} + (rn - 1 - {cut}) div {max(size, 1)}") + 1)
+    return (
+        ranked.select(decile.cast("int").alias("decile"), "c_acctbal")
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+            dsum("c_acctbal", "sum_bal"),
+        )
+        .orderBy("decile")
+    )
+
+
+@register(
+    "x_anomaly_mad",
+    oracle="""
+        WITH med AS (
+            SELECT event_type, quantile_cont(value, 0.5) AS median_value
+            FROM events GROUP BY event_type
+        ), dev AS (
+            SELECT e.event_type, e.value,
+                   abs(e.value - m.median_value) AS adev, m.median_value
+            FROM events e JOIN med m USING (event_type)
+        ), mad AS (
+            SELECT event_type, min(median_value) AS median_value,
+                   quantile_cont(adev, 0.5) AS mad
+            FROM dev GROUP BY event_type
+        )
+        SELECT d.event_type,
+               count(*) AS n_events,
+               m.median_value,
+               m.mad,
+               count(*) FILTER (WHERE d.adev > 3 * m.mad) AS n_outliers
+        FROM dev d JOIN mad m USING (event_type)
+        GROUP BY d.event_type, m.median_value, m.mad
+        ORDER BY d.event_type
+    """,
+    doc="Robust anomaly detection: per event_type median + MAD (median "
+    "absolute deviation), flagging |value - median| > 3*MAD. Mean/stddev "
+    "z-scores break under the very outliers they hunt; MAD has a 50% "
+    "breakdown point. Two group passes (median, then deviation median) + "
+    "one counting pass — each a hash-partitioned shuffle on event_type; "
+    "the 5-row per-group median table rides along as an AQE-broadcast "
+    "join, never a hard hint. Bit-exact vs DuckDB quantile_cont "
+    "(interpolation parity proven by a10_value_percentiles)",
+    tags=("agg", "percentile", "extension"),
+)
+def x_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5d)").alias("median_value")
+    )
+    dev = ev.join(med, "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("median_value"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.min("median_value").alias("median_value"),
+        F.expr("percentile(adev, 0.5d)").alias("mad"),
+    )
+    return (
+        dev.select("event_type", "adev")
+        .join(mad, "event_type")
+        .groupBy("event_type", "median_value", "mad")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_if(F.col("adev") > 3 * F.col("mad")).alias("n_outliers"),
+        )
+        .select(
+            "event_type", "n_events", "median_value", "mad", "n_outliers"
+        )
+        .orderBy("event_type")
+    )
+
+
+HIST_WIDTH = 25  # events.value bucket width
+
+
+@register(
+    "a15_histogram_cdf",
+    oracle=f"""
+        WITH b AS (
+            SELECT CAST(floor(value / {HIST_WIDTH}) AS BIGINT) AS bucket,
+                   count(*) AS n
+            FROM events GROUP BY 1
+        )
+        SELECT bucket,
+               bucket * CAST({HIST_WIDTH} AS DOUBLE) AS bucket_lo,
+               n,
+               CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE) AS pct,
+               CAST(SUM(n) OVER (ORDER BY bucket) AS DOUBLE)
+                   / CAST(SUM(n) OVER () AS DOUBLE) AS cum_pct
+        FROM b ORDER BY bucket
+    """,
+    doc="Fixed-width histogram + empirical CDF of events.value: one hash "
+    "aggregate over the full table (map-side partial combine), then the "
+    "cumulative window runs over the BUCKET frame only — cardinality "
+    "range/width (~20 rows), invariant to row count, so the unpartitioned "
+    "window is a bounded tail step, not a single-reducer scan of data. "
+    "All shares are exact long counts under one IEEE double divide",
+    tags=("agg", "window", "extension"),
+)
+def a15_histogram_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("value")
+    b = ev.groupBy(
+        F.floor(F.col("value") / HIST_WIDTH).cast("long").alias("bucket")
+    ).agg(F.count("*").alias("n"))
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w_cum = Window.orderBy("bucket")
+    total = F.sum("n").over(w_all).cast("double")
+    return (
+        b.select(
+            "bucket",
+            (F.col("bucket") * F.lit(float(HIST_WIDTH))).alias("bucket_lo"),
+            "n",
+            (F.col("n").cast("double") / total).alias("pct"),
+            (F.sum("n").over(w_cum).cast("double") / total).alias("cum_pct"),
+        )
+        .orderBy("bucket")
+    )

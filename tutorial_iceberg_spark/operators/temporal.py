@@ -165,3 +165,73 @@ def x_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("c_ts").alias("clicks_last_hour"))
         .orderBy("event_id")
     )
+
+
+@register(
+    "x_ema_daily",
+    oracle="""
+        WITH RECURSIVE idx AS (
+            SELECT day, n_events, row_number() OVER (ORDER BY day) AS rn
+            FROM (
+                SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                       count(*) AS n_events
+                FROM events GROUP BY 1
+            )
+        ), ema AS (
+            SELECT rn, day, n_events, CAST(n_events AS DOUBLE) AS ema
+            FROM idx WHERE rn = 1
+            UNION ALL
+            SELECT i.rn, i.day, i.n_events,
+                   CAST(0.25 AS DOUBLE) * i.n_events
+                   + CAST(0.75 AS DOUBLE) * e.ema
+            FROM idx i JOIN ema e ON i.rn = e.rn + 1
+        )
+        SELECT day, n_events, ema FROM ema ORDER BY day
+    """,
+    doc="Exponential moving average over the daily event-count series "
+    "(alpha = 0.25, both coefficients binary-exact so the fold is "
+    "IEEE-bit-identical to the oracle's recursive CTE). EMA is an "
+    "inherently ordered recursion no window frame expresses; here the "
+    "distributed part is the daily groupBy (full shuffle agg over "
+    "events), and only the CALENDAR-BOUNDED day series (30-90 rows at "
+    "any data scale, fixed time span) is folded in one Catalyst "
+    "higher-order `aggregate` — no Python UDF, no driver loop, and the "
+    "collect_list never grows with row count, only with span days",
+    tags=("temporal", "window", "extension"),
+)
+def x_ema_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMA smoothing of the events-per-day series.
+
+    The recursion EMA_t = a*x_t + (1-a)*EMA_{t-1} cannot be a window
+    function (each value depends on the previous OUTPUT, not input), so
+    after the distributed daily aggregation the bounded series is packed
+    into one sorted array and folded with `aggregate` — prefix EMAs
+    accumulate in the fold state, then explode back to rows.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.count("*").alias("n_events"))
+    packed = daily.agg(
+        F.array_sort(F.collect_list(F.struct("day", "n_events"))).alias("s")
+    )
+    unfolded = packed.select(
+        F.explode(
+            F.expr(
+                """
+                aggregate(
+                  s,
+                  cast(array() as array<struct<day: date, n_events: bigint, ema: double>>),
+                  (acc, x) -> array_append(acc, named_struct(
+                      'day', x.day,
+                      'n_events', x.n_events,
+                      'ema', if(size(acc) = 0,
+                                cast(x.n_events as double),
+                                cast(0.25 as double) * x.n_events
+                                + cast(0.75 as double) * element_at(acc, -1).ema)))
+                )
+                """
+            )
+        ).alias("r")
+    )
+    return unfolded.select("r.day", "r.n_events", "r.ema").orderBy("day")
