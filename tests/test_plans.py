@@ -56,6 +56,7 @@ ALLOWED = {
         r"q_bands\b",  # per-query LSH bands (n_queries x bands)
         r"cents\b",  # k-means centroids: n_cells x dim, a parameter
         r"probes\b",  # query->cell probe pairs: n_queries x n_probe
+        r"b$",  # kNN-LOO all-pairs baseline, gated to ALL_PAIRS_MAX_ROWS
     ],
     "functions/text.py": [
         r"n_docs\b",  # 1-row corpus-size scalar

@@ -86,3 +86,36 @@ def test_ema_daily_matches_python_fold(spark, sf_dir):
     for r in rows:  # already day-ordered
         ema = float(r["n_events"]) if ema is None else 0.25 * r["n_events"] + 0.75 * ema
         assert r["ema"] == ema  # bit-exact same fold
+
+
+def test_rolling_7day_frame_respects_calendar_gaps(spark, sf_dir):
+    from tutorial_iceberg_spark.registry import all_queries
+
+    rows = all_queries()["x_rolling_7day"].builder(spark, sf_dir).collect()
+    assert len(rows) > 0
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for series in by_type.values():
+        for i, r in enumerate(series):
+            # recompute the trailing-7-day sum directly
+            lo = r["day"].toordinal() - 6
+            want = sum(
+                s["n"] for s in series if lo <= s["day"].toordinal() <= r["day"].toordinal()
+            )
+            assert r["rolling_sum"] == want
+            assert r["rolling_avg"] == r["rolling_sum"] / r["rolling_days"]
+
+
+def test_event_transitions_rows_normalize(spark, sf_dir):
+    from collections import defaultdict
+
+    from tutorial_iceberg_spark.registry import all_queries
+
+    rows = all_queries()["x_event_transitions"].builder(spark, sf_dir).collect()
+    assert len(rows) > 0
+    row_sum = defaultdict(float)
+    for r in rows:
+        row_sum[r["from_type"]] += r["p"]
+    for tot in row_sum.values():
+        assert abs(tot - 1.0) < 1e-9

@@ -238,3 +238,35 @@ def test_ivf_pq_recall_vs_brute_force(spark, sf_dir):
     hits = sum(len(got[q] & brute[q]) for q in brute)
     total = sum(len(brute[q]) for q in brute)
     assert hits / total >= 0.5, f"recall {hits}/{total}"
+
+
+def test_knn_loo_allpairs_and_lsh_paths(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from tutorial_iceberg_spark.functions.vector import x_knn_classify_loo
+    from tutorial_iceberg_spark.io import load_table
+
+    n_vec = load_table(spark, sf_dir, "embeddings").count()
+    exact = x_knn_classify_loo(spark, sf_dir, candidates="all_pairs").collect()
+    assert sum(r["n"] for r in exact) == n_vec  # every vector classified
+    assert all(0.0 <= r["accuracy"] <= 1.0 for r in exact)
+    acc_exact = sum(r["n_correct"] for r in exact) / n_vec
+
+    lsh = x_knn_classify_loo(spark, sf_dir, candidates="lsh").collect()
+    assert {r["label"] for r in lsh} == {r["label"] for r in exact}
+    assert sum(r["n"] for r in lsh) == n_vec
+    acc_lsh = sum(r["n_correct"] for r in lsh) / n_vec
+    # LSH candidates approximate the neighbourhood; the audit signal must
+    # not collapse (bounded degradation on the near-orthogonal testdata)
+    assert acc_lsh >= acc_exact - 0.25
+
+
+def test_knn_loo_lsh_path_plan_is_equijoin_only(spark, sf_dir):
+    from tutorial_iceberg_spark.functions.vector import x_knn_classify_loo
+
+    df = x_knn_classify_loo(spark, sf_dir, candidates="lsh")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

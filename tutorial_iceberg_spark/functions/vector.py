@@ -845,3 +845,143 @@ def x_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rank", "neighbor_id", "score")
         .orderBy("query_id", "rank")
     )
+
+
+KNN_CLS_K = 5  # neighbourhood size for the leave-one-out classifier
+
+
+@register(
+    "x_knn_classify_loo",
+    oracle=f"""
+        WITH n AS (
+            SELECT vec_id, label, embedding,
+                   sqrt({_sql_dot('embedding', 'embedding')}) AS nrm
+            FROM embeddings
+        ), s AS (
+            SELECT a.vec_id, a.label AS true_label, b.label AS nb_label,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY {_sql_dot('a.embedding', 'b.embedding')}
+                                / (a.nrm * b.nrm) DESC, b.vec_id
+                   ) AS rk
+            FROM n a JOIN n b ON a.vec_id <> b.vec_id
+        ), votes AS (
+            SELECT vec_id, true_label, nb_label, count(*) AS c
+            FROM s WHERE rk <= {KNN_CLS_K}
+            GROUP BY 1, 2, 3
+        ), pred AS (
+            SELECT vec_id, true_label, nb_label AS pred_label,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY c DESC, nb_label
+                   ) AS pr
+            FROM votes
+        )
+        SELECT true_label AS label,
+               count(*) AS n,
+               count(*) FILTER (WHERE pred_label = true_label) AS n_correct,
+               CAST(count(*) FILTER (WHERE pred_label = true_label) AS DOUBLE)
+                   / count(*) AS accuracy
+        FROM pred WHERE pr = 1
+        GROUP BY 1 ORDER BY 1
+    """,
+    doc=f"Leave-one-out {KNN_CLS_K}-NN majority-vote label classification "
+    "over the embeddings table, reported as per-label accuracy — the "
+    "label-quality audit a training pipeline runs to find mislabeled or "
+    "boundary examples. Pair source follows the graph.py contract: exact "
+    "all-pairs under ALL_PAIRS_MAX_ROWS (the oracle-checkable form), LSH "
+    "band-bucket candidates above it (equi-joins only, recall gated in "
+    "pytest). Votes/top-k are totally ordered (score desc, id; count "
+    "desc, label) so the result is deterministic at any parallelism",
+    tags=("vector", "extension"),
+)
+def x_knn_classify_loo(
+    spark: SparkSession, sf_dir: str, candidates: str = "auto"
+) -> DataFrame:
+    from tutorial_iceberg_spark.operators.graph import ALL_PAIRS_MAX_ROWS
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    if candidates == "auto":
+        candidates = (
+            "all_pairs" if emb.count() <= ALL_PAIRS_MAX_ROWS else "lsh"
+        )
+    if candidates == "all_pairs":
+        b = emb.select(
+            F.col("vec_id").alias("nb_id"),
+            F.col("label").alias("nb_label"),
+            F.col("embedding").alias("nb_emb"),
+            F.col("nrm").alias("nb_nrm"),
+        )
+        scored = emb.join(
+            F.broadcast(b), F.col("vec_id") != F.col("nb_id")
+        )
+    else:
+        # scale path: LSH candidates (left<right) symmetrized to both
+        # directions, then two key-partitioned equi-joins — no corpus
+        # broadcast, no nested loop
+        dim = emb.select(F.size("embedding")).first()[0]
+        cand = lsh_candidate_pairs(
+            load_table(spark, sf_dir, "embeddings"), dim
+        )
+        cand = cand.unionByName(
+            cand.select(
+                F.col("right_id").alias("left_id"),
+                F.col("left_id").alias("right_id"),
+            )
+        )
+        scored = (
+            cand.join(emb, cand.left_id == emb.vec_id)
+            .select(
+                "vec_id", "label", "embedding", "nrm",
+                F.col("right_id").alias("nb_id"),
+            )
+            .join(
+                emb.select(
+                    F.col("vec_id").alias("nb_id"),
+                    F.col("label").alias("nb_label"),
+                    F.col("embedding").alias("nb_emb"),
+                    F.col("nrm").alias("nb_nrm"),
+                ),
+                "nb_id",
+            )
+        )
+    scored = scored.select(
+        "vec_id",
+        F.col("label").alias("true_label"),
+        "nb_id",
+        "nb_label",
+        (
+            dot(F.col("embedding"), F.col("nb_emb"))
+            / (F.col("nrm") * F.col("nb_nrm"))
+        ).alias("score"),
+    )
+    w_rank = Window.partitionBy("vec_id").orderBy(F.desc("score"), "nb_id")
+    votes = (
+        scored.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= KNN_CLS_K)
+        .groupBy("vec_id", "true_label", "nb_label")
+        .agg(F.count("*").alias("c"))
+    )
+    w_vote = Window.partitionBy("vec_id").orderBy(F.desc("c"), "nb_label")
+    pred = (
+        votes.withColumn("pr", F.row_number().over(w_vote))
+        .filter(F.col("pr") == 1)
+        .select("vec_id", "true_label", F.col("nb_label").alias("pred_label"))
+    )
+    return (
+        pred.groupBy(F.col("true_label").alias("label"))
+        .agg(
+            F.count("*").alias("n"),
+            F.count_if(F.col("pred_label") == F.col("true_label")).alias(
+                "n_correct"
+            ),
+        )
+        .select(
+            "label",
+            "n",
+            "n_correct",
+            (F.col("n_correct").cast("double") / F.col("n")).alias("accuracy"),
+        )
+        .orderBy("label")
+    )

@@ -235,3 +235,113 @@ def x_ema_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("r")
     )
     return unfolded.select("r.day", "r.n_events", "r.ema").orderBy("day")
+
+
+@register(
+    "x_rolling_7day",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', ts) AS DATE) AS day,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, day, n,
+               SUM(n) OVER w AS rolling_sum,
+               COUNT(*) OVER w AS rolling_days,
+               CAST(SUM(n) OVER w AS DOUBLE) / COUNT(*) OVER w AS rolling_avg
+        FROM daily
+        WINDOW w AS (
+            PARTITION BY event_type
+            ORDER BY datediff('day', DATE '1970-01-01', day)
+            RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+        )
+        ORDER BY event_type, day
+    """,
+    doc="7-day trailing window per event type over the daily series: a "
+    "RANGE frame on the epoch-day ordinal, so calendar gaps shorten the "
+    "frame instead of silently widening it (the ROWS-frame bug). One "
+    "hash agg over events, then the window runs per (event_type) over "
+    "the calendar-bounded daily frame — partition width is days, not "
+    "rows, so the sort is invariant to data volume. Counts stay long; "
+    "the average is one exact long/long IEEE divide",
+    tags=("temporal", "window", "extension"),
+)
+def x_rolling_7day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.count("*").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")))
+        .rangeBetween(-6, 0)
+    )
+    return (
+        daily.select(
+            "event_type",
+            "day",
+            "n",
+            F.sum("n").over(w).alias("rolling_sum"),
+            F.count("*").over(w).alias("rolling_days"),
+            (F.sum("n").over(w).cast("double") / F.count("*").over(w)).alias(
+                "rolling_avg"
+            ),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@register(
+    "x_event_transitions",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type AS from_type,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS to_type
+            FROM events
+        ), pairs AS (
+            SELECT from_type, to_type, count(*) AS n
+            FROM seq WHERE to_type IS NOT NULL
+            GROUP BY 1, 2
+        )
+        SELECT from_type, to_type, n,
+               CAST(n AS DOUBLE)
+                   / SUM(n) OVER (PARTITION BY from_type) AS p
+        FROM pairs
+        ORDER BY from_type, to_type
+    """,
+    doc="First-order Markov transition matrix of user event sequences: "
+    "per-user lead() over (ts, event_id) — ONE shuffle on user_id with "
+    "per-user sort bounded by user activity — then a hash agg to pair "
+    "counts and row-normalization over the |types|^2-bounded matrix "
+    "frame. Deterministic because (ts, event_id) totally orders each "
+    "user's stream; transition probabilities are exact long counts "
+    "under one IEEE divide",
+    tags=("temporal", "window", "extension"),
+)
+def x_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+    w_row = Window.partitionBy("from_type")
+    return (
+        pairs.select(
+            "from_type",
+            "to_type",
+            "n",
+            (F.col("n").cast("double") / F.sum("n").over(w_row)).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )
