@@ -556,3 +556,29 @@ def lake_merge_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         matched_condition="o_orderpriority = '5-LOW'",
     )
     return t.read()
+
+
+@register(
+    "lake_tag_pinned_read",
+    oracle=f"""
+        SELECT {ORDERS_COLS} FROM orders WHERE o_orderkey % 3 IN (0, 1)
+    """,
+    doc="Iceberg tag refs (extension past the reference's snapshot "
+    "surface, README.md:1007-1013 teaches time travel by id; a tag is "
+    "the named immutable form): seed two snapshots, tag the head 'v1', "
+    "then DELETE a slice AND expire_snapshots(keep_last=1) — the tagged "
+    "snapshot is pinned through both (a ref must never dangle), so "
+    "read_tag('v1') reproduces the pre-delete state byte-for-byte while "
+    "main shows the mutation. The reproducible-training-set use case: "
+    "pin the corpus a model trained on, garbage-collect everything else",
+    tags=("lakehouse", "branch", "extension"),
+)
+def lake_tag_pinned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _fresh_table(spark, "tag_pin")
+    t.append(_orders_mod(spark, sf_dir, 3, 0))
+    t.append(_orders_mod(spark, sf_dir, 3, 1))
+    t.create_tag("v1")
+    t.delete("o_orderkey % 3 = 1")  # main moves on
+    t.expire_snapshots(keep_last=1)  # tag pins its snapshot through GC
+    assert t.read().count() < t.read_tag("v1").count()
+    return t.read_tag("v1")
