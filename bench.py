@@ -54,6 +54,9 @@ HEADLINE = (
     "x_chunk_documents",  # RAG chunking: tokenize -> explode -> slice, narrow
     "x_embed_pca",  # two-Arrow-pass PCA fit + project
     "x_tfidf_terms",  # full-vocab explode + df shuffle join + per-doc top-k
+    "x_triangle_count",  # similarity-graph wedge join + closure probe
+    "x_knn_classify_loo",  # leave-one-out kNN label audit
+    "x_cooccur_pairs",  # vocab-bounded term co-occurrence mining
 )
 
 # Fixed CPU-bound calibration probe (no I/O, no data dependence): 1B-row

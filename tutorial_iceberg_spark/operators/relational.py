@@ -1721,20 +1721,35 @@ def distributed_row_number(
     table into ONE reducer — the classic global-rank scale trap. This is
     the distributed formulation:
 
-    1. ``repartitionByRange`` on the order key — a range shuffle whose
-       sampled boundaries put partition i strictly before partition i+1;
-    2. per-partition counts (``spark_partition_id`` groupBy — one tiny
-       agg, <= n_partitions rows);
-    3. cumulative offsets over that tiny frame (bounded window), then a
-       broadcast join back: rank = local row_number + partition offset.
+    1. ``repartitionByRange`` on the order key — ONE range shuffle whose
+       sampled boundaries put partition i strictly before partition i+1 —
+       then ``sortWithinPartitions`` (local sort, no exchange);
+    2. local sequence numbers WITHOUT a window: in the sorted stage,
+       ``monotonically_increasing_id`` encodes (partition_id << 33 |
+       row_in_partition), so local position is a narrow bitmask — no
+       hash re-partition on partition id and no second sort, which a
+       ``Window.partitionBy(pid)`` would force;
+    3. per-partition counts (tiny agg, <= n_partitions rows), cumulative
+       offsets over that bounded frame, broadcast-joined back:
+       rank = offset + local position + 1.
 
-    Every partition sorts only its own range slice; the only global
-    structure is the <= n_partitions-row offset table. Order columns
-    must make rows unique (pass a key as tiebreaker) for determinism.
+    Exactly one full-data shuffle; the only global structure is the
+    <= n_partitions-row offset table (AQE reuses the range exchange for
+    the count branch). Order columns must make rows unique (pass a key
+    as tiebreaker) so the sorted order — and therefore the id — is
+    deterministic across branch re-reads and task retries.
     """
     cols = [F.col(c) for c in order_cols]
-    part = df.repartitionByRange(n_partitions, *cols).withColumn(
-        "__pid", F.spark_partition_id()
+    part = (
+        df.repartitionByRange(n_partitions, *cols)
+        .sortWithinPartitions(*cols)
+        .select(
+            "*",
+            F.spark_partition_id().alias("__pid"),
+            (F.monotonically_increasing_id().bitwiseAND((1 << 33) - 1)).alias(
+                "__seq"
+            ),
+        )
     )
     sizes = part.groupBy("__pid").agg(F.count("*").alias("__cnt"))
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
@@ -1742,11 +1757,10 @@ def distributed_row_number(
         "__pid",
         F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
     )
-    w_local = Window.partitionBy("__pid").orderBy(*cols)
     return (
         part.join(F.broadcast(offsets), "__pid")
-        .withColumn("rn", F.row_number().over(w_local) + F.col("__off"))
-        .drop("__pid", "__off")
+        .withColumn("rn", F.col("__off") + F.col("__seq") + 1)
+        .drop("__pid", "__seq", "__off")
     )
 
 
