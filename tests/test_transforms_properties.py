@@ -228,3 +228,26 @@ def test_skew_profile_shares_and_ratio(spark, sf_dir):
     assert 0 < sum(r["share"] for r in rows) <= 1.0 + 1e-12
     assert abs(r0["skew_ratio"] - r0["cnt"] / r0["p50_group"]) < 1e-9
     assert r0["p99_group"] >= r0["p50_group"]
+
+
+def test_crosstab_chi2_margins_consistent(spark, sf_dir):
+    from collections import defaultdict
+
+    from tutorial_iceberg_spark.io import load_table
+    from tutorial_iceberg_spark.registry import all_queries
+
+    rows = all_queries()["x_crosstab_chi2"].builder(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["obs"] for r in rows) == n_docs
+    # full grid: |langs| x |sources| cells
+    langs = {r["lang"] for r in rows}
+    sources = {r["source"] for r in rows}
+    assert len(rows) == len(langs) * len(sources)
+    # expected counts reproduce the row margins exactly (independence model)
+    row_exp, row_obs = defaultdict(float), defaultdict(int)
+    for r in rows:
+        row_exp[r["lang"]] += r["expected"]
+        row_obs[r["lang"]] += r["obs"]
+    for lang in langs:
+        assert abs(row_exp[lang] - row_obs[lang]) < 1e-6
+    assert all(r["chi2_contrib"] >= 0.0 for r in rows)

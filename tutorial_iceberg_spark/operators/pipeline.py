@@ -916,3 +916,64 @@ def x_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_no")
     )
+
+
+@register(
+    "x_crosstab_chi2",
+    oracle="""
+        WITH cells AS (
+            SELECT lang, source, count(*) AS obs
+            FROM documents GROUP BY 1, 2
+        ), rm AS (
+            SELECT lang, CAST(SUM(obs) AS BIGINT) AS row_tot
+            FROM cells GROUP BY 1
+        ), cm AS (
+            SELECT source, CAST(SUM(obs) AS BIGINT) AS col_tot
+            FROM cells GROUP BY 1
+        ), tot AS (
+            SELECT CAST(SUM(obs) AS BIGINT) AS n FROM cells
+        ), grid AS (
+            SELECT rm.lang, cm.source, rm.row_tot, cm.col_tot, tot.n
+            FROM rm CROSS JOIN cm CROSS JOIN tot
+        )
+        SELECT g.lang, g.source,
+               COALESCE(c.obs, 0) AS obs,
+               CAST(g.row_tot AS DOUBLE) * g.col_tot / g.n AS expected,
+               (COALESCE(c.obs, 0) - CAST(g.row_tot AS DOUBLE) * g.col_tot / g.n)
+               * (COALESCE(c.obs, 0) - CAST(g.row_tot AS DOUBLE) * g.col_tot / g.n)
+               / (CAST(g.row_tot AS DOUBLE) * g.col_tot / g.n) AS chi2_contrib
+        FROM grid g
+        LEFT JOIN cells c ON c.lang = g.lang AND c.source = g.source
+        ORDER BY g.lang, g.source
+    """,
+    doc="Chi-square contingency audit of lang x source: the full grid "
+    "(zero cells included) with observed count, independence-expected "
+    "count and per-cell chi2 contribution — the 'is my corpus mix "
+    "confounded' check before training-mixture decisions. One hash agg "
+    "over documents; margins and the grid cross join live entirely on "
+    "the BOUNDED (|langs| x |sources|) frames, so the cross join is "
+    "constant-size at any corpus scale. Per-cell output keeps the "
+    "arithmetic order-free and bit-exact (a summed statistic would "
+    "depend on float reduction order)",
+    tags=("pipeline", "audit", "extension"),
+)
+def x_crosstab_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(F.count("*").alias("obs"))
+    rm = cells.groupBy("lang").agg(F.sum("obs").alias("row_tot"))
+    cm = cells.groupBy("source").agg(F.sum("obs").alias("col_tot"))
+    tot = cells.agg(F.sum("obs").alias("n"))
+    grid = rm.crossJoin(cm).crossJoin(tot)
+    exp = F.col("row_tot").cast("double") * F.col("col_tot") / F.col("n")
+    obs = F.coalesce(F.col("obs"), F.lit(0).cast("long"))
+    return (
+        grid.join(cells, ["lang", "source"], "left")
+        .select(
+            "lang",
+            "source",
+            obs.alias("obs"),
+            exp.alias("expected"),
+            ((obs - exp) * (obs - exp) / exp).alias("chi2_contrib"),
+        )
+        .orderBy("lang", "source")
+    )
