@@ -63,6 +63,7 @@ ALLOWED = {
         r"corpus_stats\b",  # 1-row (N, avgdl) aggregate
         r"term_df\b",  # BM25 df table: |query terms| rows
         r"n$",  # 1-row doc-count aggregate (x_tfidf_terms)
+        r"decr_tot\b",  # 1-row Misra-Gries decrement total (x_topk_sketch)
     ],
     "operators/dedup.py": [
         r"pos\b",  # shingle-position frame: n_hashes permutation rows

@@ -270,3 +270,34 @@ def test_cooccur_pairs_are_real_cofrequencies(spark, sf_dir):
         F.array_contains("ts", top["t1"]) & F.array_contains("ts", top["t2"])
     ).count()
     assert n == top["n_docs"]
+
+
+def test_topk_sketch_bounds_and_superset(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from tutorial_iceberg_spark.io import load_table
+    from tutorial_iceberg_spark.registry import all_queries
+
+    rows = all_queries()["x_topk_sketch"].builder(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 25
+    exact = {
+        r["tok"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    err = rows[0]["err_bound"]
+    for r in rows:
+        true = exact[r["token"]]
+        assert r["est_min"] <= true <= r["est_max"], r
+    # MG guarantee: every token with true freq > total decrements survives
+    # the sketch — so the reported top-25 must contain every exact-top token
+    # whose count exceeds err_bound + the 25th reported est_min
+    floor = rows[-1]["est_min"] + err
+    reported = {r["token"] for r in rows}
+    for tok, n in exact.items():
+        if n > floor:
+            assert tok in reported, (tok, n, floor)

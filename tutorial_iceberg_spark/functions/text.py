@@ -841,3 +841,79 @@ def x_cooccur_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"))
     )
     return pairs.orderBy(F.desc("n_docs"), "t1", "t2").limit(COOCCUR_TOP)
+
+
+MG_CAPACITY = 256  # counters per partition sketch
+MG_TOP = 25  # reported heavy hitters
+
+
+@register(
+    "x_topk_sketch",
+    oracle=None,  # sketch: bounds-checked vs exact counts in pytest
+    doc=f"Misra-Gries heavy-hitters sketch over document tokens: each "
+    f"partition keeps <= {MG_CAPACITY} counters in one Arrow mapInPandas "
+    "pass (constant memory regardless of vocabulary size — the 100 TB "
+    "alternative to the exact census' full-vocab shuffle), then surviving "
+    "counters merge in one tiny shuffle. Output is (token, est_min, "
+    "est_max, err_bound) for the top hitters with the classic guarantee: "
+    "est_min <= true <= est_min + total_decrements, and every token with "
+    "true frequency > total_decrements survives. Completes the sketch "
+    "family (HLL distinct, GK quantiles, MG heavy hitters); rows-only "
+    "driver check, bound + superset pytest-gated vs exact counts",
+    tags=("text", "sketch", "extension"),
+)
+def x_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", spread=True).select("text")
+
+    def mg_partial(batches):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        decr = 0
+        for pdf in batches:
+            for text in pdf["text"]:
+                # mirror of the engine-wide whitespace tokenization
+                for tok in str(text).strip().lower().split():
+                    if tok in counters:
+                        counters[tok] += 1
+                    elif len(counters) < MG_CAPACITY:
+                        counters[tok] = 1
+                    else:
+                        decr += 1
+                        dead = []
+                        for k in counters:
+                            counters[k] -= 1
+                            if counters[k] == 0:
+                                dead.append(k)
+                        for k in dead:
+                            del counters[k]
+        out = pd.DataFrame(
+            {
+                "token": list(counters) + [None],
+                "cnt": list(counters.values()) + [0],
+                "decr": [0] * len(counters) + [decr],
+            }
+        )
+        yield out
+
+    partials = docs.mapInPandas(mg_partial, "token string, cnt long, decr long")
+    # the partials frame is O(partitions * capacity) — tiny; materialize
+    # once so the two consumers below don't re-run the corpus pass
+    partials = partials.localCheckpoint(eager=True)
+    decr_tot = partials.agg(F.sum("decr").alias("err_bound"))
+    merged = (
+        partials.filter(F.col("token").isNotNull())
+        .groupBy("token")
+        .agg(F.sum("cnt").alias("est_min"))
+    )
+    return (
+        merged.crossJoin(F.broadcast(decr_tot))
+        .select(
+            "token",
+            "est_min",
+            (F.col("est_min") + F.col("err_bound")).alias("est_max"),
+            "err_bound",
+        )
+        .orderBy(F.desc("est_min"), "token")
+        .limit(MG_TOP)
+    )
