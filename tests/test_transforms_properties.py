@@ -251,3 +251,38 @@ def test_crosstab_chi2_margins_consistent(spark, sf_dir):
     for lang in langs:
         assert abs(row_exp[lang] - row_obs[lang]) < 1e-6
     assert all(r["chi2_contrib"] >= 0.0 for r in rows)
+
+
+def test_distributed_row_number_property(spark):
+    """Property: for arbitrary (value, key) frames, distributed_row_number
+    over (value, key) equals Python's sorted-enumerate reference model."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from tutorial_iceberg_spark.operators.relational import distributed_row_number
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        vals=st.lists(
+            st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=60
+        ),
+        nparts=st.integers(min_value=1, max_value=9),
+    )
+    def run(vals, nparts):
+        rows = [(v, i) for i, v in enumerate(vals)]  # key = unique index
+        df = spark.createDataFrame(rows, "v long, k long")
+        got = {
+            (r["v"], r["k"]): r["rn"]
+            for r in distributed_row_number(df, ["v", "k"], nparts).collect()
+        }
+        want = {
+            (v, k): i + 1
+            for i, (v, k) in enumerate(sorted(rows))
+        }
+        assert got == want
+
+    run()
