@@ -54,10 +54,14 @@ HEADLINE = (
     "x_chunk_documents",  # RAG chunking: tokenize -> explode -> slice, narrow
     "x_embed_pca",  # two-Arrow-pass PCA fit + project
     "x_tfidf_terms",  # full-vocab explode + df shuffle join + per-doc top-k
-    "x_triangle_count",  # similarity-graph wedge join + closure probe
-    "x_knn_classify_loo",  # leave-one-out kNN label audit
     "x_cooccur_pairs",  # vocab-bounded term co-occurrence mining
 )
+# NOT in the headline: x_triangle_count / x_knn_classify_loo. At bench SF
+# their pair source is the deliberately-EXACT all-pairs cosine baseline
+# (oracle-bit-checkable form, ~20 s of interpreted float64 folds over 2M
+# pairs) — benchmarking it would measure the correctness baseline, not the
+# engine's scale path (LSH candidates, which `auto` switches to above
+# ALL_PAIRS_MAX_ROWS and which the recall/plan pytests cover).
 
 # Fixed CPU-bound calibration probe (no I/O, no data dependence): 1B-row
 # codegen scan + xxhash64 fold on 32 partitions. Its wall time tracks the

@@ -71,9 +71,14 @@ _O_EDGES = f"""
 
 
 # Above this row count "auto" switches cosine_edges from the exact
-# all-pairs baseline to the LSH-bucketed candidate path. 100k vectors =
-# ~5e9 pairs, already past what a broadcast nested loop should ever see.
-ALL_PAIRS_MAX_ROWS = 100_000
+# all-pairs baseline to the LSH-bucketed candidate path. The bound is a
+# TIME bound, not just a broadcast-size bound: the exact cosine is an
+# interpreted sequential float64 fold (the price of oracle bit-parity),
+# ~10 us/pair, so 10k vectors = 5e7 pairs = minutes of single-node work —
+# the most that the exact baseline should ever burn. Every test SF
+# (<= 2k vectors) stays on the exact path; beyond the bound the banded
+# LSH equi-join path takes over with recall as the tunable dial.
+ALL_PAIRS_MAX_ROWS = 10_000
 
 
 def cosine_edges(
