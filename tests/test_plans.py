@@ -73,6 +73,9 @@ ALLOWED = {
         r"tot\b",  # 1-row corpus-total aggregate (x_mixture_plan)
         r"stats\b",  # 1-row global group-size stats (x_skew_profile)
     ],
+    "streaming/events_stream.py": [
+        r"err_tot\b",  # 1-row Misra-Gries decrement total (x_stream_heavy_users)
+    ],
     "operators/graph.py": [
         r"b$",  # all-pairs oracle baseline, gated to small inputs only
         r"dangling\b",  # 1-row dangling-mass aggregate (pagerank)

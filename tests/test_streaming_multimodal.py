@@ -170,3 +170,30 @@ def test_stream_hash_sample_equals_batch_filter(spark, sf_dir):
         for r in ev.filter(keep).select("event_id").orderBy("event_id").collect()
     ]
     assert got == want and len(got) > 0
+
+
+def test_stream_heavy_users_bounds(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from tutorial_iceberg_spark.io import load_table
+    from tutorial_iceberg_spark.registry import all_queries
+
+    rows = all_queries()["x_stream_heavy_users"].builder(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    exact = {
+        r["user_id"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    err = rows[0]["err_bound"]
+    for r in rows:
+        assert r["est_min"] <= exact[r["user_id"]] <= r["est_max"], r
+    # containment: every user with true count above the reporting floor
+    # must appear (Misra-Gries merge keeps any key with freq > total decr)
+    floor = rows[-1]["est_min"] + err
+    reported = {r["user_id"] for r in rows}
+    for uid, n in exact.items():
+        if n > floor:
+            assert uid in reported, (uid, n, floor)

@@ -687,3 +687,77 @@ def x_stream_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled = ev.filter(keep).select("event_id", "user_id", "event_type", "value")
     out = run_stream(sampled, mode="append")
     return out.orderBy("event_id")
+
+
+MG_STREAM_CAP = 64  # per-partition-per-batch Misra-Gries counters
+MG_STREAM_TOP = 20
+
+
+@register(
+    "x_stream_heavy_users",
+    oracle=None,  # sketch: bounds-gated vs exact batch counts in pytest
+    doc=f"Streaming heavy-hitter detection over user_id: each micro-batch "
+    f"partition folds into a <= {MG_STREAM_CAP}-counter Misra-Gries "
+    "partial (stateless mapInPandas — no state store, no watermark), the "
+    "partials land in the exactly-once append sink, and the read-side "
+    "merge sums surviving counters + decrement totals. The sketch-"
+    "partials-at-ingest / compact-at-read pattern: per-batch state never "
+    "exceeds counters x partitions rows, yet the merged (est_min, "
+    "est_max) bounds remain valid across ANY number of micro-batches "
+    "because Misra-Gries partials are mergeable by addition with summed "
+    "error. Rows-only driver check; pytest gates bounds + containment "
+    "vs exact batch counts",
+    tags=("streaming", "sketch", "extension"),
+)
+def x_stream_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("v")
+    )
+
+    def mg(batches):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        decr = 0
+        for pdf in batches:
+            for v in pdf["v"]:
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < MG_STREAM_CAP:
+                    counters[v] = 1
+                else:
+                    decr += 1
+                    dead = []
+                    for k in counters:
+                        counters[k] -= 1
+                        if counters[k] == 0:
+                            dead.append(k)
+                    for k in dead:
+                        del counters[k]
+        yield pd.DataFrame(
+            {
+                "k": list(counters) + [None],
+                "cnt": list(counters.values()) + [0],
+                "decr": [0] * len(counters) + [decr],
+            }
+        )
+
+    partials = ev.mapInPandas(mg, "k string, cnt long, decr long")
+    acc = run_stream(partials, mode="append")
+    err_tot = acc.agg(F.sum("decr").alias("err_bound"))
+    merged = (
+        acc.filter(F.col("k").isNotNull())
+        .groupBy("k")
+        .agg(F.sum("cnt").alias("est_min"))
+    )
+    return (
+        merged.crossJoin(F.broadcast(err_tot))
+        .select(
+            F.col("k").cast("long").alias("user_id"),
+            "est_min",
+            (F.col("est_min") + F.col("err_bound")).alias("est_max"),
+            "err_bound",
+        )
+        .orderBy(F.desc("est_min"), "user_id")
+        .limit(MG_STREAM_TOP)
+    )
