@@ -205,3 +205,20 @@ def test_histogram_cdf_monotone_and_complete(spark, sf_dir):
     cum = [r["cum_pct"] for r in rows]
     assert all(a < b or abs(a - b) < 1e-15 for a, b in zip(cum, cum[1:]))
     assert abs(cum[-1] - 1.0) < 1e-15
+
+
+def test_bootstrap_ci_brackets_true_mean(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from tutorial_iceberg_spark.io import load_table
+    from tutorial_iceberg_spark.registry import all_queries
+
+    row = all_queries()["x_bootstrap_ci"].builder(spark, sf_dir).first()
+    assert row["n_replicates"] == 32
+    true_mean = (
+        load_table(spark, sf_dir, "events").agg(F.avg("value")).first()[0]
+    )
+    assert row["ci_lo"] < row["ci_med"] < row["ci_hi"]
+    assert row["ci_lo"] <= true_mean <= row["ci_hi"]
+    # CI width should be a few standard errors, not degenerate or huge
+    assert (row["ci_hi"] - row["ci_lo"]) / true_mean < 0.25

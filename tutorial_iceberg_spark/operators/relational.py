@@ -1916,3 +1916,94 @@ def a15_histogram_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# Poisson(1) bootstrap: cumulative CDF cut points as md5-prefix hex
+# thresholds (floor(P * 2^32) in hex). A row's weight in replicate b is
+# the Poisson variate its deterministic md5(event_id||'-'||b) prefix
+# falls into — identical string comparisons in Spark and DuckDB.
+_BOOT_THRESHOLDS = ("5e2d58d8", "bc5ab1b1", "eb715e1d", "fb239797", "ff1025f5")
+BOOT_REPLICATES = 32
+
+
+def _boot_weight_sql(pfx: str) -> str:
+    cases = " ".join(
+        f"WHEN {pfx} < '{h}' THEN {k}" for k, h in enumerate(_BOOT_THRESHOLDS)
+    )
+    return f"CASE {cases} ELSE {len(_BOOT_THRESHOLDS)} END"
+
+
+@register(
+    "x_bootstrap_ci",
+    oracle=f"""
+        WITH r AS (
+            SELECT b, value,
+                   {_boot_weight_sql("substr(md5(CAST(event_id AS VARCHAR) || '-' || CAST(b AS VARCHAR)), 1, 8)")} AS w
+            FROM events CROSS JOIN (
+                SELECT unnest(generate_series(0, {BOOT_REPLICATES - 1})) AS b
+            )
+        ), est AS (
+            SELECT b,
+                   CAST(SUM(CAST(value AS DECIMAL(15,4)) * w) AS DOUBLE)
+                       / SUM(w) AS est_mean
+            FROM r GROUP BY b
+        )
+        SELECT COUNT(*) AS n_replicates,
+               quantile_cont(est_mean, 0.025) AS ci_lo,
+               quantile_cont(est_mean, 0.5) AS ci_med,
+               quantile_cont(est_mean, 0.975) AS ci_hi
+        FROM est
+    """,
+    doc=f"Poisson bootstrap 95% CI for mean(events.value), {BOOT_REPLICATES} "
+    "replicates — THE distributed bootstrap: classical resampling needs "
+    "global n to draw indices, Poisson(1) weights need only the row "
+    "itself, so the whole thing is one narrow explode (row x replicate) "
+    "into one 32-group hash agg with map-side partials — single pass, no "
+    "shuffle of data rows, embarrassingly parallel at any scale. "
+    "Determinism: weights come from md5(event_id, b) prefix vs fixed "
+    "Poisson-CDF hex cut points (pure string compares, engine-identical); "
+    "replicate means use exact decimal sums (no float reduction-order "
+    "drift); the CI is an exact interpolated percentile over the "
+    "32-replicate frame. Bit-exact vs the DuckDB oracle end-to-end",
+    tags=("agg", "statistics", "extension"),
+)
+def x_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    reps = ev.select(
+        "event_id",
+        "value",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(BOOT_REPLICATES - 1))
+        ).alias("b"),
+    )
+    pfx = F.substring(
+        F.md5(
+            F.concat(
+                F.col("event_id").cast("string"),
+                F.lit("-"),
+                F.col("b").cast("string"),
+            )
+        ),
+        1,
+        8,
+    )
+    w = F.when(pfx < _BOOT_THRESHOLDS[0], 0)
+    for k, h in enumerate(_BOOT_THRESHOLDS[1:], start=1):
+        w = w.when(pfx < h, k)
+    w = w.otherwise(len(_BOOT_THRESHOLDS))
+    est = (
+        reps.select("value", "b", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            (
+                F.sum(dec("value") * F.col("w")).cast("double")
+                / F.sum("w")
+            ).alias("est_mean")
+        )
+    )
+    return est.agg(
+        F.count("*").alias("n_replicates"),
+        F.expr("percentile(est_mean, 0.025d)").alias("ci_lo"),
+        F.expr("percentile(est_mean, 0.5d)").alias("ci_med"),
+        F.expr("percentile(est_mean, 0.975d)").alias("ci_hi"),
+    )
