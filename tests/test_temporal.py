@@ -119,3 +119,14 @@ def test_event_transitions_rows_normalize(spark, sf_dir):
         row_sum[r["from_type"]] += r["p"]
     for tot in row_sum.values():
         assert abs(tot - 1.0) < 1e-9
+
+
+def test_coverage_audit_invariants(spark, sf_dir):
+    from tutorial_iceberg_spark.registry import all_queries
+
+    rows = all_queries()["x_coverage_audit"].builder(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["days_present"] <= r["days_span"]
+        assert r["days_missing"] == r["days_span"] - r["days_present"]
+        assert (r["last_day"] - r["first_day"]).days + 1 == r["days_span"]

@@ -582,3 +582,40 @@ def lake_tag_pinned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.expire_snapshots(keep_last=1)  # tag pins its snapshot through GC
     assert t.read().count() < t.read_tag("v1").count()
     return t.read_tag("v1")
+
+
+@register(
+    "lake_merge_evolved",
+    oracle=f"""
+        SELECT {ORDERS_COLS},
+               CASE WHEN o_orderkey % 3 = 0 AND o_orderkey % 2 = 0 THEN 10
+                    WHEN o_orderkey % 3 = 1 THEN 5
+                    ELSE 0 END AS discount_pct
+        FROM orders WHERE o_orderkey % 3 IN (0, 1)
+    """,
+    doc="MERGE after schema evolution (D4 composed with D5/D7): seed, ADD "
+    "COLUMN discount_pct DEFAULT 0 (metadata-only — no file rewrite), "
+    "then MERGE a source that CARRIES the new column: matched rows "
+    "update to discount 10, unmatched insert at 5, untouched old files "
+    "keep resolving the default at read. Exercises that the merge "
+    "source-alignment, the key-bounds file pruning, and read-time "
+    "defaults compose — the realistic evolve-then-upsert sequence",
+    tags=("lakehouse", "merge", "extension"),
+)
+def lake_merge_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _fresh_table(spark, "merge_evolved")
+    t.append(_orders_mod(spark, sf_dir, 3, 0))
+    t.add_column("discount_pct", "int", default=0)
+    src = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            ((F.col("o_orderkey") % 3 == 0) & (F.col("o_orderkey") % 2 == 0))
+            | (F.col("o_orderkey") % 3 == 1)
+        )
+        .withColumn(
+            "discount_pct",
+            F.when(F.col("o_orderkey") % 3 == 1, 5).otherwise(10),
+        )
+    )
+    t.merge(src, on="o_orderkey")
+    return t.read()

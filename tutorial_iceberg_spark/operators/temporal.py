@@ -345,3 +345,44 @@ def x_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+@register(
+    "x_coverage_audit",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type,
+               MIN(day) AS first_day,
+               MAX(day) AS last_day,
+               COUNT(*) AS days_present,
+               datediff('day', MIN(day), MAX(day)) + 1 AS days_span,
+               datediff('day', MIN(day), MAX(day)) + 1 - COUNT(*) AS days_missing
+        FROM daily GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Time-coverage audit per event type: presence span vs distinct "
+    "days observed, surfacing calendar gaps (a silent upstream-ingestion "
+    "failure mode) without materializing the calendar — two hash aggs "
+    "(distinct (type, day), then per-type min/max/count), no explode, no "
+    "join; the gap count is pure date arithmetic, engine-identical",
+    tags=("temporal", "audit", "extension"),
+)
+def x_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.select(
+        "event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).distinct()
+    span = F.datediff(F.max("day"), F.min("day")) + 1
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.min("day").alias("first_day"),
+            F.max("day").alias("last_day"),
+            F.count("*").alias("days_present"),
+            span.alias("days_span"),
+            (span - F.count("*")).alias("days_missing"),
+        )
+        .orderBy("event_type")
+    )
