@@ -301,3 +301,13 @@ def test_topk_sketch_bounds_and_superset(spark, sf_dir):
     for tok, n in exact.items():
         if n > floor:
             assert tok in reported, (tok, n, floor)
+
+
+def test_fuzzy_verify_lev_sane(spark, sf_dir):
+    from tutorial_iceberg_spark.registry import all_queries
+
+    rows = all_queries()["x_fuzzy_verify_lev"].builder(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0 <= r["lev_prefix"] <= 80  # bounded by prefix length
+        assert r["is_fuzzy_dup"] == int(r["lev_prefix"] <= 20)

