@@ -36,3 +36,20 @@ def test_all_queries_runnable_smoke(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
         assert "BatchEvalPython" not in plan, name
         assert df.count() >= 0, name
+
+
+def test_hostile_session_timezone_is_repinned(spark, sf_dir):
+    """The engine must self-apply UTC (io.apply_engine_conf) — a caller
+    who preset a different session timezone still gets UTC-bucketed
+    results (verify-skill probe, now a regression gate)."""
+    from tutorial_iceberg_spark.registry import all_queries
+
+    build = all_queries()["a7_daily_timeseries"].builder
+    baseline = [tuple(r) for r in build(spark, sf_dir).collect()]
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    try:
+        hostile = [tuple(r) for r in build(spark, sf_dir).collect()]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert hostile == baseline
