@@ -2007,3 +2007,78 @@ def x_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(est_mean, 0.5d)").alias("ci_med"),
         F.expr("percentile(est_mean, 0.975d)").alias("ci_hi"),
     )
+
+
+@register(
+    "a16_cube_revenue",
+    oracle=f"""
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS year,
+               o_orderpriority,
+               COUNT(*) AS cnt,
+               {o_dsum('o_totalprice', 'revenue')}
+        FROM orders
+        GROUP BY CUBE (CAST(year(o_orderdate) AS INTEGER), o_orderpriority)
+        ORDER BY year NULLS LAST, o_orderpriority NULLS LAST
+    """,
+    doc="A9-adjacent CUBE: all 2^2 grouping combinations — (year, "
+    "priority), (year), (priority), grand total — in ONE hash aggregate "
+    "pass (Spark expands the grouping sets map-side like ROLLUP), "
+    "completing the rollup / grouping-sets / cube family",
+    tags=("agg", "rollup"),
+)
+def a16_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube(
+            F.year("o_orderdate").cast("int").alias("year"),
+            "o_orderpriority",
+        )
+        .agg(F.count("*").alias("cnt"), dsum("o_totalprice", "revenue"))
+        .orderBy(
+            F.col("year").asc_nulls_last(),
+            F.col("o_orderpriority").asc_nulls_last(),
+        )
+    )
+
+
+@register(
+    "w6_distribution_ranks",
+    oracle="""
+        WITH d AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, day, n,
+               percent_rank() OVER w AS pct_rank,
+               cume_dist() OVER w AS cume,
+               ntile(4) OVER w AS quartile
+        FROM d
+        WINDOW w AS (PARTITION BY event_type ORDER BY n, day)
+        ORDER BY event_type, day
+    """,
+    doc="Distribution-position windows per event type over the daily "
+    "frame: percent_rank ((rank-1)/(rows-1)), cume_dist, and quartile "
+    "NTILE in one window pass — completes the ranking family (rank, "
+    "lag, ntile) with the relative-position forms. The window runs on "
+    "the calendar-bounded daily aggregate, so partition width is days, "
+    "not events; (n, day) is a unique total order for determinism",
+    tags=("window", "relational"),
+)
+def w6_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("n", "day")
+    return (
+        daily.select(
+            "event_type",
+            "day",
+            "n",
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .orderBy("event_type", "day")
+    )
