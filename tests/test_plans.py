@@ -72,6 +72,8 @@ ALLOWED = {
         r"eval_grams\b",  # eval-benchmark 5-grams: eval set is fixed-size
         r"tot\b",  # 1-row corpus-total aggregate (x_mixture_plan)
         r"stats\b",  # 1-row global group-size stats (x_skew_profile)
+        r"mn\b",  # 1-row min-day scalar (x_retention_bitmap)
+        r"days\b",  # bounded day grid, RETENTION_BITMAP_DAYS rows
     ],
     "streaming/events_stream.py": [
         r"err_tot\b",  # 1-row Misra-Gries decrement total (x_stream_heavy_users)

@@ -286,3 +286,34 @@ def test_distributed_row_number_property(spark):
         assert got == want
 
     run()
+
+
+def test_retention_bitmap_matches_set_algebra(spark, sf_dir):
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from tutorial_iceberg_spark.io import load_table
+    from tutorial_iceberg_spark.registry import all_queries
+
+    rows = all_queries()["x_retention_bitmap"].builder(spark, sf_dir).collect()
+    # reference model: per-user day sets
+    act = defaultdict(set)
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day"))
+        .distinct()
+        .collect()
+    ):
+        act[r["user_id"]].add(r["day"])
+    d0 = min(d for s in act.values() for d in s)
+    for r in rows:
+        d = r["day_idx"]
+        a = sum(1 for s in act.values() if any((x - d0).days == d for x in s))
+        ret = sum(
+            1
+            for s in act.values()
+            if any((x - d0).days == d for x in s)
+            and any((x - d0).days == d + 7 for x in s)
+        )
+        assert (r["n_active"], r["n_retained_7d"]) == (a, ret)

@@ -977,3 +977,87 @@ def x_crosstab_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+RETENTION_BITMAP_DAYS = 23  # cohort days 0..22 (so day+7 stays in span)
+
+
+@register(
+    "x_retention_bitmap",
+    oracle=f"""
+        WITH mn AS (
+            SELECT min(CAST(date_trunc('day', ts) AS DATE)) AS d0 FROM events
+        ), m AS (
+            SELECT user_id,
+                   bit_or(CAST(1 AS BIGINT)
+                          << datediff('day', mn.d0,
+                                      CAST(date_trunc('day', ts) AS DATE))) AS mask
+            FROM events, mn GROUP BY user_id
+        ), d AS (
+            SELECT unnest(generate_series(0, {RETENTION_BITMAP_DAYS - 1})) AS day_idx
+        )
+        SELECT day_idx,
+               count(*) FILTER (WHERE (mask >> day_idx) & 1 = 1) AS n_active,
+               count(*) FILTER (WHERE (mask >> day_idx) & 1 = 1
+                                  AND (mask >> (day_idx + 7)) & 1 = 1) AS n_retained_7d,
+               CASE WHEN count(*) FILTER (WHERE (mask >> day_idx) & 1 = 1) = 0
+                    THEN NULL
+                    ELSE CAST(count(*) FILTER (WHERE (mask >> day_idx) & 1 = 1
+                                  AND (mask >> (day_idx + 7)) & 1 = 1) AS DOUBLE)
+                         / count(*) FILTER (WHERE (mask >> day_idx) & 1 = 1)
+               END AS retention_7d
+        FROM m CROSS JOIN d GROUP BY day_idx ORDER BY day_idx
+    """,
+    doc="Bitmap day-7 retention: ONE bit_or aggregate packs each user's "
+    "activity span into a 64-bit day mask (the roaring-bitmap retention "
+    "technique, degenerate-free because the fixture span fits one word; "
+    "at longer spans the mask becomes a bitmap column and the same "
+    "algebra applies), then every (active day d, retained d+7) rate is "
+    "pure bit arithmetic over the per-user mask frame — no self-join of "
+    "the events table, no (user x day x day) explosion, which is the "
+    "standard retention-query scale trap. The bounded day grid cross-"
+    "joins the mask frame (bounded x users, narrow)",
+    tags=("pipeline", "temporal", "extension"),
+)
+def x_retention_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    )
+    mn = ev.agg(F.min("day").alias("d0"))
+    masks = (
+        ev.crossJoin(F.broadcast(mn))
+        .select(
+            "user_id",
+            F.expr("shiftleft(cast(1 as bigint), datediff(day, d0))").alias("b"),
+        )
+        .groupBy("user_id")
+        .agg(F.bit_or("b").alias("mask"))
+    )
+    days = spark.range(0, RETENTION_BITMAP_DAYS).select(
+        F.col("id").cast("int").alias("day_idx")
+    )
+    active = F.expr("(shiftright(mask, day_idx) & 1) = 1")
+    retained = F.expr(
+        "(shiftright(mask, day_idx) & 1) = 1 AND (shiftright(mask, day_idx + 7) & 1) = 1"
+    )
+    return (
+        masks.crossJoin(F.broadcast(days))
+        .groupBy("day_idx")
+        .agg(
+            F.count_if(active).alias("n_active"),
+            F.count_if(retained).alias("n_retained_7d"),
+        )
+        .select(
+            "day_idx",
+            "n_active",
+            "n_retained_7d",
+            F.when(
+                F.col("n_active") == 0, F.lit(None).cast("double")
+            )
+            .otherwise(
+                F.col("n_retained_7d").cast("double") / F.col("n_active")
+            )
+            .alias("retention_7d"),
+        )
+        .orderBy("day_idx")
+    )
