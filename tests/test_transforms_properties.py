@@ -317,3 +317,19 @@ def test_retention_bitmap_matches_set_algebra(spark, sf_dir):
             and any((x - d0).days == d + 7 for x in s)
         )
         assert (r["n_active"], r["n_retained_7d"]) == (a, ret)
+
+
+def test_windowed_funnel_is_subset_of_unbounded(spark, sf_dir):
+    from tutorial_iceberg_spark.registry import all_queries
+
+    qs = all_queries()
+    bounded = {r["stage"]: r["users"]
+               for r in qs["x_funnel_windowed"].builder(spark, sf_dir).collect()}
+    unbounded = {r["stage"]: r["users"]
+                 for r in qs["x_funnel_conversion"].builder(spark, sf_dir).collect()}
+    assert bounded["view"] == unbounded["view"]  # stage 1 has no window
+    assert bounded["click"] <= unbounded["click"]
+    # NOTE: purchase is NOT necessarily a subset — the windowed funnel can
+    # anchor on an EARLIER click (within 1h of view) whose 24h purchase
+    # window differs; only the click stage is provably monotone
+    assert bounded["purchase"] <= bounded["click"]

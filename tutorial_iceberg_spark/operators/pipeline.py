@@ -1061,3 +1061,117 @@ def x_retention_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_idx")
     )
+
+
+FUNNEL_STEP1_HOURS = 1  # click must follow the first view within this
+FUNNEL_STEP2_HOURS = 24  # purchase must follow that click within this
+
+
+@register(
+    "x_funnel_windowed",
+    oracle=f"""
+        WITH v AS (
+            SELECT user_id, MIN(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ), c AS (
+            SELECT e.user_id, MIN(e.ts) AS t2
+            FROM events e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.ts > v.t1
+              AND e.ts <= v.t1 + INTERVAL {FUNNEL_STEP1_HOURS} HOUR
+            GROUP BY e.user_id
+        ), p AS (
+            SELECT e.user_id, MIN(e.ts) AS t3
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.t2
+              AND e.ts <= c.t2 + INTERVAL {FUNNEL_STEP2_HOURS} HOUR
+            GROUP BY e.user_id
+        ), counts AS (
+            SELECT (SELECT COUNT(*) FROM v) AS n1,
+                   (SELECT COUNT(*) FROM c) AS n2,
+                   (SELECT COUNT(*) FROM p) AS n3
+        )
+        SELECT stage_idx, stage, users,
+               CAST(users AS DOUBLE)
+                 / NULLIF(LAG(users) OVER (ORDER BY stage_idx), 0)
+                 AS conv_from_prev,
+               CAST(users AS DOUBLE) / NULLIF(first_n, 0) AS conv_from_first
+        FROM (
+            SELECT 1 AS stage_idx, 'view' AS stage, n1 AS users, n1 AS first_n
+            FROM counts
+            UNION ALL
+            SELECT 2, 'click', n2, n1 FROM counts
+            UNION ALL
+            SELECT 3, 'purchase', n3, n1 FROM counts
+        ) t
+        ORDER BY stage_idx
+    """,
+    doc=f"TIME-BOUNDED conversion funnel (windowFunnel semantics): a "
+    f"click counts only within {FUNNEL_STEP1_HOURS}h of the first view, "
+    f"a purchase only within {FUNNEL_STEP2_HOURS}h of that click — the "
+    "form that separates intent-driven conversion from coincidental "
+    "later activity, and the form whose state is BOUNDED for the "
+    "streaming equivalent (expired windows can be evicted; the "
+    "unbounded funnel cannot). Same co-partitioned user_id chain as "
+    "x_funnel_conversion: per-stage pushed-filter scans, joins and "
+    "groupBys all on one key, monotone-shrinking stage sets",
+    tags=("pipeline", "analytics", "extension"),
+)
+def x_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t1"))
+            & (
+                F.col("ts")
+                <= F.col("t1") + F.expr(f"INTERVAL {FUNNEL_STEP1_HOURS} HOUR")
+            )
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2"))
+            & (
+                F.col("ts")
+                <= F.col("t2") + F.expr(f"INTERVAL {FUNNEL_STEP2_HOURS} HOUR")
+            )
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = (
+        v.agg(F.count("*").alias("n1"))
+        .crossJoin(c.agg(F.count("*").alias("n2")))
+        .crossJoin(p.agg(F.count("*").alias("n3")))
+    )
+    stages = counts.selectExpr(
+        "stack(3, 1, 'view', n1, 2, 'click', n2, 3, 'purchase', n3) "
+        "AS (stage_idx, stage, users)",
+        "n1 AS first_n",
+    )
+    w = Window.orderBy("stage_idx")
+    return (
+        stages.select(
+            "stage_idx",
+            "stage",
+            "users",
+            (
+                F.col("users").cast("double")
+                / F.nullif(F.lag("users").over(w), F.lit(0))
+            ).alias("conv_from_prev"),
+            (
+                F.col("users").cast("double") / F.nullif(F.col("first_n"), F.lit(0))
+            ).alias("conv_from_first"),
+        )
+        .orderBy("stage_idx")
+    )
