@@ -2082,3 +2082,37 @@ def w6_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@register(
+    "f13_string_agg",
+    oracle="""
+        SELECT o_orderpriority,
+               array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',')
+                   AS statuses,
+               COUNT(DISTINCT o_orderstatus) AS n_statuses
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    doc="Ordered string aggregation: distinct values collected, SORTED, "
+    "then joined — the deterministic form of LISTAGG/STRING_AGG (an "
+    "unordered collect differs run to run under parallelism; sorting "
+    "inside the row makes the result partition-order-independent, which "
+    "is what lets it hash-match across engines). Output stays bounded: "
+    "the aggregated set is the low-cardinality status domain, never row "
+    "data",
+    tags=("agg", "functions"),
+)
+def f13_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("o_orderstatus")), ","
+            ).alias("statuses"),
+            F.count_distinct("o_orderstatus").alias("n_statuses"),
+        )
+        .orderBy("o_orderpriority")
+    )
