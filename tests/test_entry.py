@@ -53,3 +53,17 @@ def test_hostile_session_timezone_is_repinned(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
     assert hostile == baseline
+
+
+def test_builders_are_deterministic_across_reruns(spark, sf_dir):
+    """Verify-skill probe as a gate: running a builder twice in one
+    session must produce identical results — covers the ops whose
+    mechanics could plausibly drift (distributed rank offsets, hash-
+    derived bootstrap weights, per-partition sketch iteration order)."""
+    from tutorial_iceberg_spark.registry import all_queries
+
+    qs = all_queries()
+    for name in ("w5_decile_segments", "x_bootstrap_ci", "x_topk_sketch"):
+        first = [tuple(r) for r in qs[name].builder(spark, sf_dir).collect()]
+        second = [tuple(r) for r in qs[name].builder(spark, sf_dir).collect()]
+        assert first == second, name
