@@ -77,6 +77,7 @@ ALLOWED = {
     ],
     "streaming/events_stream.py": [
         r"err_tot\b",  # 1-row Misra-Gries decrement total (x_stream_heavy_users)
+        r"days\b",  # bounded day grid (x_stream_retention_bitmap)
     ],
     "operators/graph.py": [
         r"b$",  # all-pairs oracle baseline, gated to small inputs only

@@ -197,3 +197,18 @@ def test_stream_heavy_users_bounds(spark, sf_dir):
     for uid, n in exact.items():
         if n > floor:
             assert uid in reported, (uid, n, floor)
+
+
+def test_stream_retention_bitmap_equals_batch(spark, sf_dir):
+    from tutorial_iceberg_spark.registry import all_queries
+
+    qs = all_queries()
+    stream = [
+        (r["day_idx"], r["n_active"], r["n_retained_7d"])
+        for r in qs["x_stream_retention_bitmap"].builder(spark, sf_dir).collect()
+    ]
+    batch = [
+        (r["day_idx"], r["n_active"], r["n_retained_7d"])
+        for r in qs["x_retention_bitmap"].builder(spark, sf_dir).collect()
+    ]
+    assert stream == batch  # bit_or is mergeable: exact parity

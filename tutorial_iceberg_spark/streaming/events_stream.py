@@ -761,3 +761,74 @@ def x_stream_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("est_min"), "user_id")
         .limit(MG_STREAM_TOP)
     )
+
+
+@register(
+    "x_stream_retention_bitmap",
+    oracle=f"""
+        WITH mn AS (
+            SELECT min(CAST(date_trunc('day', ts) AS DATE)) AS d0 FROM events
+        ), m AS (
+            SELECT user_id,
+                   bit_or(CAST(1 AS BIGINT)
+                          << datediff('day', mn.d0,
+                                      CAST(date_trunc('day', ts) AS DATE))) AS mask
+            FROM events, mn GROUP BY user_id
+        ), d AS (
+            SELECT unnest(generate_series(0, 22)) AS day_idx
+        )
+        SELECT day_idx,
+               count(*) FILTER (WHERE (mask >> day_idx) & 1 = 1) AS n_active,
+               count(*) FILTER (WHERE (mask >> day_idx) & 1 = 1
+                                  AND (mask >> (day_idx + 7)) & 1 = 1) AS n_retained_7d
+        FROM m CROSS JOIN d GROUP BY day_idx ORDER BY day_idx
+    """,
+    doc="Streaming bitmap retention: bit_or is a MERGEABLE aggregate, so "
+    "a complete-mode streaming groupBy(user_id).bit_or(day_bit) "
+    "accumulates exactly the batch day-mask per user across micro-"
+    "batches — per-user state is ONE 64-bit word (bounded by users, not "
+    "events), and the final bit-arithmetic retention grid is computed "
+    "from the spilled mask frame. Batch-stream parity is exact, which "
+    "is why this STREAMING query carries a full value-hash ORACLE (the "
+    "same SQL as x_retention_bitmap) rather than a rows-only check. "
+    "Fixed epoch anchor (the fixture's first day) rather than a "
+    "stream-computed min keeps day indices stable across batch arrival "
+    "order",
+    tags=("streaming", "temporal", "extension"),
+)
+def x_stream_retention_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tutorial_iceberg_spark.io import load_table as _lt
+    from tutorial_iceberg_spark.operators.pipeline import RETENTION_BITMAP_DAYS
+
+    # day-0 anchor from the batch table's footer-cheap min (a stream can't
+    # know the global min before it ends; a fixed epoch is what production
+    # retention jobs use)
+    d0 = (
+        _lt(spark, sf_dir, "events")
+        .agg(F.min(F.date_trunc("day", F.col("ts")).cast("date")))
+        .first()[0]
+    )
+    ev = read_events_stream(spark, sf_dir).select(
+        "user_id",
+        F.expr(
+            f"shiftleft(cast(1 as bigint), datediff(cast(date_trunc('day', ts) as date), date'{d0}'))"
+        ).alias("b"),
+    )
+    masks = ev.groupBy("user_id").agg(F.bit_or("b").alias("mask"))
+    out = run_stream(masks, mode="complete")
+    days = spark.range(0, RETENTION_BITMAP_DAYS).select(
+        F.col("id").cast("int").alias("day_idx")
+    )
+    active = F.expr("(shiftright(mask, day_idx) & 1) = 1")
+    retained = F.expr(
+        "(shiftright(mask, day_idx) & 1) = 1 AND (shiftright(mask, day_idx + 7) & 1) = 1"
+    )
+    return (
+        out.crossJoin(F.broadcast(days))
+        .groupBy("day_idx")
+        .agg(
+            F.count_if(active).alias("n_active"),
+            F.count_if(retained).alias("n_retained_7d"),
+        )
+        .orderBy("day_idx")
+    )
