@@ -1175,3 +1175,92 @@ def x_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stage_idx")
     )
+
+
+@register(
+    "x_mixture_sample",
+    oracle=r"""
+        WITH stats AS (
+            SELECT lang, COUNT(*) AS n_docs,
+                   SUM(len(string_split_regex(trim(text), '\s+'))) AS n_tokens
+            FROM documents GROUP BY lang
+        ), tot AS (
+            SELECT SUM(n_tokens) AS total_tokens FROM stats
+        ), rates AS (
+            SELECT lang, n_docs,
+                   LEAST(
+                       (CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.15
+                                  WHEN 'es' THEN 0.15 WHEN 'fr' THEN 0.1
+                                  ELSE 0.1 END
+                        * CAST(tot.total_tokens AS DOUBLE))
+                       / CAST(n_tokens AS DOUBLE),
+                       CAST(1.0 AS DOUBLE)) AS keep_rate
+            FROM stats CROSS JOIN tot
+        ), kept AS (
+            SELECT d.lang, COUNT(*) AS n_kept
+            FROM documents d JOIN rates r ON r.lang = d.lang
+            WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                  < r.keep_rate * 4294967296.0
+            GROUP BY d.lang
+        )
+        SELECT r.lang, r.n_docs, COALESCE(k.n_kept, 0) AS n_kept,
+               r.keep_rate,
+               CAST(COALESCE(k.n_kept, 0) AS DOUBLE) / r.n_docs AS achieved_frac
+        FROM rates r LEFT JOIN kept k ON k.lang = r.lang
+        ORDER BY r.lang
+    """,
+    doc="Applies the x_mixture_plan rates as a DETERMINISTIC sampler: "
+    "per-language keep rates (capped at 1; oversampling languages keep "
+    "everything and epoch-repeat instead) gate each doc by its seedless "
+    "md5 fraction — the same hash either engine computes, so even the "
+    "sampled MEMBERSHIP is oracle-exact, and a re-run or a backfill "
+    "selects the identical docs. Plan: one stats agg, a ~|langs|-row "
+    "rate frame joined back (AQE broadcast), a narrow filter, one "
+    "counting agg — the corpus is never shuffled on data columns",
+    tags=("pipeline", "sampling", "extension"),
+)
+def x_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    ntok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    stats = (
+        docs.select("lang", ntok.alias("ntok"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("ntok").alias("n_tokens"))
+    )
+    tot = stats.agg(F.sum("n_tokens").alias("total_tokens"))
+    w = F.when(F.col("lang") == "en", F.lit(0.5))
+    for lang_key, wt in (("de", 0.15), ("es", 0.15), ("fr", 0.1)):
+        w = w.when(F.col("lang") == lang_key, F.lit(wt))
+    w = w.otherwise(F.lit(0.1))
+    rate = (w * F.col("total_tokens").cast("double")) / F.col(
+        "n_tokens"
+    ).cast("double")
+    rates = stats.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        F.least(rate, F.lit(1.0)).alias("keep_rate"),
+    )
+    num = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    kept = (
+        docs.select("lang", num.alias("num"))
+        .join(rates.select("lang", "keep_rate"), "lang")
+        .filter(F.col("num") < F.col("keep_rate") * F.lit(4294967296.0))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
+            "keep_rate",
+            (
+                F.coalesce(F.col("n_kept"), F.lit(0)).cast("double")
+                / F.col("n_docs")
+            ).alias("achieved_frac"),
+        )
+        .orderBy("lang")
+    )
