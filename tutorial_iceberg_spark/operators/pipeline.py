@@ -1264,3 +1264,47 @@ def x_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "x_dataset_card",
+    oracle=r"""
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+                   AS n_tokens,
+               COUNT(DISTINCT lang) AS n_langs,
+               COUNT(DISTINCT source) AS n_sources,
+               COUNT(DISTINCT text) AS n_unique_texts,
+               CAST(COUNT(*) - COUNT(DISTINCT text) AS DOUBLE) / COUNT(*)
+                   AS exact_dup_rate,
+               CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS DOUBLE)
+                   / COUNT(*) AS mean_doc_tokens,
+               MIN(n_chars) AS min_chars,
+               MAX(n_chars) AS max_chars
+        FROM documents
+    """,
+    doc="One-row dataset card: the corpus-summary artifact a data release "
+    "ships with — doc/token totals, language and source cardinalities, "
+    "exact-duplicate rate (via COUNT(DISTINCT text) — at extreme scale "
+    "swap the distinct for the HLL sketch, cf. x_approx_distinct), and "
+    "length extrema. ONE scan, one aggregation (the distincts share the "
+    "pass); all ratios are exact integer counts under IEEE division",
+    tags=("pipeline", "audit", "extension"),
+)
+def x_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    ntok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(ntok).cast("bigint").alias("n_tokens"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct("source").alias("n_sources"),
+        F.count_distinct("text").alias("n_unique_texts"),
+        (
+            (F.count("*") - F.count_distinct("text")).cast("double")
+            / F.count("*")
+        ).alias("exact_dup_rate"),
+        (F.sum(ntok).cast("double") / F.count("*")).alias("mean_doc_tokens"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
