@@ -73,6 +73,7 @@ ALLOWED = {
         r"tot\b",  # 1-row corpus-total aggregate (x_mixture_plan)
         r"stats\b",  # 1-row global group-size stats (x_skew_profile)
         r"mn\b",  # 1-row min-day scalar (x_retention_bitmap)
+        r"rates\.select\(",  # per-lang rate frame: |langs| rows (x_mixture_sample)
         r"days\b",  # bounded day grid, RETENTION_BITMAP_DAYS rows
     ],
     "streaming/events_stream.py": [

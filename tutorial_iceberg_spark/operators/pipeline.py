@@ -1243,9 +1243,12 @@ def x_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
     ).cast("bigint")
+    # the rate frame is bounded by |langs| (a handful of rows) but derives
+    # from an aggregate, so size estimates are unknown — hint the broadcast
+    # rather than shuffle the corpus on lang
     kept = (
         docs.select("lang", num.alias("num"))
-        .join(rates.select("lang", "keep_rate"), "lang")
+        .join(F.broadcast(rates.select("lang", "keep_rate")), "lang")
         .filter(F.col("num") < F.col("keep_rate") * F.lit(4294967296.0))
         .groupBy("lang")
         .agg(F.count("*").alias("n_kept"))
