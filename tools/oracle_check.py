@@ -87,6 +87,14 @@ def main():
         try:
             rel = con.sql(spec.oracle)
             d_cols = [c for c in rel.columns]
+            # The driver canonicalizes through pandas: DuckDB HUGEINT
+            # becomes float64 there and its value hash then compares e.g.
+            # 5.0 against Spark's 5 (the r6 x_semantic_dedup_corpus
+            # failure). fetchall() converts HUGEINT to Python int and
+            # hides that divergence, so gate on the planned types too —
+            # this makes the local check subsume the driver's
+            # canonicalization for type-level drift.
+            d_types = [str(t).upper() for t in rel.types]
             d_rows = rel.fetchall()
         except Exception as e:
             failed.append((name, f"DUCKDB ERROR: {e}"))
@@ -95,6 +103,14 @@ def main():
         t_duck = time.time() - t1
 
         problems = []
+        huge = [
+            c for c, t in zip(d_cols, d_types) if "HUGEINT" in t
+        ]
+        if huge:
+            problems.append(
+                f"oracle types HUGEINT (pandas->float64 under the driver "
+                f"hash) on columns {huge}: add CAST(... AS BIGINT)"
+            )
         if len(s_rows) != len(d_rows):
             problems.append(f"rowcount spark={len(s_rows)} duckdb={len(d_rows)}")
         if sorted(s_cols) != sorted(d_cols):

@@ -29,10 +29,10 @@ def tokens(col: str = "text") -> Column:
     oracle=r"""
         SELECT lang,
                COUNT(*) AS docs,
-               SUM(len(string_split_regex(trim(text), '\s+'))) AS total_tokens,
+               CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
                (CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS DOUBLE)
                  / COUNT(*)) AS avg_tokens,
-               SUM(n_chars) AS total_chars
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
         FROM documents
         GROUP BY lang
         ORDER BY lang
@@ -226,7 +226,7 @@ def x_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM bi GROUP BY doc_id
         )
         SELECT ua.doc_id,
-               ua.ntok AS n_tokens,
+               CAST(ua.ntok AS BIGINT) AS n_tokens,
                (CAST(ua.ndistinct AS DOUBLE) / ua.ntok) AS distinct_ratio,
                (CAST(ua.topc AS DOUBLE) / ua.ntok) AS top_token_frac,
                (CAST(ba.topbc AS DOUBLE) / ba.nbigram) AS top_bigram_frac,
@@ -509,8 +509,8 @@ def x_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
         SELECT lang,
                COUNT(*) AS docs,
-               SUM(len(regexp_extract_all(text,
-                   '''(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+'''))) AS total_tokens,
+               CAST(SUM(len(regexp_extract_all(text,
+                   '''(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+'''))) AS BIGINT) AS total_tokens,
                (CAST(SUM(len(regexp_extract_all(text,
                    '''(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+'''))) AS DOUBLE)
                  / COUNT(*)) AS avg_tokens

@@ -59,7 +59,7 @@ def _sql_dot(x: str, y: str) -> str:
         SELECT label,
                COUNT(*) AS vecs,
                SUM(sqrt({_sql_dot('embedding', 'embedding')})) AS total_norm,
-               SUM(len(embedding)) AS total_dims
+               CAST(SUM(len(embedding)) AS BIGINT) AS total_dims
         FROM embeddings
         GROUP BY label
         ORDER BY label

@@ -332,13 +332,13 @@ def x_dedup_semantic_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT d.lang,
                COUNT(*) AS docs,
-               SUM(CASE WHEN c.vec_id = c.component THEN 1 ELSE 0 END)
-                   AS kept_docs,
-               SUM(CASE WHEN c.vec_id = c.component THEN 0 ELSE 1 END)
-                   AS dropped_docs,
-               SUM(CASE WHEN c.vec_id = c.component
+               CAST(SUM(CASE WHEN c.vec_id = c.component THEN 1 ELSE 0 END)
+                   AS BIGINT) AS kept_docs,
+               CAST(SUM(CASE WHEN c.vec_id = c.component THEN 0 ELSE 1 END)
+                   AS BIGINT) AS dropped_docs,
+               CAST(SUM(CASE WHEN c.vec_id = c.component
                         THEN len(string_split_regex(trim(d.text), '\\s+'))
-                        ELSE 0 END) AS kept_tokens
+                        ELSE 0 END) AS BIGINT) AS kept_tokens
         FROM documents d JOIN comp c ON d.doc_id = c.vec_id
         GROUP BY d.lang
         ORDER BY d.lang

@@ -157,8 +157,8 @@ def x_asset_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                                WHEN 1 THEN 'audio'
                                ELSE 'video' END AS media_type,
                COUNT(*) AS n_assets,
-               SUM(octet_length(encode(text))) AS total_bytes,
-               SUM((octet_length(encode(text)) // 1024) + 1) AS total_frames
+               CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+               CAST(SUM((octet_length(encode(text)) // 1024) + 1) AS BIGINT) AS total_frames
         FROM documents
         GROUP BY 1
         ORDER BY 1

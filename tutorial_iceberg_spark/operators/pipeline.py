@@ -49,7 +49,7 @@ LANG_ALLOW = ("de", "en", "es", "fr")
         )
         SELECT lang, source,
                COUNT(*) AS docs,
-               SUM(ntok) AS total_tokens,
+               CAST(SUM(ntok) AS BIGINT) AS total_tokens,
                MIN(doc_id) AS first_doc
         FROM deduped
         GROUP BY lang, source
@@ -113,7 +113,7 @@ DECON_NGRAM = 5
         )
         SELECT d.lang,
                COUNT(*) AS kept_docs,
-               SUM(d.n_chars) AS kept_chars
+               CAST(SUM(d.n_chars) AS BIGINT) AS kept_chars
         FROM documents d
         WHERE d.doc_id % 50 <> 0
           AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
@@ -166,7 +166,7 @@ PACK_TOKEN_BUDGET = 256
                     WHEN b < 95 THEN 'val'
                     ELSE 'test' END AS split,
                COUNT(*) AS docs,
-               SUM(n_chars) AS chars,
+               CAST(SUM(n_chars) AS BIGINT) AS chars,
                COUNT(DISTINCT lang) AS langs
         FROM (SELECT *,
                      CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
@@ -220,7 +220,7 @@ def x_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT shard, bin,
                COUNT(*) AS docs,
-               SUM(ntok) AS packed_tokens
+               CAST(SUM(ntok) AS BIGINT) AS packed_tokens
         FROM binned
         GROUP BY shard, bin
         ORDER BY shard, bin
@@ -267,7 +267,7 @@ CORPUS_SHARDS = 8
         SELECT (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
                      AS INTEGER) % {CORPUS_SHARDS}) AS shard,
                COUNT(*) AS n_docs,
-               SUM(n_chars) AS total_chars,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
                COUNT(DISTINCT lang) AS n_langs
         FROM documents
         GROUP BY 1
@@ -333,7 +333,7 @@ MIX_WEIGHTS = {"en": 0.5, "de": 0.15, "es": 0.15, "fr": 0.1, "zh": 0.1}
         tot AS (SELECT SUM(n_tokens) AS total_tokens FROM stats)
         SELECT stats.lang,
                stats.n_docs,
-               stats.n_tokens,
+               CAST(stats.n_tokens AS BIGINT) AS n_tokens,
                CAST(CASE stats.lang
                     WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.15
                     WHEN 'es' THEN 0.15 WHEN 'fr' THEN 0.1
@@ -490,7 +490,8 @@ def x_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT user_id, cnt,
                CAST(cnt AS DOUBLE) / total_rows AS share,
-               n_keys, total_rows, p50_group, p99_group,
+               n_keys, CAST(total_rows AS BIGINT) AS total_rows,
+               p50_group, p99_group,
                CAST(max_group AS DOUBLE) / p50_group AS skew_ratio
         FROM g, stats
         ORDER BY cnt DESC, user_id
@@ -565,8 +566,8 @@ WINSOR_LO, WINSOR_HI = 0.05, 0.95
         )
         SELECT e.event_type,
                COUNT(*) AS n,
-               SUM(CASE WHEN value < p05 THEN 1 ELSE 0 END) AS n_clip_low,
-               SUM(CASE WHEN value > p95 THEN 1 ELSE 0 END) AS n_clip_high,
+               CAST(SUM(CASE WHEN value < p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_low,
+               CAST(SUM(CASE WHEN value > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_high,
                (CAST(SUM(CAST(value AS DECIMAL(15,4))) AS DOUBLE)
                  / COUNT(value)) AS mean_before,
                (CAST(SUM(CAST(least(greatest(value, p05), p95)
@@ -634,12 +635,12 @@ def x_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT 'events_value_null' AS check_name,
                COUNT(*) AS n_checked,
-               SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_violations
+               CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
         FROM events
         UNION ALL
         SELECT 'events_value_negative',
                COUNT(*),
-               SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END)
+               CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
         FROM events
         UNION ALL
         SELECT 'documents_pk_unique',

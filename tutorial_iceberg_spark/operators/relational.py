@@ -2049,7 +2049,7 @@ def a16_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                    count(*) AS n
             FROM events GROUP BY 1, 2
         )
-        SELECT event_type, day, n,
+        SELECT event_type, CAST(day AS TIMESTAMP) AS day, n,
                percent_rank() OVER w AS pct_rank,
                cume_dist() OVER w AS cume,
                ntile(4) OVER w AS quartile
@@ -2074,7 +2074,7 @@ def w6_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         daily.select(
             "event_type",
-            "day",
+            F.col("day").cast("timestamp").alias("day"),
             "n",
             F.percent_rank().over(w).alias("pct_rank"),
             F.cume_dist().over(w).alias("cume"),

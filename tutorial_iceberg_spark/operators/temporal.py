@@ -186,7 +186,8 @@ def x_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
                    + CAST(0.75 AS DOUBLE) * e.ema
             FROM idx i JOIN ema e ON i.rn = e.rn + 1
         )
-        SELECT day, n_events, ema FROM ema ORDER BY day
+        SELECT CAST(day AS TIMESTAMP) AS day, n_events, ema
+        FROM ema ORDER BY day
     """,
     doc="Exponential moving average over the daily event-count series "
     "(alpha = 0.25, both coefficients binary-exact so the fold is "
@@ -234,7 +235,9 @@ def x_ema_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("r")
     )
-    return unfolded.select("r.day", "r.n_events", "r.ema").orderBy("day")
+    return unfolded.select(
+        F.col("r.day").cast("timestamp").alias("day"), "r.n_events", "r.ema"
+    ).orderBy("day")
 
 
 @register(
@@ -246,8 +249,8 @@ def x_ema_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                    count(*) AS n
             FROM events GROUP BY 1, 2
         )
-        SELECT event_type, day, n,
-               SUM(n) OVER w AS rolling_sum,
+        SELECT event_type, CAST(day AS TIMESTAMP) AS day, n,
+               CAST(SUM(n) OVER w AS BIGINT) AS rolling_sum,
                COUNT(*) OVER w AS rolling_days,
                CAST(SUM(n) OVER w AS DOUBLE) / COUNT(*) OVER w AS rolling_avg
         FROM daily
@@ -280,7 +283,7 @@ def x_rolling_7day(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         daily.select(
             "event_type",
-            "day",
+            F.col("day").cast("timestamp").alias("day"),
             "n",
             F.sum("n").over(w).alias("rolling_sum"),
             F.count("*").over(w).alias("rolling_days"),
@@ -355,8 +358,8 @@ def x_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events GROUP BY 1, 2
         )
         SELECT event_type,
-               MIN(day) AS first_day,
-               MAX(day) AS last_day,
+               CAST(MIN(day) AS TIMESTAMP) AS first_day,
+               CAST(MAX(day) AS TIMESTAMP) AS last_day,
                COUNT(*) AS days_present,
                datediff('day', MIN(day), MAX(day)) + 1 AS days_span,
                datediff('day', MIN(day), MAX(day)) + 1 - COUNT(*) AS days_missing
@@ -378,8 +381,8 @@ def x_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         daily.groupBy("event_type")
         .agg(
-            F.min("day").alias("first_day"),
-            F.max("day").alias("last_day"),
+            F.min("day").cast("timestamp").alias("first_day"),
+            F.max("day").cast("timestamp").alias("last_day"),
             F.count("*").alias("days_present"),
             span.alias("days_span"),
             (span - F.count("*")).alias("days_missing"),

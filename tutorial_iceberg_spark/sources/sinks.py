@@ -146,7 +146,7 @@ def s5_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "s11_jsonl_roundtrip",
     oracle=f"""
-        SELECT lang, source, COUNT(*) AS cnt, SUM(n_chars) AS total_chars
+        SELECT lang, source, COUNT(*) AS cnt, CAST(SUM(n_chars) AS BIGINT) AS total_chars
         FROM documents
         GROUP BY lang, source
         ORDER BY lang, source
