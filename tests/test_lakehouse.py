@@ -754,6 +754,20 @@ def test_tags_pin_snapshots_against_expiry(cat, spark):
         t.read_tag("v1")
 
 
+def test_tag_pinned_through_gc(cat, spark):
+    """The lake_tag_pinned_read invariant, moved out of the query builder
+    (ADVICE r6): after DELETE + expire_snapshots(keep_last=1), main must
+    show the mutation while the tag reproduces the full pre-delete state."""
+    t = cat.create_table("db.tag_gc", ORDERS_DDL)
+    t.append(seed_df(spark))
+    n0 = t.read().count()
+    t.create_tag("v1")
+    t.delete("order_id % 2 = 0")
+    t.expire_snapshots(keep_last=1)
+    assert t.read().count() < n0
+    assert t.read_tag("v1").count() == n0
+
+
 def test_concurrent_appends_all_commit(cat, spark):
     """8 writers race the same table from threads: optimistic CAS + rebase
     must land ALL of them — every snapshot commits exactly once, the final

@@ -288,6 +288,44 @@ def test_distributed_row_number_property(spark):
     run()
 
 
+def test_retention_bitmap_guard_raises_beyond_63_days(spark, tmp_path):
+    """ADVICE r6: Spark's shiftleft wraps the shift amount mod 64, so a
+    >62-day span would silently alias day N onto day N-64. The mask
+    expression must now fail loudly instead."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from tutorial_iceberg_spark.registry import all_queries
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(1, "2024-01-01"), (1, "2024-04-01")], "user_id long, d string"
+    ).select(
+        "user_id", F.col("d").cast("timestamp").alias("ts")
+    ).write.parquet(f"{sf}/events.parquet")
+    build = all_queries()["x_retention_bitmap"].builder
+    with _pytest.raises(Exception, match="span exceeds 63 days"):
+        build(spark, sf).collect()
+
+
+def test_distributed_row_number_validate_unique(spark):
+    """ADVICE r6: a non-unique order key yields nondeterministic ranks;
+    the opt-in validator must reject it and accept a keyed order."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from tutorial_iceberg_spark.operators.relational import (
+        distributed_row_number,
+    )
+
+    df = spark.range(100).select("id", (F.col("id") % 7).alias("v"))
+    with _pytest.raises(ValueError, match="do not uniquely order"):
+        distributed_row_number(df, ["v"], 8, validate_unique=True)
+    ranked = distributed_row_number(df, ["v", "id"], 8, validate_unique=True)
+    got = sorted(r["rn"] for r in ranked.collect())
+    assert got == list(range(1, 101))
+
+
 def test_retention_bitmap_matches_set_algebra(spark, sf_dir):
     from collections import defaultdict
 

@@ -827,6 +827,11 @@ def x_cooccur_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.lower("t").alias("tok"))
         .distinct()
     )
+    # tok feeds BOTH the df census and the self-join; without a
+    # materialization the explode+distinct runs twice (VERDICT r6 nit).
+    # localCheckpoint truncates the lineage and reuses the shuffle files;
+    # eager=False defers it to the first action.
+    tok = tok.localCheckpoint(eager=False)
     dfreq = tok.groupBy("tok").agg(F.count("*").alias("df"))
     vocab = dfreq.orderBy(F.desc("df"), "tok").limit(COOCCUR_VOCAB).select("tok")
     tv = tok.join(vocab, "tok")

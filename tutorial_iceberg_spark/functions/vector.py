@@ -693,6 +693,14 @@ def fit_pq(spark: SparkSession, emb: DataFrame, m: int = PQ_M, k: int = PQ_K):
 def x_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     books = fit_pq(spark, emb)
+    return encode_pq(emb, books).orderBy("vec_id")
+
+
+def encode_pq(emb: DataFrame, books) -> DataFrame:
+    """Encode every embedding against ALREADY-FITTED codebooks — one narrow
+    Arrow pass emitting (vec_id, codes, recon_mse). Split out so IVF-PQ
+    threads its fitted books straight in instead of re-running the whole
+    fit through x_embed_pq (which doubled the Lloyd passes, ADVICE r6)."""
     bl = books.tolist()
     m, k, sub = books.shape
 
@@ -718,10 +726,8 @@ def x_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return (
-        emb.select("vec_id", "embedding")
-        .mapInPandas(encode, "vec_id long, codes array<int>, recon_mse double")
-        .orderBy("vec_id")
+    return emb.select("vec_id", "embedding").mapInPandas(
+        encode, "vec_id long, codes array<int>, recon_mse double"
     )
 
 
@@ -760,8 +766,9 @@ def x_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = emb.select("vec_id", _unit(F.col("embedding")).alias("u"))
     inv = _assign(u, cents)  # vec_id -> cell
 
-    # PQ codes for every vector (encode pass; no recon column needed)
-    codes = x_embed_pq(spark, sf_dir).select("vec_id", "codes")
+    # PQ codes for every vector from the codebooks fitted above — NOT via
+    # x_embed_pq, which would re-run the whole fit (ADVICE r6)
+    codes = encode_pq(emb, books).select("vec_id", "codes")
 
     q = u.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("u").alias("q_u")
@@ -903,9 +910,13 @@ def x_knn_classify_loo(
         "vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm")
     )
     if candidates == "auto":
-        candidates = (
-            "all_pairs" if emb.count() <= ALL_PAIRS_MAX_ROWS else "lsh"
+        from tutorial_iceberg_spark.sources.parquet_meta import (
+            footer_row_count,
         )
+
+        # parquet footer row count: driver-side metadata read, no Spark job
+        n = footer_row_count(sf_dir, "embeddings")
+        candidates = "all_pairs" if n <= ALL_PAIRS_MAX_ROWS else "lsh"
     if candidates == "all_pairs":
         b = emb.select(
             F.col("vec_id").alias("nb_id"),

@@ -580,7 +580,10 @@ def lake_tag_pinned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.create_tag("v1")
     t.delete("o_orderkey % 3 = 1")  # main moves on
     t.expire_snapshots(keep_last=1)  # tag pins its snapshot through GC
-    assert t.read().count() < t.read_tag("v1").count()
+    # pin-through-GC invariant (main < tagged after delete+expire) is
+    # enforced in tests/test_lakehouse.py::test_tag_pinned_through_gc —
+    # an inline assert here would run two extra count jobs per invocation
+    # and vanish under `python -O`
     return t.read_tag("v1")
 
 

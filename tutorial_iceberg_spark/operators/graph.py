@@ -118,10 +118,13 @@ def cosine_edges(
         "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
     )
     if isinstance(candidates, str) and candidates == "auto":
-        # parquet footer row count: metadata-only job, no data scan
-        candidates = (
-            "all_pairs" if emb.count() <= ALL_PAIRS_MAX_ROWS else "lsh"
+        from tutorial_iceberg_spark.sources.parquet_meta import (
+            footer_row_count,
         )
+
+        # parquet footer row count: driver-side metadata read, no Spark job
+        n = footer_row_count(sf_dir, "embeddings")
+        candidates = "all_pairs" if n <= ALL_PAIRS_MAX_ROWS else "lsh"
 
     if isinstance(candidates, str):
         if candidates == "all_pairs":

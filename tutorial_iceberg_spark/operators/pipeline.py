@@ -1029,7 +1029,17 @@ def x_retention_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.crossJoin(F.broadcast(mn))
         .select(
             "user_id",
-            F.expr("shiftleft(cast(1 as bigint), datediff(day, d0))").alias("b"),
+            # Loud guard: Spark's shiftleft wraps the shift amount mod 64
+            # (Java semantics), so a >62-day span would silently alias day
+            # N onto day N-64. assert_true raises instead; it returns NULL
+            # on success, so the if() keeps the mask expression typed.
+            F.expr(
+                "if(assert_true(datediff(day, d0) <= 62, 'x_retention_bitmap:"
+                " event span exceeds 63 days; the 64-bit day mask would alias"
+                " (shiftleft wraps mod 64) - widen to a bitmap column') is"
+                " null, shiftleft(cast(1 as bigint), datediff(day, d0)),"
+                " cast(null as bigint))"
+            ).alias("b"),
         )
         .groupBy("user_id")
         .agg(F.bit_or("b").alias("mask"))

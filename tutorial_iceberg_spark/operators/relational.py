@@ -1713,7 +1713,10 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def distributed_row_number(
-    df: DataFrame, order_cols: list[str], n_partitions: int = 32
+    df: DataFrame,
+    order_cols: list[str],
+    n_partitions: int = 32,
+    validate_unique: bool = False,
 ) -> DataFrame:
     """Global row_number over ``order_cols`` WITHOUT a one-partition sort.
 
@@ -1735,11 +1738,28 @@ def distributed_row_number(
 
     Exactly one full-data shuffle; the only global structure is the
     <= n_partitions-row offset table (AQE reuses the range exchange for
-    the count branch). Order columns must make rows unique (pass a key
+    the count branch). Order columns MUST make rows unique (pass a key
     as tiebreaker) so the sorted order — and therefore the id — is
-    deterministic across branch re-reads and task retries.
+    deterministic across branch re-reads and task retries; pass
+    ``validate_unique=True`` to enforce that with one extra distinct agg
+    (off by default — it costs a second shuffle on the order key).
+
+    The local-position trick leans on ``monotonically_increasing_id``'s
+    documented layout (upper 31 bits partition id, lower 33 bits record
+    number): the offsets frame asserts ``max(__seq) + 1 == count`` per
+    partition, so a partition spilling past 2^33 rows (mask wrap) fails
+    loudly instead of silently reusing ranks.
     """
     cols = [F.col(c) for c in order_cols]
+    if validate_unique:
+        # tiny result, full shuffle on order_cols — opt-in
+        dup = df.groupBy(*cols).count().filter(F.col("count") > 1).limit(1)
+        if dup.count() > 0:
+            raise ValueError(
+                f"distributed_row_number: order_cols {order_cols} do not "
+                "uniquely order rows; ranks would be nondeterministic "
+                "across branch re-reads — append a tiebreaker key"
+            )
     part = (
         df.repartitionByRange(n_partitions, *cols)
         .sortWithinPartitions(*cols)
@@ -1751,11 +1771,25 @@ def distributed_row_number(
             ),
         )
     )
-    sizes = part.groupBy("__pid").agg(F.count("*").alias("__cnt"))
+    sizes = part.groupBy("__pid").agg(
+        F.count("*").alias("__cnt"), F.max("__seq").alias("__maxseq")
+    )
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    # the guard is folded INTO the offset expression (a dropped guard
+    # column would be pruned away by Catalyst and never evaluate): it
+    # raises on the <= n_partitions-row frame when the 33-bit record mask
+    # wrapped (>= 2^33 rows in one partition), else adds 0
+    guard = F.expr(
+        "if(assert_true(__maxseq + 1 = __cnt, 'distributed_row_number: "
+        "local sequence wrapped the 33-bit monotonically_increasing_id "
+        "record field (>= 2^33 rows in one partition) - raise "
+        "n_partitions') is null, cast(0 as bigint), cast(0 as bigint))"
+    )
     offsets = sizes.select(
         "__pid",
-        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+        (F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)) + guard).alias(
+            "__off"
+        ),
     )
     return (
         part.join(F.broadcast(offsets), "__pid")

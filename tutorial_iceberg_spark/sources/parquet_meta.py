@@ -26,6 +26,16 @@ ROWGROUP_SCHEMA = (
 )
 
 
+def footer_row_count(sf_dir: str, table: str) -> int:
+    """Exact table row count from the parquet footer alone — no Spark job,
+    no data scan. The cheap cardinality source the candidate-contract
+    ``auto`` paths (cosine_edges, x_knn_classify_loo) gate on: a
+    ``df.count()`` there launched a full distributed scan job on every
+    invocation just to pick a strategy (ADVICE r6). On a lakehouse table
+    the equivalent is the manifest's row-count sum."""
+    return pq.ParquetFile(table_path(sf_dir, table)).metadata.num_rows
+
+
 def rowgroup_stats(spark: SparkSession, path: str) -> DataFrame:
     """Per-(row group, column) footer statistics as a DataFrame."""
     md = pq.ParquetFile(path).metadata

@@ -810,8 +810,15 @@ def x_stream_retention_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ev = read_events_stream(spark, sf_dir).select(
         "user_id",
+        # Same loud span guard as the batch form: shiftleft wraps the
+        # shift mod 64, so a >62-day offset would alias silently.
         F.expr(
-            f"shiftleft(cast(1 as bigint), datediff(cast(date_trunc('day', ts) as date), date'{d0}'))"
+            "if(assert_true(datediff(cast(date_trunc('day', ts) as date),"
+            f" date'{d0}') <= 62, 'x_stream_retention_bitmap: event span"
+            " exceeds 63 days; the 64-bit day mask would alias') is null,"
+            " shiftleft(cast(1 as bigint),"
+            f" datediff(cast(date_trunc('day', ts) as date), date'{d0}')),"
+            " cast(null as bigint))"
         ).alias("b"),
     )
     masks = ev.groupBy("user_id").agg(F.bit_or("b").alias("mask"))
