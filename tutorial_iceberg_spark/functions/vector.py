@@ -82,6 +82,106 @@ def x_embed_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+OUTLIER_K = 5  # reported outliers per label
+
+
+@register(
+    "x_embed_outliers",
+    oracle=f"""
+        WITH n0 AS (
+            SELECT vec_id, label, embedding,
+                   sqrt({_sql_dot('embedding', 'embedding')}) AS nrm
+            FROM embeddings
+        ), u AS (
+            SELECT vec_id, label,
+                   list_transform(embedding,
+                                  v -> CAST(v AS DOUBLE) / nrm) AS u
+            FROM n0
+        ), d AS (
+            SELECT vec_id, label,
+                   generate_subscripts(u, 1) - 1 AS dim,
+                   unnest(u) AS val
+            FROM u
+        ), cs AS (
+            SELECT label, dim,
+                   list_aggregate(list(val ORDER BY vec_id), 'sum')
+                       / COUNT(*) AS c
+            FROM d GROUP BY label, dim
+        ), cent AS (
+            SELECT label, list(c ORDER BY dim) AS centroid FROM cs
+            GROUP BY label
+        ), scored AS (
+            SELECT u.vec_id, u.label,
+                   {_sql_dot('u.u', 'cent.centroid')}
+                   / (sqrt({_sql_dot('u.u', 'u.u')})
+                      * sqrt({_sql_dot('cent.centroid', 'cent.centroid')}))
+                       AS cos_centroid
+            FROM u JOIN cent USING (label)
+        )
+        SELECT vec_id, label, cos_centroid FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY label ORDER BY cos_centroid, vec_id) AS rk
+            FROM scored) t
+        WHERE rk <= {OUTLIER_K}
+        ORDER BY label, cos_centroid, vec_id
+    """,
+    doc=f"Per-label embedding outlier audit (mislabel / boundary-example "
+    f"detection): unit-normalize, mean-of-units centroid per label, then "
+    f"the {OUTLIER_K} vectors with the LOWEST cosine to their own label "
+    "centroid. Numeric discipline: the per-(label, dim) mean is a "
+    "vec_id-ORDERED left fold (both engines sum the identical sequence — "
+    "the proven dot() idiom lifted to a group aggregate), so the "
+    "centroid is bit-identical and every downstream cosine hash-matches. "
+    "Scale shape: one posexplode shuffle to (label, dim) — |labels| x "
+    "dim groups — then a bounded |labels|-row centroid frame broadcast "
+    "back over one narrow scan. The ordered fold keeps per-group state "
+    "O(rows/label); at extreme per-label cardinality swap to float64 "
+    "partial sums (order-dependent last-ulp drift, statistically "
+    "irrelevant) or two-level decimal partials",
+    tags=("vector", "extension"),
+)
+def x_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    u = emb.select("vec_id", "label", _unit(F.col("embedding")).alias("u"))
+    dims = u.select("vec_id", "label", F.posexplode("u").alias("dim", "val"))
+    cs = (
+        dims.groupBy("label", "dim")
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("vec_id", "val"))),
+                    lambda x: x["val"],
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("s"),
+            F.count("*").alias("n"),
+        )
+        .select("label", "dim", (F.col("s") / F.col("n")).alias("c"))
+    )
+    cent = cs.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))),
+            lambda x: x["c"],
+        ).alias("centroid")
+    )
+    scored = u.join(F.broadcast(cent), "label").select(
+        "vec_id",
+        "label",
+        (
+            dot(F.col("u"), F.col("centroid"))
+            / (norm(F.col("u")) * norm(F.col("centroid")))
+        ).alias("cos_centroid"),
+    )
+    w = Window.partitionBy("label").orderBy("cos_centroid", "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= OUTLIER_K)
+        .select("vec_id", "label", "cos_centroid")
+        .orderBy("label", "cos_centroid", "vec_id")
+    )
+
+
 @register(
     "x_knn_brute_cosine",
     oracle=f"""

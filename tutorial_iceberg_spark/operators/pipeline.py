@@ -159,6 +159,54 @@ N_SHARDS = 32
 PACK_TOKEN_BUDGET = 256
 
 
+CORPUS_SHUFFLE_WORKERS = 8  # round-robin data-loader worker assignment
+
+
+@register(
+    "x_corpus_shuffle",
+    oracle=f"""
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                   AS shuffle_pos,
+               CAST((row_number() OVER (
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1)
+                   % {CORPUS_SHUFFLE_WORKERS} AS BIGINT) AS worker
+        FROM documents
+        ORDER BY doc_id
+    """,
+    doc="Deterministic global training-order shuffle: every document gets "
+    "a dense 1..N position in md5(doc_id) order plus a round-robin "
+    "data-loader worker assignment — reproducible across engines, "
+    "retries, and re-plans (the seedless analog of a seeded epoch "
+    "permutation). The global rank comes from distributed_row_number "
+    "(range repartition + local sort + broadcast offset table), NOT a "
+    "single-reducer ORDER BY window — the scale trap a naive shuffle "
+    "implementation hits first. The oracle states the same rank as a "
+    "plain window",
+    tags=("pipeline", "sampling", "extension"),
+)
+def x_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tutorial_iceberg_spark.operators.relational import (
+        distributed_row_number,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.md5(F.col("doc_id").cast("string")).alias("__h")
+    )
+    ranked = distributed_row_number(docs, ["__h", "doc_id"])
+    return (
+        ranked.select(
+            "doc_id",
+            "lang",
+            F.col("rn").alias("shuffle_pos"),
+            ((F.col("rn") - 1) % CORPUS_SHUFFLE_WORKERS).alias("worker"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+
 @register(
     "x_dataset_split",
     oracle="""

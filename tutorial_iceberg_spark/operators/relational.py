@@ -539,6 +539,67 @@ def j3_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", "c_name")
 
 
+@register(
+    "j5_full_outer_activity",
+    oracle="""
+        WITH c AS (
+            SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   count(*) AS n_clicks
+            FROM events WHERE event_type = 'click' GROUP BY 1, 2
+        ), p AS (
+            SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   count(*) AS n_purchases
+            FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+        )
+        SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+               COALESCE(c.day, p.day) AS day,
+               COALESCE(c.n_clicks, 0) AS n_clicks,
+               COALESCE(p.n_purchases, 0) AS n_purchases,
+               CASE WHEN c.user_id IS NULL THEN 'purchase_only'
+                    WHEN p.user_id IS NULL THEN 'click_only'
+                    ELSE 'both' END AS presence
+        FROM c FULL OUTER JOIN p
+          ON c.user_id = p.user_id AND c.day = p.day
+        ORDER BY user_id, day, presence
+    """,
+    doc="FULL OUTER equi-join (completes the join-type family: inner, "
+    "left, semi, anti, asof, range): per-(user, day) click activity "
+    "reconciled against purchase activity, with both one-sided presences "
+    "surfaced — the data-completeness diff two event feeds get audited "
+    "with. Both sides pre-aggregate BEFORE the join (the full-outer "
+    "shuffle moves day-grain rows, not raw events) and share the "
+    "(user_id, day) key, so AQE plans one sort-merge join with no "
+    "residual filter",
+    tags=("join", "relational"),
+)
+def j5_full_outer_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", day)
+        .agg(F.count("*").alias("n_clicks"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", day)
+        .agg(F.count("*").alias("n_purchases"))
+    )
+    joined = c.join(p, ["user_id", "day"], "full_outer")
+    presence = (
+        F.when(F.col("n_clicks").isNull(), "purchase_only")
+        .when(F.col("n_purchases").isNull(), "click_only")
+        .otherwise("both")
+    )
+    return joined.select(
+        "user_id",
+        "day",
+        F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+        F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+        presence.alias("presence"),
+    ).orderBy("user_id", "day", "presence")
+
+
 # ---------------------------------------------------------------------------
 # Scalar functions (F4-F7) not already covered above
 # ---------------------------------------------------------------------------
@@ -2113,6 +2174,59 @@ def w6_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percent_rank().over(w).alias("pct_rank"),
             F.cume_dist().over(w).alias("cume"),
             F.ntile(4).over(w).alias("quartile"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@register(
+    "w7_rolling_median",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', ts) AS DATE) AS d,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, CAST(d AS TIMESTAMP) AS day, n,
+               quantile_cont(n, 0.5) OVER w AS med_7d,
+               quantile_cont(n, 0.9) OVER w AS p90_7d
+        FROM daily
+        WINDOW w AS (
+            PARTITION BY event_type
+            ORDER BY datediff('day', DATE '1970-01-01', d)
+            RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+        )
+        ORDER BY event_type, day
+    """,
+    doc="Trailing 7-day rolling MEDIAN and p90 of the daily event count "
+    "per event type — the robust-statistics form of x_rolling_7day (a "
+    "mean-based rolling stat follows single-day spikes; the median is "
+    "the anomaly-resistant baseline ops dashboards actually want). Same "
+    "RANGE frame on the epoch-day ordinal so calendar gaps shorten the "
+    "frame; Spark's percentile() and DuckDB's quantile_cont share the "
+    "exact interpolation formula, so doubles hash-match bit-for-bit. "
+    "Window partitions are calendar-bounded (days, not rows) at any "
+    "data volume",
+    tags=("window", "temporal", "relational"),
+)
+def w7_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+    ).agg(F.count("*").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")))
+        .rangeBetween(-6, 0)
+    )
+    return (
+        daily.select(
+            "event_type",
+            F.col("d").cast("timestamp").alias("day"),
+            "n",
+            F.percentile(F.col("n"), F.lit(0.5)).over(w).alias("med_7d"),
+            F.percentile(F.col("n"), F.lit(0.9)).over(w).alias("p90_7d"),
         )
         .orderBy("event_type", "day")
     )
