@@ -679,6 +679,72 @@ def sql_cte_window_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_recursive_calendar_fill",
+    oracle="""
+        WITH RECURSIVE bounds AS (
+            SELECT min(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS d0,
+                   max(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS d1
+            FROM events
+        ), cal(day, d1) AS (
+            SELECT d0, d1 FROM bounds
+            UNION ALL
+            SELECT day + INTERVAL 1 DAY, d1 FROM cal WHERE day < d1
+        ), daily AS (
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   count(*) AS n
+            FROM events GROUP BY 1
+        )
+        SELECT cal.day,
+               COALESCE(daily.n, 0) AS n_events,
+               CAST(SUM(COALESCE(daily.n, 0)) OVER (
+                   ORDER BY cal.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_events
+        FROM cal LEFT JOIN daily ON cal.day = daily.day
+        ORDER BY cal.day
+    """,
+    doc="Gap-filled daily time series via WITH RECURSIVE (Spark 4's "
+    "recursive CTE, new SQL-surface parity with DuckDB): the calendar "
+    "spine is generated by recursion from the observed [min, max] day "
+    "bounds (bounds carried through the recursion — no correlated "
+    "subquery in the recursive term, which neither engine allows), then "
+    "left-joined to the daily counts so missing days appear as explicit "
+    "zeros, with a cumulative count over the filled spine. The recursion "
+    "depth is the calendar span (bounded at any data scale); the data "
+    "side is one hash aggregate",
+    tags=("sql-entry", "temporal", "window"),
+)
+def sql_recursive_calendar_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tutorial_iceberg_spark.io import register_views
+
+    register_views(spark, sf_dir, tables=("events",))
+    return spark.sql(
+        """
+        WITH RECURSIVE bounds AS (
+            SELECT min(date_trunc('day', ts)) AS d0,
+                   max(date_trunc('day', ts)) AS d1
+            FROM events
+        ), cal(day, d1) AS (
+            SELECT d0, d1 FROM bounds
+            UNION ALL
+            SELECT day + INTERVAL 1 DAY, d1 FROM cal WHERE day < d1
+        ), daily AS (
+            SELECT date_trunc('day', ts) AS day, count(*) AS n
+            FROM events GROUP BY 1
+        )
+        SELECT cal.day,
+               COALESCE(daily.n, 0) AS n_events,
+               SUM(COALESCE(daily.n, 0)) OVER (
+                   ORDER BY cal.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_events
+        FROM cal LEFT JOIN daily ON cal.day = daily.day
+        ORDER BY cal.day
+        """
+    )
+
+
+@register(
     "sql_literal_path_scan",
     oracle="""
         SELECT o_orderstatus, COUNT(*) AS cnt
@@ -2101,6 +2167,54 @@ def x_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(est_mean, 0.025d)").alias("ci_lo"),
         F.expr("percentile(est_mean, 0.5d)").alias("ci_med"),
         F.expr("percentile(est_mean, 0.975d)").alias("ci_hi"),
+    )
+
+
+@register(
+    "a17_argminmax_bookends",
+    oracle="""
+        WITH r AS (
+            SELECT user_id, event_type, ts,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS rf,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rl
+            FROM events
+        )
+        SELECT user_id,
+               max(CASE WHEN rf = 1 THEN event_type END) AS first_type,
+               max(CASE WHEN rl = 1 THEN event_type END) AS last_type,
+               min(ts) AS first_ts,
+               max(ts) AS last_ts,
+               count(*) AS n_events
+        FROM r GROUP BY user_id ORDER BY user_id
+    """,
+    doc="arg-min/arg-max aggregation (min_by/max_by — the 'value at the "
+    "extremum of another column' family the plain MIN/MAX aggregates "
+    "can't express): each user's first and last event type by (ts, "
+    "event_id). ONE hash aggregate with map-side partials — no window, "
+    "no self-join, which is what makes min_by the scale-correct form of "
+    "the 'first row per group' idiom (the oracle states it as the "
+    "row_number window precisely because DuckDB's arg_min lacks "
+    "composite keys; the struct key in Spark IS the deterministic "
+    "tiebreak). Bookend timestamps and counts ride along in the same "
+    "pass",
+    tags=("agg", "relational"),
+)
+def a17_argminmax_bookends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    key = F.struct("ts", "event_id")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.min_by("event_type", key).alias("first_type"),
+            F.max_by("event_type", key).alias("last_type"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
     )
 
 
