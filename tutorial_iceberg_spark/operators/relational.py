@@ -745,6 +745,95 @@ def sql_recursive_calendar_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j6_nullsafe_join",
+    oracle="""
+        WITH c AS (
+            SELECT NULLIF(CAST(json_extract_string(props, '$.k') AS INTEGER)
+                          % 10, 0) AS bucket,
+                   count(*) AS n_clicks
+            FROM events WHERE event_type = 'click' GROUP BY 1
+        ), p AS (
+            SELECT NULLIF(CAST(json_extract_string(props, '$.k') AS INTEGER)
+                          % 10, 0) AS bucket,
+                   count(*) AS n_purchases
+            FROM events WHERE event_type = 'purchase' GROUP BY 1
+        )
+        SELECT c.bucket, c.n_clicks, p.n_purchases
+        FROM c JOIN p ON c.bucket IS NOT DISTINCT FROM p.bucket
+        ORDER BY c.bucket
+    """,
+    doc="Null-safe equi-join (<=> / IS NOT DISTINCT FROM — the join-"
+    "predicate form a plain = silently breaks: NULL keys never match "
+    "themselves and the rows vanish without error): click vs purchase "
+    "counts per JSON-derived bucket where bucket 0 is NULLIF'd away, so "
+    "exactly one NULL group must survive the join on each side. Spark "
+    "plans eqNullSafe as a hash join on a null-wrapped key (still one "
+    "shuffle, not a nested loop); both sides pre-aggregate so the join "
+    "moves bucket-grain rows",
+    tags=("join", "relational"),
+)
+def j6_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.nullif(
+        F.get_json_object("props", "$.k").cast("int") % 10, F.lit(0)
+    ).alias("bucket")
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(bucket)
+        .agg(F.count("*").alias("n_clicks"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(bucket)
+        .agg(F.count("*").alias("n_purchases"))
+    )
+    return (
+        c.join(p, c["bucket"].eqNullSafe(p["bucket"]))
+        .select(c["bucket"], "n_clicks", "n_purchases")
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "sql_lateral_top_purchase",
+    oracle="""
+        SELECT u.user_id, t.ts, t.value
+        FROM (SELECT DISTINCT user_id FROM events) u,
+        LATERAL (
+            SELECT ts, value FROM events e
+            WHERE e.user_id = u.user_id AND e.event_type = 'purchase'
+            ORDER BY value DESC, ts, event_id LIMIT 1
+        ) t
+        ORDER BY u.user_id
+    """,
+    doc="Correlated LATERAL subquery with ORDER BY + LIMIT (the top-1-per-"
+    "group idiom in its lateral-join SQL form, new surface alongside the "
+    "window formulation in w3/o2): each user's single largest purchase. "
+    "Both engines accept the identical statement; Spark decorrelates the "
+    "lateral into a window/aggregate plan rather than a nested loop "
+    "(plan-hygiene smoke test asserts no CartesianProduct). Ties on "
+    "value break by (ts, event_id) so the pick is total-ordered",
+    tags=("sql-entry", "join", "window"),
+)
+def sql_lateral_top_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tutorial_iceberg_spark.io import register_views
+
+    register_views(spark, sf_dir, tables=("events",))
+    return spark.sql(
+        """
+        SELECT u.user_id, t.ts, t.value
+        FROM (SELECT DISTINCT user_id FROM events) u,
+        LATERAL (
+            SELECT ts, value FROM events e
+            WHERE e.user_id = u.user_id AND e.event_type = 'purchase'
+            ORDER BY value DESC, ts, event_id LIMIT 1
+        ) t
+        ORDER BY u.user_id
+        """
+    )
+
+
+@register(
     "sql_literal_path_scan",
     oracle="""
         SELECT o_orderstatus, COUNT(*) AS cnt

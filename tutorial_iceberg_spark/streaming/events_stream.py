@@ -212,6 +212,66 @@ def x_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x_stream_session_window",
+    oracle=f"""
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN ts - LAG(ts) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id)
+                             >= INTERVAL '{SESSION_GAP_MIN} minutes'
+                        OR LAG(ts) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id)
+                            IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ), sessions AS (
+            SELECT user_id, ts,
+                   SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM flagged
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL '{SESSION_GAP_MIN} minutes' AS session_end,
+               COUNT(*) AS n_events
+        FROM sessions
+        GROUP BY user_id, session_id
+        ORDER BY user_id, session_start
+    """,
+    doc=f"Spark-NATIVE session windows (F.session_window, "
+    f"{SESSION_GAP_MIN} min gap) as a streaming stateful aggregation — "
+    "the built-in merging-window operator, complementing the two "
+    "hand-rolled sessionizers (batch lag/cumsum x_sessionize, custom "
+    "applyInPandasWithState). Sessions merge while an event lands "
+    "STRICTLY within the gap of the session end, so the lag-based oracle "
+    "flags a new session at diff >= gap (not >, the boundary off-by-one "
+    "between the two formulations); window end = last event + gap by "
+    "definition. State is per (user, open session) and the watermark "
+    "bounds it in a continuous run",
+    tags=("streaming", "extension"),
+)
+def x_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 day")
+        .groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"),
+            "user_id",
+        )
+        .agg(F.count("*").alias("n_events"))
+    )
+    out = run_stream(agg, mode="complete")
+    return out.select(
+        "user_id",
+        F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+        F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+    ).orderBy("user_id", "session_start")
+
+
 # ---------------------------------------------------------------------------
 # Custom stateful streaming operator: per-user sessionization with
 # applyInPandasWithState. State per user = (current session ordinal, session
