@@ -55,6 +55,9 @@ HEADLINE = (
     "x_embed_pca",  # two-Arrow-pass PCA fit + project
     "x_tfidf_terms",  # full-vocab explode + df shuffle join + per-doc top-k
     "x_cooccur_pairs",  # vocab-bounded term co-occurrence mining
+    "lake_changelog",  # CDC snapshot diff: full-outer key join + 4-way split
+    "x_embed_outliers",  # per-label centroid audit: ordered-fold exact means
+    "x_stream_session_window",  # native merging session windows, stateful
 )
 # NOT in the headline: x_triangle_count / x_knn_classify_loo. At bench SF
 # their pair source is the deliberately-EXACT all-pairs cosine baseline

@@ -522,6 +522,72 @@ def x_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_chunk_dedup",
+    oracle=rf"""
+        WITH t AS (
+            SELECT doc_id,
+                   string_split_regex(trim(text), '\s+') AS toks,
+                   len(string_split_regex(trim(text), '\s+')) AS n
+            FROM documents
+        ), s AS (
+            SELECT doc_id, toks, n, CAST(start AS BIGINT) AS start
+            FROM t, UNNEST(range(0, CAST(n AS BIGINT), {CHUNK_STRIDE}))
+                    AS u(start)
+            WHERE start = 0
+               OR start < n - {CHUNK_TOKENS - CHUNK_STRIDE}
+        ), c AS (
+            SELECT doc_id,
+                   CAST(start // {CHUNK_STRIDE} AS INT) AS chunk_id,
+                   array_to_string(
+                       list_slice(toks, start + 1, start + {CHUNK_TOKENS}),
+                       ' ') AS chunk_text,
+                   CAST(least({CHUNK_TOKENS}, n - start) AS INT)
+                       AS chunk_tokens
+            FROM s
+        ), ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY sha256(chunk_text)
+                ORDER BY doc_id, chunk_id) AS rn
+            FROM c
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_chunks,
+               COUNT(*) FILTER (WHERE rn = 1) AS kept_chunks,
+               CAST(SUM(CASE WHEN rn = 1 THEN chunk_tokens ELSE 0 END)
+                    AS BIGINT) AS kept_tokens
+        FROM ranked GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Sub-document (chunk-level) exact dedup — the pass that catches "
+    "boilerplate repeated INSIDE otherwise-distinct documents, which "
+    "whole-doc dedup (x_dedup_exact) is blind to: chunk every document "
+    "(same windows as x_chunk_documents), keep the first (doc_id, "
+    "chunk_id) per content hash, and report per-doc surviving chunks "
+    "and tokens. One shuffle keyed on the chunk hash (duplicate skew == "
+    "content skew, same argument as doc-level dedup); the chunking "
+    "itself stays a narrow zero-shuffle pass",
+    tags=("text", "pipeline", "dedup", "extension"),
+)
+def x_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chunks = x_chunk_documents(spark, sf_dir)
+    w = Window.partitionBy(F.sha2("chunk_text", 256)).orderBy(
+        "doc_id", "chunk_id"
+    )
+    ranked = chunks.withColumn("rn", F.row_number().over(w))
+    kept = F.col("rn") == 1
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.count_if(kept).alias("kept_chunks"),
+            F.sum(F.when(kept, F.col("chunk_tokens")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "x_skew_profile",
     oracle="""
         WITH g AS (
