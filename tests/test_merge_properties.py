@@ -95,3 +95,63 @@ def test_merge_matches_dict_model(
         f"arms=({when_matched},{when_not_matched},{by_source},grp={arm_grp}) "
         f"t={sorted(tkeys)} s={sorted(skeys)}"
     )
+
+
+def _apply_changelog(old: dict[int, tuple], log_rows) -> dict[int, tuple]:
+    """CDC consumer model: INSERT adds, DELETE removes, UPDATE_AFTER
+    replaces (UPDATE_BEFORE is the audit image, a no-op for state)."""
+    out = dict(old)
+    for r in log_rows:
+        k = r["k"]
+        if r["change_type"] == "INSERT":
+            assert k not in out
+            out[k] = (r["k"], r["grp"], r["v"])
+        elif r["change_type"] == "DELETE":
+            assert out.pop(k, None) is not None
+        elif r["change_type"] == "UPDATE_BEFORE":
+            assert out[k] == (r["k"], r["grp"], r["v"])  # pre-image matches
+        elif r["change_type"] == "UPDATE_AFTER":
+            assert k in out
+            out[k] = (r["k"], r["grp"], r["v"])
+    return out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    keys=st.sets(st.integers(0, 15), min_size=2, max_size=10),
+    del_mod=st.integers(2, 4),
+    upd_mod=st.integers(2, 4),
+    ins_keys=st.sets(st.integers(20, 30), max_size=5),
+)
+def test_changelog_applies_back_to_new_state(
+    spark, keys, del_mod, upd_mod, ins_keys
+):
+    """The defining CDC invariant: old_state + changelog == new_state, for
+    arbitrary delete/update/insert mixes (snapshot_changelog is computed
+    generically from the two reads, so this exercises the full-outer join
+    + struct-compare split, including the UPDATE pre-image)."""
+    from tutorial_iceberg_spark.lakehouse.queries import snapshot_changelog
+
+    with tempfile.TemporaryDirectory() as wh:
+        cat = LakeCatalog(spark, wh)
+        t = cat.create_table("db.cdc", DDL)
+        t.append(
+            spark.createDataFrame([(k, k % 3, 100 + k) for k in keys], DDL)
+        )
+        first = t.meta.snapshots[0].snapshot_id
+        old = {r["k"]: (r["k"], r["grp"], r["v"]) for r in t.read().collect()}
+        t.delete(f"k % {del_mod} = 0")
+        t.update(f"k % {upd_mod} = 1", {"v": "v + 1000"})
+        if ins_keys:
+            t.append(
+                spark.createDataFrame(
+                    [(k, k % 3, 300 + k) for k in ins_keys], DDL
+                )
+            )
+        new = {r["k"]: (r["k"], r["grp"], r["v"]) for r in t.read().collect()}
+        log = snapshot_changelog(t, first, ["k"]).collect()
+    assert _apply_changelog(old, log) == new

@@ -212,3 +212,37 @@ def test_stream_retention_bitmap_equals_batch(spark, sf_dir):
         for r in qs["x_retention_bitmap"].builder(spark, sf_dir).collect()
     ]
     assert stream == batch  # bit_or is mergeable: exact parity
+
+
+def test_session_window_gap_boundary_semantics(spark):
+    """Pins the exact-gap boundary the x_stream_session_window oracle
+    assumes: session_window treats the session end as INCLUSIVE — an
+    event EXACTLY gap after the previous one still MERGES (measured on
+    Spark 4.1; the session interval is [start, last + gap] for merge
+    purposes), and only a strictly-greater gap starts a new session. The
+    lag-based oracle therefore flags new sessions with > (not >=). If a
+    Spark upgrade ever flips this, this fails before the driver does."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "2024-01-01 00:00:00"),
+        (1, "2024-01-01 00:30:00"),          # exactly 30 min -> MERGES
+        (2, "2024-01-01 00:00:00"),
+        (2, "2024-01-01 00:29:59.999999"),   # 1 us inside -> merges
+        (3, "2024-01-01 00:00:00"),
+        (3, "2024-01-01 00:30:00.000001"),   # 1 us past gap -> new session
+    ]
+    df = spark.createDataFrame(rows, "user_id int, s string").select(
+        "user_id", F.col("s").cast("timestamp").alias("ts")
+    )
+    got = {
+        r["user_id"]: r["n"]
+        for r in df.groupBy(
+            F.session_window("ts", "30 minutes"), "user_id"
+        )
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 2}, got

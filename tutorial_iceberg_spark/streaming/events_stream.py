@@ -219,7 +219,7 @@ def x_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT user_id, ts,
                    CASE WHEN ts - LAG(ts) OVER (
                             PARTITION BY user_id ORDER BY ts, event_id)
-                             >= INTERVAL '{SESSION_GAP_MIN} minutes'
+                             > INTERVAL '{SESSION_GAP_MIN} minutes'
                         OR LAG(ts) OVER (
                             PARTITION BY user_id ORDER BY ts, event_id)
                             IS NULL
@@ -244,10 +244,11 @@ def x_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"{SESSION_GAP_MIN} min gap) as a streaming stateful aggregation — "
     "the built-in merging-window operator, complementing the two "
     "hand-rolled sessionizers (batch lag/cumsum x_sessionize, custom "
-    "applyInPandasWithState). Sessions merge while an event lands "
-    "STRICTLY within the gap of the session end, so the lag-based oracle "
-    "flags a new session at diff >= gap (not >, the boundary off-by-one "
-    "between the two formulations); window end = last event + gap by "
+    "applyInPandasWithState). Boundary semantics MEASURED and pytest-"
+    "pinned (test_session_window_gap_boundary_semantics): the session "
+    "end is INCLUSIVE for merging — an event exactly gap after the last "
+    "one still merges, so the lag-based oracle flags a new session at "
+    "diff > gap, same as x_sessionize; window end = last event + gap by "
     "definition. State is per (user, open session) and the watermark "
     "bounds it in a continuous run",
     tags=("streaming", "extension"),
