@@ -399,6 +399,115 @@ def x_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONSTS_SQL = ", ".join(f"({i}, {_A[i]}, {_B[i]})" for i in range(N_HASHES))
+
+
+def _md5_doc_index(docs: DataFrame) -> DataFrame:
+    """md5-hash-family variant of doc_index: identical minhash math, but
+    every hash is the cross-engine ``hash64`` idiom (md5 15-hex prefix)
+    so a DuckDB oracle can replicate it value-for-value. Column algebra
+    (interpreted higher-order functions), so this is the DIFFERENTIAL
+    form — doc_index's Arrow/crc32 pass stays the registered scale op."""
+    hs = F.array_distinct(
+        F.transform(shingles("text", 3), lambda s: hash64(s) % _P)
+    )
+    def _perm(i: int):
+        # closure, NOT a two-arg lambda: transform() passes the element
+        # index as a second Column argument when the lambda takes two
+        return lambda x: (F.lit(_A[i]) * x + F.lit(_B[i])) % _P
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("hs"), _perm(i)))
+            for i in range(N_HASHES)
+        ]
+    )
+    return (
+        docs.select("doc_id", hs.alias("hs"))
+        .filter(F.size("hs") > 0)
+        .select("doc_id", "hs", sig.alias("sig"))
+    )
+
+
+@register(
+    "x_dedup_minhash_md5",
+    oracle=rf"""
+        WITH tok AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+            FROM documents
+        ), sh AS (
+            SELECT doc_id, list_distinct(list_transform(
+                generate_series(1, greatest(len(w) - 2, 0)),
+                i -> array_to_string(w[i:i+2], ' '))) AS sh
+            FROM tok
+        ), hh AS (
+            SELECT doc_id, list_distinct(list_transform(sh,
+                s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)
+                     % {_P})) AS hs
+            FROM sh WHERE len(sh) > 0
+        ), ex AS (
+            SELECT doc_id, unnest(hs) AS x FROM hh
+        ), consts(i, a, b) AS (
+            SELECT * FROM (VALUES {_CONSTS_SQL}) v
+        ), m AS (
+            SELECT ex.doc_id, c.i, MIN((c.a * ex.x + c.b) % {_P}) AS m
+            FROM ex CROSS JOIN consts c GROUP BY ex.doc_id, c.i
+        ), bsig AS (
+            SELECT doc_id, i // {N_HASHES // N_BANDS} AS band,
+                   string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS key
+            FROM m GROUP BY 1, 2
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+            FROM bsig a JOIN bsig b
+              ON a.band = b.band AND a.key = b.key
+             AND a.doc_id < b.doc_id
+        ), v AS (
+            SELECT c.left_id, c.right_id,
+                   CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+                       / len(list_distinct(ha.hs || hb.hs)) AS jaccard
+            FROM cand c
+            JOIN hh ha ON ha.doc_id = c.left_id
+            JOIN hh hb ON hb.doc_id = c.right_id
+        )
+        SELECT left_id, right_id, jaccard FROM v WHERE jaccard >= 0.5
+        ORDER BY left_id, right_id
+    """,
+    doc="MinHash+LSH with the FULL pipeline value-hash-oracled — the "
+    "cross-engine differential check the crc32 scale op "
+    "(x_dedup_minhash_lsh) cannot have, because DuckDB lacks crc32: "
+    "every shingle hashes through the md5-prefix hash64 idiom, the same "
+    f"{N_HASHES} fixed universal-hash permutations run on both engines, "
+    "band keys / bucket self-join / distinct candidates / hashed-shingle "
+    "Jaccard verify all replicate in the oracle SQL, and the final "
+    "(pair, jaccard) set must hash-match bit-for-bit. Same banding and "
+    "verify code path as the scale op (lsh_candidate_pairs reused); "
+    "only the shingle hash family differs. Column-algebra index "
+    "(interpreted HOFs) — deliberately NOT the bench path",
+    tags=("dedup", "text", "extension"),
+)
+def x_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    agg = _md5_doc_index(docs)
+    cand = lsh_candidate_pairs(agg.select("doc_id", "sig"))
+    sets = agg.select("doc_id", "hs")
+    ls_tab = sets.join(cand, sets.doc_id == F.col("left_id")).select(
+        "left_id", "right_id", F.col("hs").alias("ls")
+    )
+    rs_tab = sets.join(cand, sets.doc_id == F.col("right_id")).select(
+        "left_id", "right_id", F.col("hs").alias("rs")
+    )
+    pairs = ls_tab.join(rs_tab, ["left_id", "right_id"])
+    jac = (
+        F.size(F.array_intersect(F.col("ls"), F.col("rs"))).cast("double")
+        / F.size(F.array_union(F.col("ls"), F.col("rs")))
+    )
+    return (
+        pairs.select("left_id", "right_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+        .orderBy("left_id", "right_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding-cosine near-dup: semantic dedup over the embeddings table.
 # Same float64 fold as functions/vector.py, so scores hash-match DuckDB.
