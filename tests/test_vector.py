@@ -270,3 +270,37 @@ def test_knn_loo_lsh_path_plan_is_equijoin_only(spark, sf_dir):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_embed_label_stats_fold_is_order_exact(spark, sf_dir):
+    """total_norm must equal the python left fold over vec_id-sorted norms
+    EXACTLY (bit-for-bit) — the property that makes the result invariant
+    to scan partitioning (a plain SUM(double) only matched historically
+    because the single-file fixture scans as one stable partition)."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from tutorial_iceberg_spark.functions.vector import norm
+    from tutorial_iceberg_spark.io import load_table
+    from tutorial_iceberg_spark.registry import all_queries
+
+    got = {
+        r["label"]: r["total_norm"]
+        for r in all_queries()["x_embed_label_stats"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", norm(F.col("embedding")).alias("nrm"))
+        .collect()
+    )
+    by_label = defaultdict(list)
+    for r in rows:
+        by_label[r["label"]].append((r["vec_id"], r["nrm"]))
+    for label, pairs in by_label.items():
+        acc = 0.0
+        for _, nrm in sorted(pairs):
+            acc = acc + nrm
+        assert got[label] == acc, label  # exact float equality, no tolerance

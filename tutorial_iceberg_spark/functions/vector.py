@@ -56,26 +56,49 @@ def _sql_dot(x: str, y: str) -> str:
 @register(
     "x_embed_label_stats",
     oracle=f"""
+        WITH n AS (
+            SELECT vec_id, label, len(embedding) AS d,
+                   sqrt({_sql_dot('embedding', 'embedding')}) AS nrm
+            FROM embeddings
+        )
         SELECT label,
                COUNT(*) AS vecs,
-               SUM(sqrt({_sql_dot('embedding', 'embedding')})) AS total_norm,
-               CAST(SUM(len(embedding)) AS BIGINT) AS total_dims
-        FROM embeddings
+               list_aggregate(list(nrm ORDER BY vec_id), 'sum')
+                   AS total_norm,
+               CAST(SUM(d) AS BIGINT) AS total_dims
+        FROM n
         GROUP BY label
         ORDER BY label
     """,
     doc="Per-label vector counts + total L2 norm (embedding-column sanity "
-    "profile; one scan, one small shuffle on label)",
+    "profile; one scan, one small shuffle on label). The norm total is a "
+    "vec_id-ORDERED left fold, not SUM(double): a plain double sum is "
+    "partition-order-dependent and only hash-matched historically because "
+    "the single-file testdata scans as one stable partition — the fold "
+    "makes it invariant at any partitioning (discipline as "
+    "x_embed_outliers)",
     tags=("vector", "extension"),
 )
 def x_embed_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return (
-        emb.select("label", norm(F.col("embedding")).alias("nrm"), F.size("embedding").alias("d"))
+        emb.select(
+            "vec_id",
+            "label",
+            norm(F.col("embedding")).alias("nrm"),
+            F.size("embedding").alias("d"),
+        )
         .groupBy("label")
         .agg(
             F.count("*").alias("vecs"),
-            F.sum("nrm").alias("total_norm"),
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("vec_id", "nrm"))),
+                    lambda x: x["nrm"],
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("total_norm"),
             F.sum("d").alias("total_dims"),
         )
         .orderBy("label")

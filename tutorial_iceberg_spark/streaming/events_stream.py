@@ -122,7 +122,8 @@ def run_stream(stream_df: DataFrame, mode: str = "complete") -> DataFrame:
                time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
                event_type,
                COUNT(*) AS cnt,
-               SUM(value) AS total_value
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(15,4))), 2) AS DOUBLE)
+                   AS total_value
         FROM events
         GROUP BY 1, 2, 3
         ORDER BY 1, 3
@@ -141,7 +142,13 @@ def x_stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.withColumn("ts", F.col("ts").cast("timestamp"))
         .withWatermark("ts", "1 day")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("cnt"), F.sum("value").alias("total_value"))
+        .agg(
+            F.count("*").alias("cnt"),
+            # decimal sum: a raw SUM(double) is partition-order-dependent
+            # and only matched historically because the single-file
+            # fixture replays as one deterministic micro-batch partition
+            dsum("value", "total_value"),
+        )
     )
     out = run_stream(agg, mode="complete")
     return out.select(
@@ -398,7 +405,8 @@ def x_stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
                window_start + INTERVAL '1 hour' AS window_end,
                event_type,
                COUNT(*) AS cnt,
-               SUM(value) AS total_value
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(15,4))), 2) AS DOUBLE)
+                   AS total_value
         FROM expanded
         GROUP BY 1, 2, 3
         ORDER BY 1, 3
@@ -415,7 +423,13 @@ def x_stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.withColumn("ts", F.col("ts").cast("timestamp"))
         .withWatermark("ts", "1 day")
         .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
-        .agg(F.count("*").alias("cnt"), F.sum("value").alias("total_value"))
+        .agg(
+            F.count("*").alias("cnt"),
+            # decimal sum: a raw SUM(double) is partition-order-dependent
+            # and only matched historically because the single-file
+            # fixture replays as one deterministic micro-batch partition
+            dsum("value", "total_value"),
+        )
     )
     out = run_stream(agg, mode="complete")
     return out.select(
