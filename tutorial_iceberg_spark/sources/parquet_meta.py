@@ -14,6 +14,8 @@ table of thousands of files if called per-file.
 
 from __future__ import annotations
 
+import os
+
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 
@@ -27,40 +29,69 @@ ROWGROUP_SCHEMA = (
 
 
 def footer_row_count(sf_dir: str, table: str) -> int:
-    """Exact table row count from the parquet footer alone — no Spark job,
+    """Exact table row count from parquet footers alone — no Spark job,
     no data scan. The cheap cardinality source the candidate-contract
     ``auto`` paths (cosine_edges, x_knn_classify_loo) gate on: a
     ``df.count()`` there launched a full distributed scan job on every
-    invocation just to pick a strategy (ADVICE r6). On a lakehouse table
-    the equivalent is the manifest's row-count sum."""
-    return pq.ParquetFile(table_path(sf_dir, table)).metadata.num_rows
+    invocation just to pick a strategy (ADVICE r6). Handles both the
+    single-file fixture layout and a real multi-file table directory
+    (sums part footers — the partition-invariance sweep caught the
+    file-only assumption); on a lakehouse table the equivalent is the
+    manifest's row-count sum."""
+    path = table_path(sf_dir, table)
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in sorted(os.listdir(path))
+            if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+def _table_files(path: str) -> list[str]:
+    """Concrete parquet file paths for a table path — a single file in
+    the fixture layout, all parts of a real multi-file directory."""
+    if os.path.isdir(path):
+        return [
+            os.path.join(path, f)
+            for f in sorted(os.listdir(path))
+            if f.endswith(".parquet")
+        ]
+    return [path]
 
 
 def rowgroup_stats(spark: SparkSession, path: str) -> DataFrame:
-    """Per-(row group, column) footer statistics as a DataFrame."""
-    md = pq.ParquetFile(path).metadata
+    """Per-(row group, column) footer statistics as a DataFrame.
+    Directory tables contribute every part file; row_group_id is a
+    running index across files (file order sorted, deterministic)."""
     rows = []
-    for rg in range(md.num_row_groups):
-        g = md.row_group(rg)
-        for c in range(g.num_columns):
-            col = g.column(c)
-            st = col.statistics
-            rows.append(
-                (
-                    rg,
-                    col.path_in_schema,
-                    st.num_values if st is not None else None,
-                    st.null_count if st is not None and st.has_null_count else None,
-                    col.total_compressed_size,
+    rg_base = 0
+    for fp in _table_files(path):
+        md = pq.ParquetFile(fp).metadata
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for c in range(g.num_columns):
+                col = g.column(c)
+                st = col.statistics
+                rows.append(
+                    (
+                        rg_base + rg,
+                        col.path_in_schema,
+                        st.num_values if st is not None else None,
+                        st.null_count
+                        if st is not None and st.has_null_count
+                        else None,
+                        col.total_compressed_size,
+                    )
                 )
-            )
+        rg_base += md.num_row_groups
     return spark.createDataFrame(rows, ROWGROUP_SCHEMA)
 
 
 def describe_parquet(spark: SparkSession, path: str) -> DataFrame:
     """DESCRIBE-style schema listing read from the Parquet footer
     (README.md:313-316)."""
-    schema = pq.ParquetFile(path).schema_arrow
+    schema = pq.ParquetFile(_table_files(path)[0]).schema_arrow
     rows = [(f.name, str(f.type), f.nullable) for f in schema]
     return spark.createDataFrame(rows, "column_name string, column_type string, nullable boolean")
 

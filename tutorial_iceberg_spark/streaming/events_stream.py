@@ -34,14 +34,24 @@ SESSION_GAP_MIN = 30
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (schema from the batch
     reader, including the ns->us timestamp normalization in io.load_table)."""
+    import os
+
     batch = load_table(spark, sf_dir, "events")
-    raw = (
-        spark.readStream.schema(
-            spark.read.parquet(table_path(sf_dir, "events")).schema
-        )
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    # Layout-robust source: Spark's file stream needs a DIRECTORY path,
+    # so a real multi-file events table streams directly, while the
+    # single-file fixture streams its parent dir with a glob filter
+    # pinned to the one file. (The old unconditional glob over sf_dir
+    # matched only files literally named events.parquet — a directory
+    # layout streamed ZERO rows; caught by the partition-invariance
+    # sweep.)
+    path = table_path(sf_dir, "events")
+    reader = spark.readStream.schema(spark.read.parquet(path).schema)
+    if os.path.isdir(path):
+        raw = reader.parquet(path)
+    else:
+        raw = reader.option(
+            "pathGlobFilter", os.path.basename(path)
+        ).parquet(os.path.dirname(path))
     if dict(raw.dtypes).get("ts") == "bigint":
         raw = raw.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
