@@ -105,6 +105,50 @@ def x_embed_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x_class_weights",
+    oracle="""
+        WITH tot AS (
+            SELECT COUNT(*) AS total, COUNT(DISTINCT label) AS k
+            FROM embeddings
+        )
+        SELECT label,
+               COUNT(*) AS n,
+               (CAST(tot.total AS DOUBLE)
+                / (CAST(tot.k AS DOUBLE) * COUNT(*))) AS class_weight
+        FROM embeddings, tot
+        GROUP BY label, tot.total, tot.k
+        ORDER BY label
+    """,
+    doc="Balanced class weights (sklearn's n_samples / (n_classes * "
+    "n_label) formula) over the embedding labels — the loss-reweighting "
+    "table an imbalanced training set ships with. One hash aggregate "
+    "plus a broadcast 1-row totals frame; the weight is two exact "
+    "integer-to-double converts and one IEEE multiply+divide, so it "
+    "hash-matches bit-for-bit",
+    tags=("vector", "sampling", "extension"),
+)
+def x_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    tot = emb.agg(
+        F.count("*").alias("total"), F.countDistinct("label").alias("k")
+    )
+    return (
+        emb.groupBy("label")
+        .agg(F.count("*").alias("n"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "label",
+            "n",
+            (
+                F.col("total").cast("double")
+                / (F.col("k").cast("double") * F.col("n"))
+            ).alias("class_weight"),
+        )
+        .orderBy("label")
+    )
+
+
 OUTLIER_K = 5  # reported outliers per label
 
 

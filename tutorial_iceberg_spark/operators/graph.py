@@ -310,6 +310,65 @@ def x_dedup_semantic_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_dedup_cluster_sizes",
+    oracle=f"""
+        WITH RECURSIVE n AS (
+            SELECT vec_id, embedding,
+                   sqrt({_O_DOT.format(a='embedding', b='embedding')}) AS nrm
+            FROM embeddings
+        ), e AS (
+            SELECT a.vec_id AS left_id, b.vec_id AS right_id
+            FROM n a JOIN n b ON a.vec_id < b.vec_id
+            WHERE {_O_DOT.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm)
+                  >= {COSINE_EDGE_THRESHOLD}
+        ), sym AS (
+            SELECT left_id AS src, right_id AS dst FROM e
+            UNION ALL
+            SELECT right_id, left_id FROM e
+        ), reach(node, label) AS (
+            SELECT vec_id, vec_id FROM embeddings
+            UNION
+            SELECT s.dst, r.label FROM reach r JOIN sym s ON s.src = r.node
+        ), comp AS (
+            SELECT node, MIN(label) AS component FROM reach GROUP BY node
+        ), sizes AS (
+            SELECT component, COUNT(*) AS csize FROM comp GROUP BY component
+        )
+        SELECT csize AS cluster_size,
+               COUNT(*) AS n_clusters,
+               CAST(SUM(csize) AS BIGINT) AS n_docs,
+               CAST(SUM(csize - 1) AS BIGINT) AS n_removable
+        FROM sizes GROUP BY csize ORDER BY csize
+    """,
+    doc="Near-dup cluster-size census — the dedup REPORT a corpus release "
+    "ships: for each connected-component size, how many clusters exist, "
+    "how many docs they hold, and how many would be removed keeping one "
+    "canonical per cluster (size-1 each). Reuses the CC labels "
+    "(connected_components over cosine_edges) plus two tiny aggregates; "
+    "the duplication tail (a handful of giant clusters vs a sea of "
+    "singletons) is exactly what this histogram surfaces",
+    tags=("dedup", "graph", "audit", "extension"),
+)
+def x_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    nodes = emb.select(F.col("vec_id").alias("id"))
+    edges = cosine_edges(spark, sf_dir).select(
+        F.col("left_id").alias("src"), F.col("right_id").alias("dst")
+    )
+    labels = connected_components(nodes, edges)
+    sizes = labels.groupBy("comp").agg(F.count("*").alias("csize"))
+    return (
+        sizes.groupBy(F.col("csize").alias("cluster_size"))
+        .agg(
+            F.count("*").alias("n_clusters"),
+            F.sum("csize").cast("bigint").alias("n_docs"),
+            F.sum(F.col("csize") - 1).cast("bigint").alias("n_removable"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+@register(
     "x_semantic_dedup_corpus",
     oracle=f"""
         WITH RECURSIVE n AS (
