@@ -351,6 +351,65 @@ def x_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_user_streaks",
+    oracle="""
+        WITH days AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('day', ts) AS DATE) AS d
+            FROM events
+        ), grp AS (
+            SELECT user_id, d,
+                   datediff('day', DATE '1970-01-01', d)
+                     - row_number() OVER (
+                           PARTITION BY user_id ORDER BY d) AS g
+            FROM days
+        ), streaks AS (
+            SELECT user_id, g, COUNT(*) AS len
+            FROM grp GROUP BY user_id, g
+        )
+        SELECT user_id,
+               MAX(len) AS longest_streak,
+               COUNT(*) AS n_streaks,
+               CAST(SUM(len) AS BIGINT) AS active_days
+        FROM streaks GROUP BY user_id ORDER BY user_id
+    """,
+    doc="Gaps-and-islands (the classic consecutive-runs SQL pattern, new "
+    "coverage): per-user longest consecutive-day activity streak, streak "
+    "count, and total active days. The island key is epoch-day minus the "
+    "per-user day ordinal — constant within a consecutive run, so one "
+    "distinct + one window + two hash aggregates replace any iterative "
+    "or self-join formulation. Window partitions are per-user day "
+    "sequences (calendar-bounded); day grain means integer-exact "
+    "arithmetic on both engines",
+    tags=("temporal", "window", "extension"),
+)
+def x_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = days.select(
+        "user_id",
+        "d",
+        (
+            F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+            - F.row_number().over(w)
+        ).alias("g"),
+    )
+    streaks = grp.groupBy("user_id", "g").agg(F.count("*").alias("len"))
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.max("len").alias("longest_streak"),
+            F.count("*").alias("n_streaks"),
+            F.sum("len").cast("bigint").alias("active_days"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
     "x_coverage_audit",
     oracle="""
         WITH daily AS (
