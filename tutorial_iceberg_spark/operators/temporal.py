@@ -351,6 +351,119 @@ def x_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_regression_trend",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   datediff('day', DATE '1970-01-01',
+                            CAST(date_trunc('day', ts) AS DATE)) AS x,
+                   count(*) AS y
+            FROM events GROUP BY 1, 2
+        ), s AS (
+            SELECT event_type,
+                   COUNT(*) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx
+            FROM daily GROUP BY event_type
+        )
+        SELECT event_type, n,
+               (CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE)) AS slope_per_day,
+               ((CAST(sy AS DOUBLE)
+                 - (CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE))
+                   * CAST(sx AS DOUBLE)) / n) AS intercept
+        FROM s ORDER BY event_type
+    """,
+    doc="Exact least-squares trend of the daily event count per type "
+    "(regr_slope/regr_intercept semantics WITHOUT the builtins' "
+    "order-dependent double partials): x = epoch-day ordinal and y = "
+    "count are integers, so every moment (sx, sy, sxy, sxx) is an exact "
+    "BIGINT sum and the slope is one IEEE divide of exact integers — "
+    "bit-identical at any partitioning, which the native regr_* "
+    "aggregates cannot promise. One hash aggregate over the "
+    "calendar-bounded daily frame; the volume-trend monitor a pipeline "
+    "alerts on",
+    tags=("temporal", "agg", "statistics", "extension"),
+)
+def x_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.date_trunc("day", F.col("ts")).cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        ).alias("x"),
+    ).agg(F.count("*").alias("y"))
+    s = daily.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    slope = num / den
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n")
+    return s.select(
+        "event_type",
+        "n",
+        slope.alias("slope_per_day"),
+        intercept.alias("intercept"),
+    ).orderBy("event_type")
+
+
+@register(
+    "x_dow_profile",
+    oracle="""
+        SELECT event_type,
+               CAST(datediff('day', DATE '1970-01-01',
+                             CAST(date_trunc('day', ts) AS DATE)) % 7
+                    AS INTEGER) AS dow,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    doc="Day-of-week seasonality profile per event type. The weekday "
+    "index is epoch-days mod 7 (0 = Thursday, 1970-01-01) computed "
+    "IDENTICALLY on both engines — deliberately not dayofweek(), whose "
+    "numbering conventions differ cross-engine (Spark Sunday=1, DuckDB "
+    "dow Sunday=0) and have caused real off-by-one bugs. One hash "
+    "aggregate; the weekly-cycle baseline anomaly monitors compare "
+    "against",
+    tags=("temporal", "agg", "extension"),
+)
+def x_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    dow = F.pmod(
+        F.datediff(
+            F.date_trunc("day", F.col("ts")).cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        ),
+        F.lit(7),
+    ).cast("int")
+    return (
+        ev.groupBy("event_type", dow.alias("dow"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
+@register(
     "x_user_streaks",
     oracle="""
         WITH days AS (
