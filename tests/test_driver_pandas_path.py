@@ -37,6 +37,16 @@ SUBSET = [
     "a16_cube_revenue",
     "x_tfidf_terms",
     "w6_distribution_ranks",
+    # round-7 additions (each also passed the one-off full-registry sweep,
+    # tools/pandas_path_sweep.py)
+    "lake_changelog",
+    "x_embed_outliers",
+    "x_dedup_minhash_md5",
+    "x_user_streaks",
+    "x_regression_trend",
+    "x_dow_profile",
+    "x_class_weights",
+    "x_dedup_cluster_sizes",
 ]
 
 
