@@ -748,12 +748,12 @@ def sql_recursive_calendar_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j6_nullsafe_join",
     oracle="""
         WITH c AS (
-            SELECT NULLIF(CAST(json_extract_string(props, '$.k') AS INTEGER)
+            SELECT NULLIF(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)
                           % 10, 0) AS bucket,
                    count(*) AS n_clicks
             FROM events WHERE event_type = 'click' GROUP BY 1
         ), p AS (
-            SELECT NULLIF(CAST(json_extract_string(props, '$.k') AS INTEGER)
+            SELECT NULLIF(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)
                           % 10, 0) AS bucket,
                    count(*) AS n_purchases
             FROM events WHERE event_type = 'purchase' GROUP BY 1

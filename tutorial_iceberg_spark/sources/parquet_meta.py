@@ -33,30 +33,37 @@ def footer_row_count(sf_dir: str, table: str) -> int:
     no data scan. The cheap cardinality source the candidate-contract
     ``auto`` paths (cosine_edges, x_knn_classify_loo) gate on: a
     ``df.count()`` there launched a full distributed scan job on every
-    invocation just to pick a strategy (ADVICE r6). Handles both the
-    single-file fixture layout and a real multi-file table directory
-    (sums part footers — the partition-invariance sweep caught the
-    file-only assumption); on a lakehouse table the equivalent is the
-    manifest's row-count sum."""
+    invocation just to pick a strategy (ADVICE r6). Handles the
+    single-file fixture layout, a flat multi-file directory, AND nested /
+    Hive-partitioned layouts (recursive walk — a top-level-only listing
+    silently returned 0 on partitioned tables, flipping the auto gate to
+    an O(n^2) all-pairs plan with no error; ADVICE r7). Raises on a path
+    with no parquet files rather than reporting an empty table; on a
+    lakehouse table the equivalent is the manifest's row-count sum."""
     path = table_path(sf_dir, table)
-    if os.path.isdir(path):
-        return sum(
-            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
-            for f in sorted(os.listdir(path))
-            if f.endswith(".parquet")
-        )
-    return pq.ParquetFile(path).metadata.num_rows
+    return sum(
+        pq.ParquetFile(fp).metadata.num_rows for fp in _table_files(path)
+    )
 
 
 def _table_files(path: str) -> list[str]:
     """Concrete parquet file paths for a table path — a single file in
-    the fixture layout, all parts of a real multi-file directory."""
+    the fixture layout, all parts of a flat or nested (Hive-partitioned)
+    directory. Recurses so partition subdirectories contribute; raises
+    if the walk finds no parquet files (a silent empty answer here
+    mis-sizes every footer-gated planning decision)."""
     if os.path.isdir(path):
-        return [
-            os.path.join(path, f)
-            for f in sorted(os.listdir(path))
+        files = [
+            os.path.join(root, f)
+            for root, _dirs, names in os.walk(path)
+            for f in names
             if f.endswith(".parquet")
         ]
+        if not files:
+            raise FileNotFoundError(
+                f"no parquet files under table directory {path!r}"
+            )
+        return sorted(files)
     return [path]
 
 

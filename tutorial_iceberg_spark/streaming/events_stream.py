@@ -174,7 +174,7 @@ def x_stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x_sessionize",
     oracle=f"""
         WITH flagged AS (
-            SELECT user_id, ts,
+            SELECT user_id, ts, event_id,
                    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                              > INTERVAL '{SESSION_GAP_MIN} minutes'
                         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -183,7 +183,7 @@ def x_stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ), sessions AS (
             SELECT user_id, ts,
                    SUM(new_session) OVER (
-                       PARTITION BY user_id ORDER BY ts
+                       PARTITION BY user_id ORDER BY ts, event_id
                        ROWS UNBOUNDED PRECEDING) AS session_id
             FROM flagged
         )
@@ -207,11 +207,15 @@ def x_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = ev.select(
         "user_id",
         "ts",
+        "event_id",
         F.when(gap.isNull() | (gap > SESSION_GAP_MIN * 60), 1).otherwise(0).alias(
             "new_session"
         ),
     )
-    wc = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+    # (ts, event_id) total order: with duplicate (user_id, ts) rows at an
+    # exact session boundary, a ts-only ROWS cumsum could assign the tied
+    # unflagged row to either session nondeterministically (ADVICE r7).
+    wc = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     sessions = flagged.withColumn(
@@ -233,7 +237,7 @@ def x_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x_stream_session_window",
     oracle=f"""
         WITH flagged AS (
-            SELECT user_id, ts,
+            SELECT user_id, ts, event_id,
                    CASE WHEN ts - LAG(ts) OVER (
                             PARTITION BY user_id ORDER BY ts, event_id)
                              > INTERVAL '{SESSION_GAP_MIN} minutes'
@@ -245,7 +249,7 @@ def x_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ), sessions AS (
             SELECT user_id, ts,
                    SUM(new_session) OVER (
-                       PARTITION BY user_id ORDER BY ts
+                       PARTITION BY user_id ORDER BY ts, event_id
                        ROWS UNBOUNDED PRECEDING) AS session_id
             FROM flagged
         )
