@@ -304,3 +304,53 @@ def test_embed_label_stats_fold_is_order_exact(spark, sf_dir):
         for _, nrm in sorted(pairs):
             acc = acc + nrm
         assert got[label] == acc, label  # exact float equality, no tolerance
+
+
+def test_embed_fold_gate_scale_path_agrees_and_is_bounded(spark, sf_dir):
+    """The `weak` closure (VERDICT r7 #1): both centroid compute paths —
+    bit-exact ordered fold vs order-free mergeable float64 partials —
+    must agree within float tolerance, and the scale path's plan must
+    materialize NO per-group array (no collect_list aggregation buffer
+    growing with rows/label)."""
+    exact = {
+        (r["vec_id"], r["label"])
+        for r in V.x_embed_outliers(spark, sf_dir, bitexact=True).collect()
+    }
+    merged_df = V.x_embed_outliers(spark, sf_dir, bitexact=False)
+    merged = {
+        (r["vec_id"], r["label"]) for r in merged_df.collect()
+    }
+    # last-ulp summation drift cannot reorder a top-5 on this fixture
+    assert exact == merged
+    # The UNBOUNDED per-(label,dim) fold over row values must be gone in
+    # the scale path (the centroid-assembly collect_list over 64 dims is
+    # constant-size per label and allowed to stay).
+    plan = plan_of(merged_df)
+    assert "collect_list(struct(vec_id" not in plan
+    assert "collect_list(struct(vec_id" in plan_of(
+        V.x_embed_outliers(spark, sf_dir, bitexact=True)
+    )
+
+    ex = {
+        r["label"]: r for r in
+        V.x_embed_label_stats(spark, sf_dir, bitexact=True).collect()
+    }
+    mg_df = V.x_embed_label_stats(spark, sf_dir, bitexact=False)
+    mg = {r["label"]: r for r in mg_df.collect()}
+    assert set(ex) == set(mg)
+    for label in ex:
+        assert ex[label]["vecs"] == mg[label]["vecs"]
+        assert ex[label]["total_dims"] == mg[label]["total_dims"]
+        assert abs(ex[label]["total_norm"] - mg[label]["total_norm"]) <= (
+            1e-9 * max(1.0, abs(ex[label]["total_norm"]))
+        )
+    assert "collect_list" not in plan_of(mg_df)
+
+
+def test_embed_fold_gate_auto_resolution(sf_dir):
+    """Auto mode resolves from the parquet footer row count alone (no
+    Spark job): fixture tables sit far under the gate -> bit-exact; an
+    explicit override wins in both directions."""
+    assert V._bitexact_auto(sf_dir, "embeddings", None) is True
+    assert V._bitexact_auto(sf_dir, "embeddings", False) is False
+    assert V._bitexact_auto(sf_dir, "embeddings", True) is True
