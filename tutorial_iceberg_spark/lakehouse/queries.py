@@ -117,6 +117,30 @@ def lake_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read()
 
 
+def _merge_upsert_setup(spark: SparkSession, sf_dir: str):
+    """Fixture phase (bench-split): fresh temp-dir table + seed snapshot +
+    lazy source frame. Writing the seed parquet dominates the wall time at
+    bench SF and says nothing about MERGE — time it separately."""
+    t = _fresh_table(spark, "merge")
+    t.append(_orders_mod(spark, sf_dir, 2, 0))
+    orders = load_table(spark, sf_dir, "orders")
+    updates = orders.filter(F.col("o_orderkey") % 4 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    inserts = orders.filter(
+        ((F.col("o_orderkey") % 2) == 1) & ((F.col("o_orderkey") % 5) == 0)
+    )
+    return t, updates.unionByName(inserts)
+
+
+def _merge_upsert_op(state) -> DataFrame:
+    """Measured phase: the MERGE itself (key-bounds file pruning + CoW
+    rewrite + snapshot commit) and the result read."""
+    t, src = state
+    t.merge(src, on="o_orderkey")
+    return t.read()
+
+
 @register(
     "lake_merge_upsert",
     oracle=f"""
@@ -134,17 +158,7 @@ def lake_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("lakehouse", "flagship"),
 )
 def lake_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = _fresh_table(spark, "merge")
-    t.append(_orders_mod(spark, sf_dir, 2, 0))
-    orders = load_table(spark, sf_dir, "orders")
-    updates = orders.filter(F.col("o_orderkey") % 4 == 0).withColumn(
-        "o_totalprice", F.col("o_totalprice") * 2
-    )
-    inserts = orders.filter(
-        ((F.col("o_orderkey") % 2) == 1) & ((F.col("o_orderkey") % 5) == 0)
-    )
-    t.merge(updates.unionByName(inserts), on="o_orderkey")
-    return t.read()
+    return _merge_upsert_op(_merge_upsert_setup(spark, sf_dir))
 
 
 @register(
@@ -438,6 +452,30 @@ def snapshot_changelog(
     return inserts.unionByName(deletes).unionByName(before).unionByName(after)
 
 
+def _changelog_setup(spark: SparkSession, sf_dir: str):
+    """Fixture phase (bench-split): 4 snapshot commits of table history.
+    These writes are what a real table already has on disk — the operator
+    under test is only the diff."""
+    t = _fresh_table(spark, "changelog")
+    t.append(_orders_mod(spark, sf_dir, 3, 0))
+    first = t.meta.snapshots[0].snapshot_id
+    t.delete("o_orderkey % 9 = 0")
+    t.update("o_orderkey % 9 = 3", {"o_orderpriority": "'9-UPDATED'"})
+    t.append(_orders_mod(spark, sf_dir, 3, 1))
+    return t, first
+
+
+def _changelog_op(state) -> DataFrame:
+    """Measured phase: the snapshot diff itself (full-outer key join +
+    struct compare + 4-way change-type split)."""
+    t, first = state
+    return (
+        snapshot_changelog(t, first, ["o_orderkey"])
+        .select("change_type", "o_orderkey", "o_orderpriority", "o_totalprice")
+        .orderBy("o_orderkey", "change_type")
+    )
+
+
 @register(
     "lake_changelog",
     oracle="""
@@ -468,17 +506,7 @@ def snapshot_changelog(
     tags=("lakehouse", "incremental", "extension"),
 )
 def lake_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = _fresh_table(spark, "changelog")
-    t.append(_orders_mod(spark, sf_dir, 3, 0))
-    first = t.meta.snapshots[0].snapshot_id
-    t.delete("o_orderkey % 9 = 0")
-    t.update("o_orderkey % 9 = 3", {"o_orderpriority": "'9-UPDATED'"})
-    t.append(_orders_mod(spark, sf_dir, 3, 1))
-    return (
-        snapshot_changelog(t, first, ["o_orderkey"])
-        .select("change_type", "o_orderkey", "o_orderpriority", "o_totalprice")
-        .orderBy("o_orderkey", "change_type")
-    )
+    return _changelog_op(_changelog_setup(spark, sf_dir))
 
 
 @register(
@@ -573,6 +601,32 @@ def lake_branch_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read()
 
 
+def _sorted_compaction_setup(spark: SparkSession, sf_dir: str):
+    """Fixture phase (bench-split): three unsorted appends -> every file
+    spans the whole key range (the state a fragmented table is in before
+    maintenance runs)."""
+    t = _fresh_table(spark, "sorted_compact")
+    t.append(_orders_mod(spark, sf_dir, 3, 0))
+    t.append(_orders_mod(spark, sf_dir, 3, 1))
+    t.append(_orders_mod(spark, sf_dir, 3, 2))
+    return t
+
+
+def _sorted_compaction_op(t) -> DataFrame:
+    """Measured phase: the sorted rewrite + pruning gate + full read."""
+    t.compact(target_files=4, sort_by=["o_orderkey"])
+    md = t.meta
+    snap = md.snapshot()
+    cands = t._candidates(md, snap, "o_orderkey < 1000")
+    # clustering makes stats selective: the range scan must NOT touch
+    # every file
+    assert len(snap.files) >= 2 and len(cands) < len(snap.files), (
+        len(cands),
+        len(snap.files),
+    )
+    return t.read()
+
+
 @register(
     "lake_sorted_compaction",
     oracle=f"""
@@ -587,22 +641,7 @@ def lake_branch_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("lakehouse", "compaction", "extension"),
 )
 def lake_sorted_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = _fresh_table(spark, "sorted_compact")
-    # three unsorted appends -> every file spans the whole key range
-    t.append(_orders_mod(spark, sf_dir, 3, 0))
-    t.append(_orders_mod(spark, sf_dir, 3, 1))
-    t.append(_orders_mod(spark, sf_dir, 3, 2))
-    t.compact(target_files=4, sort_by=["o_orderkey"])
-    md = t.meta
-    snap = md.snapshot()
-    cands = t._candidates(md, snap, "o_orderkey < 1000")
-    # clustering makes stats selective: the range scan must NOT touch
-    # every file
-    assert len(snap.files) >= 2 and len(cands) < len(snap.files), (
-        len(cands),
-        len(snap.files),
-    )
-    return t.read()
+    return _sorted_compaction_op(_sorted_compaction_setup(spark, sf_dir))
 
 
 @register(
@@ -715,3 +754,20 @@ def lake_merge_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t.merge(src, on="o_orderkey")
     return t.read()
+
+
+# Bench setup/op split (VERDICT r7 #3): the lake_* headline entries spend
+# most of their wall time creating a fresh temp-dir table and seeding
+# snapshots — fixture work a real deployment has already paid. bench.py
+# times the two phases separately through this mapping so a regression in
+# the MEASURED operator (MERGE pruning, compaction rewrite, changelog
+# diff) is visible above tmpdir write noise. The registered builders stay
+# setup∘op, so oracle checks and every other caller see one callable.
+BENCH_SPLIT = {
+    "lake_merge_upsert": (_merge_upsert_setup, _merge_upsert_op),
+    "lake_changelog": (_changelog_setup, _changelog_op),
+    "lake_sorted_compaction": (
+        _sorted_compaction_setup,
+        _sorted_compaction_op,
+    ),
+}
