@@ -311,3 +311,19 @@ def test_fuzzy_verify_lev_sane(spark, sf_dir):
     for r in rows:
         assert 0 <= r["lev_prefix"] <= 80  # bounded by prefix length
         assert r["is_fuzzy_dup"] == int(r["lev_prefix"] <= 20)
+
+
+def test_lake_dedup_ingest_equals_direct_incremental(spark, sf_dir):
+    """The dedup-at-ingest composite recovers batch membership from
+    snapshot provenance (incremental_read); with the append split chosen
+    to match x_dedup_incremental's predicate split, the two pipelines
+    must agree bit-for-bit — snapshot isolation + scoring in one
+    differential, independent of the DuckDB oracle."""
+    from tutorial_iceberg_spark.operators.dedup import (
+        lake_dedup_ingest,
+        x_dedup_incremental,
+    )
+
+    direct = x_dedup_incremental(spark, sf_dir).collect()
+    composite = lake_dedup_ingest(spark, sf_dir).collect()
+    assert [tuple(r) for r in direct] == [tuple(r) for r in composite]

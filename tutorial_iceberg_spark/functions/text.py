@@ -922,3 +922,62 @@ def x_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("est_min"), "token")
         .limit(MG_TOP)
     )
+
+
+SOURCE_CAP_MULT = 0.8  # cap = ceil(mult * median docs-per-source)
+
+
+@register(
+    "x_source_cap",
+    oracle=f"""
+        WITH per_src AS (
+            SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+        ), cap AS (
+            SELECT CAST(ceil({SOURCE_CAP_MULT} * quantile_cont(n, 0.5))
+                        AS BIGINT) AS cap
+            FROM per_src
+        ), ranked AS (
+            SELECT doc_id, source,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+            FROM documents
+        )
+        SELECT r.doc_id, r.source, CAST(r.rk AS INTEGER) AS rk
+        FROM ranked r, cap
+        WHERE r.rk <= cap.cap
+        ORDER BY r.source, r.doc_id
+    """,
+    doc="Per-source frequency capping (web-corpus staple: no single "
+    "domain may dominate the training mix): keep at most "
+    f"ceil({SOURCE_CAP_MULT} x median docs-per-source) documents from "
+    "each source, chosen in md5(doc_id) order — a seedless reproducible "
+    "draw, same idiom as x_quota_sample (mult < 1 so the cap bites even "
+    "on the fixture's uniform source sizes). The cap is SCALE-FREE by "
+    "construction (a fixed absolute cap degenerates to dropping "
+    "everything or nothing as the corpus grows — the q11 lesson): it "
+    "derives from the corpus's own source-size distribution, and Spark "
+    "percentile == DuckDB quantile_cont bit-for-bit. Shape: one "
+    "|sources|-row aggregate + a 1-row broadcast cap + one "
+    "hash-partitioned window per source — the window shuffles on the "
+    "same source key the aggregate already grouped by, and skewed "
+    "mega-sources are exactly the rows the cap discards",
+    tags=("text", "sampling", "extension"),
+)
+def x_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(F.count("*").alias("n"))
+    cap = per_src.agg(
+        F.ceil(SOURCE_CAP_MULT * F.expr("percentile(n, 0.5d)")).alias("cap")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("rk", F.row_number().over(w))
+        .crossJoin(F.broadcast(cap))
+        .filter(F.col("rk") <= F.col("cap"))
+        .select("doc_id", "source", "rk")
+        .orderBy("source", "doc_id")
+    )

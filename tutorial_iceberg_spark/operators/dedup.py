@@ -571,9 +571,7 @@ BATCH_MOD = 5  # demo split: doc_id % 5 == 0 is the "incoming" batch
 SHINGLE_DF_CAP = 50  # drop shingles present in more docs than this
 
 
-@register(
-    "x_dedup_incremental",
-    oracle=rf"""
+INCREMENTAL_DEDUP_ORACLE = rf"""
         WITH sh AS (
             SELECT doc_id,
                    unnest(list_distinct(list_transform(
@@ -615,7 +613,12 @@ SHINGLE_DF_CAP = 50  # drop shingles present in more docs than this
         LEFT JOIN summary ON summary.batch_id = d.doc_id
         WHERE d.doc_id % {BATCH_MOD} = 0
         ORDER BY batch_id
-    """,
+    """
+
+
+@register(
+    "x_dedup_incremental",
+    oracle=INCREMENTAL_DEDUP_ORACLE,
     doc="Incremental dedup (continuous-crawl ingestion gate): score each "
     "INCOMING document against the EXISTING corpus only — the asymmetric "
     "form production pipelines actually run, where the corpus side is a "
@@ -635,11 +638,23 @@ SHINGLE_DF_CAP = 50  # drop shingles present in more docs than this
     tags=("dedup", "incremental", "extension"),
 )
 def x_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", spread=True).withColumn(
+        "is_batch", F.col("doc_id") % BATCH_MOD == 0
+    )
+    return incremental_dedup_verdicts(spark, docs)
+
+
+def incremental_dedup_verdicts(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Batch-vs-corpus dedup verdicts over a tagged corpus: ``docs`` must
+    carry (doc_id, text, is_batch boolean). Factored out so the same
+    scoring pipeline serves both the predicate-split registered query and
+    the lakehouse dedup-at-ingest composite (batch = the rows a snapshot
+    append introduced, via incremental_read) — the two must agree
+    bit-for-bit when their splits coincide (pytest-gated)."""
     n_part = spark.sparkContext.defaultParallelism
-    docs = load_table(spark, sf_dir, "documents", spread=True)
     post = (
         docs.repartition(n_part, "doc_id")
-        .select("doc_id", F.explode(shingles()).alias("s"))
+        .select("doc_id", "is_batch", F.explode(shingles()).alias("s"))
     )
     # df cap: one hash agg on the shingle key, then a broadcast-averse
     # semi filter expressed as an inner join onto the surviving keys
@@ -651,10 +666,10 @@ def x_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     capped = post.join(rare, "s")
     sz = capped.groupBy("doc_id").agg(F.count("*").alias("n"))
-    b = capped.filter(F.col("doc_id") % BATCH_MOD == 0).select(
+    b = capped.filter(F.col("is_batch")).select(
         F.col("doc_id").alias("batch_id"), "s"
     )
-    c = capped.filter(F.col("doc_id") % BATCH_MOD != 0).select(
+    c = capped.filter(~F.col("is_batch")).select(
         F.col("doc_id").alias("corpus_id"), "s"
     )
     pairs = (
@@ -678,7 +693,7 @@ def x_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     summary = scored.groupBy("batch_id").agg(
         F.count("*").alias("n_candidates"), F.max("jaccard").alias("best_jaccard")
     )
-    batch_ids = docs.filter(F.col("doc_id") % BATCH_MOD == 0).select(
+    batch_ids = docs.filter(F.col("is_batch")).select(
         F.col("doc_id").alias("batch_id")
     )
     best = F.coalesce(F.col("best_jaccard"), F.lit(0.0))
@@ -749,3 +764,53 @@ def x_fuzzy_verify_lev(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("left_id")
     )
+
+
+@register(
+    "lake_dedup_ingest",
+    oracle=INCREMENTAL_DEDUP_ORACLE,
+    doc="Dedup-at-ingest composite (the production shape of incremental "
+    "dedup): the corpus lives in a lakehouse table; an append commits the "
+    "incoming crawl batch as a new snapshot; the batch membership is then "
+    "recovered from SNAPSHOT PROVENANCE — incremental_read between the "
+    "pre-append snapshot and head — rather than any predicate, and scored "
+    "against the pre-append read with the same posting-list pipeline as "
+    "x_dedup_incremental. The oracle is deliberately the SAME SQL: with "
+    "the append split matching the predicate split, the composite must "
+    "reproduce the direct query bit-for-bit — which checks the snapshot "
+    "isolation (the batch read sees no corpus rows and vice versa) AND "
+    "the scoring in one differential. At 100 TB this is dedup-at-ingest: "
+    "each refresh reads only the new snapshot's rows (metadata-planned, "
+    "no history scan) plus the shared-shingle slice of the corpus index",
+    tags=("lakehouse", "dedup", "incremental", "extension"),
+)
+def lake_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    from tutorial_iceberg_spark.lakehouse.table import LakeTable
+
+    docs = load_table(spark, sf_dir, "documents")
+    wh = os.path.join(
+        tempfile.gettempdir(), "tis_lake", "dedup_ingest", uuid.uuid4().hex[:8]
+    )
+    os.makedirs(wh, exist_ok=True)
+    t = LakeTable.create(
+        spark,
+        os.path.join(wh, "t"),
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+        name="dedup_ingest",
+    )
+    t.append(docs.filter(F.col("doc_id") % BATCH_MOD != 0))  # existing corpus
+    first = t.meta.current_snapshot_id
+    t.append(docs.filter(F.col("doc_id") % BATCH_MOD == 0))  # incoming batch
+    batch = t.incremental_read(from_snapshot_id=first).withColumn(
+        "is_batch", F.lit(True)
+    )
+    corpus = t.read(snapshot_id=first).withColumn("is_batch", F.lit(False))
+    # the verdict pipeline fans the doc frame into 4 consumers (posting
+    # lists, df cap, sizes, batch spine); materialize the snapshot reads
+    # once instead of re-planning the lakehouse scan per consumer
+    tagged = batch.unionByName(corpus).localCheckpoint(eager=False)
+    return incremental_dedup_verdicts(spark, tagged)
