@@ -135,6 +135,62 @@ def test_hyperplane_lsh_candidates_are_selective(spark, sf_dir):
     assert nc < 0.5 * n * (n - 1) / 2
 
 
+def test_lsh_bucket_cap_noop_below_cap(spark, sf_dir):
+    """At test/oracle scale no band bucket crosses LSH_BUCKET_CAP, so the
+    capped generator must be bit-identical to the uncapped one — this is
+    what keeps the coverage/recall gates meaningful for the default path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = emb.select(F.size("embedding")).first()[0]
+    capped = {
+        (r.left_id, r.right_id)
+        for r in V.lsh_candidate_pairs(emb, dim).collect()
+    }
+    uncapped = {
+        (r.left_id, r.right_id)
+        for r in V.lsh_candidate_pairs(emb, dim, bucket_cap=None).collect()
+    }
+    assert capped == uncapped
+
+
+def test_lsh_bucket_cap_bounds_subbuckets_and_prunes(spark, sf_dir):
+    """Scale gate for the round-8 probe finding (fixed-width bands made
+    candidates quadratic): with a cap far below the natural bucket size,
+    (1) every sub-split bucket lands within a small constant of the cap —
+    candidates become O(n_bands * n * cap) — and (2) the candidate set is
+    a strict subset of the uncapped one (the cap only ever prunes)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    dim = emb.select(F.size("embedding")).first()[0]
+    cap = 8
+    sizes = (
+        V._lsh_bands(emb, dim, bucket_cap=cap)
+        .groupBy("band", "key")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    uncapped_max = (
+        V._lsh_bands(emb, dim, bucket_cap=None)
+        .groupBy("band", "key")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    # expected sub-bucket size <= cap; reserve bits are ~fair coins, so a
+    # 4x overshoot on the seeded fixture would mean the split is broken
+    assert uncapped_max > 4 * cap, "fixture too small to exercise the cap"
+    assert sizes <= 4 * cap
+    tiny = {
+        (r.left_id, r.right_id)
+        for r in V.lsh_candidate_pairs(emb, dim, bucket_cap=cap).collect()
+    }
+    full = {
+        (r.left_id, r.right_id)
+        for r in V.lsh_candidate_pairs(emb, dim, bucket_cap=None).collect()
+    }
+    assert tiny and tiny < full
+
+
 def test_pca_matches_numpy_and_is_orthonormal(spark, sf_dir):
     """x_embed_pca is rows-only in the driver gate; this is its oracle:
     the distributed moment-partial fit must equal numpy PCA on the

@@ -95,6 +95,18 @@ GATE_SWITCHERS = {
     "x_knn_classify_loo",
 }
 
+# Queries whose ONLY nested-loop join is a crossJoin against a broadcast
+# side of schema/parameter-bounded size (tests/test_plans.py ALLOWED
+# sweep proves every such site): the IVF family crossJoins each vector /
+# query against the N_CELLS=16 centroid frame to pick cells — an O(n*16)
+# linear scan, the intended assignment step, planned by Spark as
+# BroadcastNestedLoopJoin (tests/test_vector.py:55 asserts exactly this
+# shape). A BNLJ here is NOT a scale defect; one against a grown side is.
+BNLJ_BOUNDED_OK = {
+    "x_ann_ivf_cosine",  # crossJoin(broadcast(cents)), 16 rows
+    "x_ann_ivf_pq",  # same coarse quantizer + 16-row codebook LUT
+}
+
 
 def _inflate_embeddings(emb: DataFrame, factor: int) -> DataFrame:
     # per-(copy, dim) sign flip: the index arg of the transform lambda is
@@ -269,6 +281,26 @@ def main() -> None:
         }
         t_big, big_rows = timed(b, probe_dir)
 
+        # measured recall of the capped-LSH edge generator on the
+        # inflated table: within-copy edges are bit-identical copies of
+        # the base graph, so ground truth is exactly factor * |exact
+        # base edges| (the cross-copy noise edges the threshold also
+        # admits are excluded — they are data, not structure).
+        recall = None
+        if n == "cosine_edges[lsh]":
+            from tutorial_iceberg_spark.operators.graph import cosine_edges
+
+            exact_base = cosine_edges(
+                spark, base_dir, candidates="all_pairs"
+            ).count()
+            within = (
+                df_big.filter(
+                    F.floor(F.col("left_id") / ID_STRIDE)
+                    == F.floor(F.col("right_id") / ID_STRIDE)
+                ).count()
+            )
+            recall = round(within / (factor * exact_base), 4)
+
         rec = {
             "query": n,
             "t_base_sec": round(t_base, 3),
@@ -280,7 +312,9 @@ def main() -> None:
             if base_rows
             else None,
             "gate_switch": n in GATE_SWITCHERS,
+            "within_copy_recall_10x": recall,
             "plan_bnlj_10x": gates["bnlj"],
+            "bnlj_bounded_ok": n in BNLJ_BOUNDED_OK,
             "plan_cartesian_10x": gates["cartesian"],
         }
         results.append(rec)
@@ -289,7 +323,8 @@ def main() -> None:
     bad = [
         r["query"]
         for r in results
-        if r["plan_bnlj_10x"] or r["plan_cartesian_10x"]
+        if (r["plan_bnlj_10x"] and r["query"] not in BNLJ_BOUNDED_OK)
+        or r["plan_cartesian_10x"]
     ]
     print(
         json.dumps(

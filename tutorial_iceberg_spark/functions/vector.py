@@ -615,40 +615,136 @@ def _band_cols(bits_per_band: int, n_bands: int = PLANE_BANDS):
     ]
 
 
+# Bucket-size cap for the banded self-join. With fixed-width band keys
+# (2 bits -> 4 buckets per band) expected bucket size is n/4, so the
+# candidate set — sum over buckets of C(size, 2) — grows QUADRATICALLY
+# with the corpus: the round-8 10x scale probe measured 24.6x wall growth
+# for cosine_edges[lsh] at 10x data before this cap existed. The cap
+# bounds expected candidates to n_bands * n * cap / 2 = LINEAR in n: any
+# bucket over the cap is split by extending its key with
+# ceil(log2(size/cap)) bits of a reserve hyperplane signature. Recall is
+# the documented dial — a pair in a split bucket must also agree on the
+# extra bits (p^extra per band, p = 1 - theta/pi), which prices out
+# low-similarity noise pairs first while p ~ 0.9 near-dup pairs keep
+# per-band survival >= 0.39 even at the full 4-bit split. At test/oracle
+# scale (<= ~500-row buckets) no bucket crosses the cap, so the capped
+# generator is bit-identical to the uncapped one there (pytest-gated).
+LSH_BUCKET_CAP = 512
+_LSH_RESERVE_BITS = 16
+
+
+def _lsh_bands(
+    emb: DataFrame,
+    dim: int,
+    n_planes: int = 32,
+    n_bands: int = 16,
+    seed: int = _PLANE_SEED,
+    bucket_cap: int | None = LSH_BUCKET_CAP,
+) -> DataFrame:
+    """(vec_id, band, key) bucket assignments for the banded self-join,
+    with oversized buckets sub-split on reserve signature bits (see
+    LSH_BUCKET_CAP). Factored out of lsh_candidate_pairs so the cap's
+    sub-bucket bound is directly testable."""
+    u = emb.select("vec_id", _unit(F.col("embedding")).alias("u"))
+    bits_per_band = n_planes // n_bands
+    reserve = _LSH_RESERVE_BITS if bucket_cap else 0
+    bands = (
+        hyperplane_signatures(u, dim, n_planes=n_planes + reserve, seed=seed)
+        .select(
+            "vec_id",
+            # reserve key: the high `reserve` signature bits, spent only
+            # on buckets that exceed the cap (same planes for every band,
+            # which is fine: splits are within-bucket, across-band keys
+            # never compare)
+            F.expr(f"shiftright(sig, {n_planes})").alias("rk"),
+            F.explode(
+                F.array(*_band_cols(bits_per_band, n_bands=n_bands))
+            ).alias("bk"),
+        )
+        .select(
+            "vec_id",
+            "rk",
+            F.col("bk.band").alias("band"),
+            F.col("bk.key").alias("key"),
+        )
+    )
+    if not bucket_cap:
+        return bands.drop("rk")
+    # bucket census: at most n_bands * 2^bits_per_band rows — AQE
+    # broadcasts it back onto the bands frame, no corpus shuffle.
+    # extra = floor(log2((cnt-1)/cap)) + 1 (exact-power-robust) so that
+    # cnt / 2^extra <= cap in expectation; clamped to the reserve width.
+    sizes = (
+        bands.groupBy("band", "key")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "band",
+            "key",
+            F.when(
+                F.col("cnt") > bucket_cap,
+                F.least(
+                    F.lit(reserve),
+                    (
+                        F.floor(
+                            F.log2(
+                                (F.col("cnt") - 1) / F.lit(float(bucket_cap))
+                            )
+                        )
+                        + 1
+                    ).cast("int"),
+                ),
+            )
+            .otherwise(F.lit(0))
+            .alias("extra"),
+        )
+    )
+    return bands.join(sizes, ["band", "key"]).select(
+        "vec_id",
+        "band",
+        # extend the bucket key with `extra` reserve bits: `extra` is
+        # per-bucket constant so the split is consistent, and the
+        # original key occupies the high bits so packed keys never
+        # collide across buckets of the same band
+        F.expr(
+            f"shiftleft(key, {reserve}) + (rk & (shiftleft(1L, extra) - 1))"
+        ).alias("key"),
+    )
+
+
 def lsh_candidate_pairs(
     emb: DataFrame,
     dim: int,
     n_planes: int = 32,
     n_bands: int = 16,
     seed: int = _PLANE_SEED,
+    bucket_cap: int | None = LSH_BUCKET_CAP,
 ) -> DataFrame:
     """Distinct (left_id, right_id) candidate pairs via an LSH band-bucket
     SELF-join — the scale-path pair generator for threshold similarity
     joins and semantic dedup (operators/graph.py).
 
-    Plan shape: one zero-shuffle Arrow signature pass, a band explode, and
-    a bucketed equi-join on (band, key) — every stage hash-partitions on
-    bounded keys; NO broadcast of the corpus and NO nested-loop join, so
-    the compare space is sum(bucket^2) instead of n^2 and the whole thing
-    scales horizontally.
+    Plan shape: one zero-shuffle Arrow signature pass, a band explode, a
+    tiny bucket-census aggregation (keyspace <= n_bands * 2^bits rows),
+    and a bucketed equi-join on (band, key) — every stage hash-partitions
+    on bounded keys; NO broadcast of the corpus and NO nested-loop join,
+    so the compare space is sum(bucket^2) instead of n^2 and the whole
+    thing scales horizontally.
 
-    Parameter choice is the recall/selectivity dial: many narrow bands
-    (default 16 bands x 2 bits) push recall toward 1 at moderate cosine
-    thresholds — P(miss) = (1 - p^bits)^bands with p = 1 - theta/pi —
-    at the cost of more candidates; production near-dup cuts (cos >= 0.9,
-    p >= 0.9) can afford wider bands for sharper selectivity. Recall and
-    the candidate-superset property are pytest-gated on the testdata."""
-    u = emb.select("vec_id", _unit(F.col("embedding")).alias("u"))
-    bits_per_band = n_planes // n_bands
-    bands = (
-        hyperplane_signatures(u, dim, n_planes=n_planes, seed=seed)
-        .select(
-            "vec_id",
-            F.explode(
-                F.array(*_band_cols(bits_per_band, n_bands=n_bands))
-            ).alias("bk"),
-        )
-        .select("vec_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    ``bucket_cap`` bounds expected per-bucket size (see LSH_BUCKET_CAP):
+    oversized buckets are consistently sub-split on reserve signature
+    bits, making the candidate count O(n_bands * n * cap) instead of
+    O(n^2 / 2^bits). Recall is the dial: many narrow bands push recall
+    toward 1 at moderate cosine thresholds — P(miss) = (1 - p^bits)^bands
+    with p = 1 - theta/pi — and the cap only spends extra bits where
+    buckets are dense. Recall, the candidate-superset property, and the
+    cap's sub-bucket bound are pytest-gated on the testdata."""
+    bands = _lsh_bands(
+        emb,
+        dim,
+        n_planes=n_planes,
+        n_bands=n_bands,
+        seed=seed,
+        bucket_cap=bucket_cap,
     )
     x, y = bands.alias("x"), bands.alias("y")
     return (
