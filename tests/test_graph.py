@@ -62,6 +62,12 @@ def test_cc_matches_union_find_on_real_graph(spark, sf_dir):
         ([(0, 1), (2, 3), (3, 4), (10, 11)], 12),  # islands + singletons
         ([], 5),  # no edges: all singletons
         ([(0, 1), (1, 2), (2, 0)], 3),  # cycle
+        # REVERSED long chain (worst case for min-label travel: the min
+        # id sits at the far end of every propagation step) — the round-8
+        # scale-probe regression: a sparser bucket-capped 10x graph built
+        # chains a single-jump-per-round loop could not chase in 12
+        # rounds. Needs the full per-round path compression to converge.
+        ([(i + 1, i) for i in range(2000)], 2001),
     ],
 )
 def test_cc_synthetic_shapes(spark, edges, n):

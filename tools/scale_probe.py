@@ -31,8 +31,9 @@ every registered query still runs against the probe dir.
 Usage:
     python tools/scale_probe.py [base_sf_dir] [factor] [name ...]
 Defaults: /root/testdata/sf0.1, 10x, the 14-query at-risk family.
-Emits one JSON line per query plus a summary line; `--md` rewrites
-SCALE_PROBE.md from the captured rows.
+Emits one JSON line per query plus a summary line; SCALE_PROBE.md is
+written from the captured rows by hand (the narrative matters more than
+the numbers).
 
 NOTE on the auto-gate: 10x the sf0.1 embeddings table (20k rows) crosses
 ALL_PAIRS_MAX_ROWS, so cosine_edges-fed queries switch from the exact
@@ -219,7 +220,7 @@ def _probe_callables(specs):
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--md"]
+    args = sys.argv[1:]
     base_dir = args[0] if args else "/root/testdata/sf0.1"
     factor = int(args[1]) if len(args) > 1 else 10
     name_filter = args[2:]

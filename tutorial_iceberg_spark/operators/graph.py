@@ -29,9 +29,9 @@ Spark-first design:
   Components in MapReduce and Beyond" — the two-phase star operations are
   an equivalent optimization). Per-round state is one (node, label) row
   per node — far smaller than the corpus — and each round ends in a
-  ``localCheckpoint`` so the plan/lineage stays O(1) deep regardless of
-  iteration count (on a cluster this would be a checkpoint to durable
-  storage or an intermediate parquet).
+  scratch-parquet barrier (see ``_barrier``) so the plan/lineage stays
+  O(1) deep regardless of iteration count — the same durable-scratch
+  checkpoint shape a cluster deployment uses for iterative state.
 
 Reference parity: the reference has no graph operators (SURVEY.md §2.3
 J4); this is §2.11 extension surface (north star), grouped with dedup.
@@ -195,7 +195,29 @@ def x_sim_join_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Connected components
 # ---------------------------------------------------------------------------
 
-MAX_CC_ROUNDS = 12  # pointer jumping halves path lengths: 2^12 >> any corpus
+# Each round compresses label chains 2^JUMPS_PER_ROUND-fold (pointer
+# jumps composed in one plan, below), so MAX_CC_ROUNDS rounds cover a
+# component diameter ~2^(rounds * jumps / 2) — astronomically past any
+# similarity graph a threshold join produces (the 2001-node worst-case
+# chain in tests/test_graph.py converges in a handful of rounds).
+MAX_CC_ROUNDS = 16
+JUMPS_PER_ROUND = 3
+
+
+def _barrier(df: DataFrame, path: str) -> DataFrame:
+    """Materialize ``df`` to scratch parquet and read it back: a hard
+    plan/lineage/job barrier for iterative state. ``localCheckpoint`` is
+    deliberately NOT used for deep iteration: repeated checkpoint
+    generations degrade super-linearly in this container's Spark 4.1 —
+    a minimal join->localCheckpoint->unpersist loop on a constant
+    20k-row frame measured 0.2 s/step through generation ~16 and then
+    ~2.7x growth per step (110 s by generation 24) with the executed
+    plan provably constant-size. A parquet roundtrip is flat (~0.4
+    s/step, same loop) and is exactly what a cluster deployment does for
+    iterative state anyway: durable scratch storage, restartable rounds.
+    """
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
 
 
 def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
@@ -204,30 +226,44 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     ``nodes`` must have one ``id`` column covering every vertex (isolated
     vertices allowed); ``edges`` is directed (src, dst) and is symmetrized
     here. Each round: every node takes the min label over itself and its
-    neighbours, then labels compress one pointer hop (label <- label's
-    label). Convergence check: labels only ever DECREASE, so the label
-    total is strictly monotone — a round is a no-op iff sum(comp) is
-    unchanged. That makes the per-round check ONE aggregation scan over
-    the O(nodes) checkpointed state (decimal accumulator, overflow-proof
-    at any node count) instead of a join-based diff job.
+    neighbours, then labels compress JUMPS_PER_ROUND pointer hops
+    (label <- label's label, composed lazily). Convergence check: labels
+    only ever DECREASE, so the label total is strictly monotone — a round
+    is a no-op iff sum(comp) is unchanged. That makes the per-round check
+    ONE aggregation scan over the O(nodes) materialized state (decimal
+    accumulator, overflow-proof at any node count) instead of a
+    join-based diff job. Per-round state lives in scratch parquet (see
+    _barrier); intermediate rounds are deleted as soon as the next round
+    is materialized, so scratch usage is O(nodes + edges).
     """
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    scratch = _tempfile.mkdtemp(prefix="tis_cc_")
     sym = edges.select(
         F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
     )
-    sym = sym.unionByName(
-        sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    # Materialize the symmetrized edge list once: every propagation round
-    # joins it, and an expensive upstream edge generator (the cosine
-    # similarity join) would otherwise re-run per round. O(edges)
-    # executor-local blocks; durable checkpoint on a cluster.
-    ).localCheckpoint(eager=True)
-    labels = nodes.select(
-        F.col("id").cast("long").alias("id"), F.col("id").cast("long").alias("comp")
-    ).localCheckpoint(eager=True)
+    sym = _barrier(
+        sym.unionByName(
+            sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ),
+        # Materialize the symmetrized edge list once: every propagation
+        # round joins it, and an expensive upstream edge generator (the
+        # cosine similarity join) would otherwise re-run per round.
+        f"{scratch}/edges",
+    )
+    labels = _barrier(
+        nodes.select(
+            F.col("id").cast("long").alias("id"),
+            F.col("id").cast("long").alias("comp"),
+        ),
+        f"{scratch}/labels_init",
+    )
     _sum = F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
     prev_total = labels.agg(_sum).first()["s"]
 
-    for _ in range(MAX_CC_ROUNDS):
+    last_path = None
+    for rnd in range(MAX_CC_ROUNDS):
         # neighbour min: each edge forwards the src label to dst
         msgs = (
             sym.join(labels, sym.src == labels.id)
@@ -238,25 +274,69 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
             .groupBy("id")
             .agg(F.min("comp").alias("comp"))
         )
-        # pointer jumping: comp <- comp(comp). comp(y) <= y always, so this
-        # only ever lowers labels and preserves component membership.
-        x, y = new.alias("x"), new.alias("y")
-        new = (
-            x.join(y, F.col("x.comp") == F.col("y.id"), "left")
-            .select(
-                F.col("x.id").alias("id"),
-                F.coalesce(F.col("y.comp"), F.col("x.comp")).alias("comp"),
+        # pointer jumping, JUMPS_PER_ROUND deep: comp <- comp(comp) only
+        # ever lowers labels and preserves membership, and each jump
+        # halves surviving label-chain depth, so a round compresses
+        # chains 2^J-fold while the neighbour-min step extends reach one
+        # hop — O(log diameter) rounds overall. A single jump per round
+        # compounds distance only ~1.6x/round, and the round-8 scale
+        # probe caught exactly that: the bucket-capped (sparser) 10x
+        # similarity graph built label chains a 12-round single-jump loop
+        # could not chase. The J jumps are composed LAZILY into one plan
+        # (2^J scans of the round's parquet state — bounded, one job);
+        # the whole round body is exactly one barriered job + one
+        # aggregation scan.
+        for j in range(JUMPS_PER_ROUND):
+            x, y = new.alias(f"jx{j}"), new.alias(f"jy{j}")
+            new = x.join(
+                y, F.col(f"jx{j}.comp") == F.col(f"jy{j}.id"), "left"
+            ).select(
+                F.col(f"jx{j}.id").alias("id"),
+                F.coalesce(
+                    F.col(f"jy{j}.comp"), F.col(f"jx{j}.comp")
+                ).alias("comp"),
             )
-            .localCheckpoint(eager=True)
-        )
+        path = f"{scratch}/labels_{rnd}"
+        new = _barrier(new, path)
         total = new.agg(_sum).first()["s"]
-        labels.unpersist()
+        if last_path:
+            _shutil.rmtree(last_path, ignore_errors=True)
+        last_path = path
         labels = new
         if total == prev_total:
             break
         prev_total = total
+        # CONTRACT: rewrite the edge list onto the current representatives
+        # and drop self-loops/duplicates. This is what makes the round
+        # count O(log diameter): without it the min label walks the
+        # ORIGINAL graph one edge-hop per round (pointer jumps compress
+        # the label forest, not graph distance), which the round-8 10x
+        # probe caught — the bucket-capped similarity graph has
+        # diameter > 35 and blew the round budget. With contraction a
+        # path of super-nodes at least halves every round, and the edge
+        # frame (usually the big side) SHRINKS as components merge.
+        e_l = labels.select(F.col("id").alias("src"), F.col("comp").alias("csrc"))
+        e_r = labels.select(F.col("id").alias("dst"), F.col("comp").alias("cdst"))
+        contracted = (
+            sym.join(e_l, "src")
+            .join(e_r, "dst")
+            .select(F.col("csrc").alias("src"), F.col("cdst").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        epath = f"{scratch}/edges_{rnd}"
+        sym = _barrier(contracted, epath)
+        if rnd > 0:
+            _shutil.rmtree(f"{scratch}/edges_{rnd - 1}", ignore_errors=True)
     else:
         raise RuntimeError(f"CC did not converge in {MAX_CC_ROUNDS} rounds")
+    # edge lists + initial labels are no longer referenced by the
+    # returned frame; the final round's labels parquet must outlive the
+    # call (the returned DataFrame reads it) and rides on OS tmp cleanup.
+    import glob as _glob
+
+    for d in _glob.glob(f"{scratch}/edges*") + [f"{scratch}/labels_init"]:
+        _shutil.rmtree(d, ignore_errors=True)
     return labels
 
 
