@@ -567,11 +567,17 @@ def _sign_matrix(dim: int, n_planes: int = N_PLANES, seed: int = _PLANE_SEED):
     )
 
 
+# Reserve words pack this many planes each (48 = 8 bands x 6 bits with
+# the _lsh_bands defaults; <= 63 so a word fits a signed int64).
+_RESERVE_WORD_BITS = 48
+
+
 def hyperplane_signatures(
     emb_u: DataFrame,
     dim: int,
     n_planes: int = N_PLANES,
     seed: int = _PLANE_SEED,
+    reserve_planes: int = 0,
 ) -> DataFrame:
     """vec_id -> n_planes-bit signature: ONE Arrow batch pass, ZERO shuffle.
 
@@ -581,25 +587,49 @@ def hyperplane_signatures(
     aggregations, which exploded every vector to dim rows and shuffled
     them twice before banding; embarrassingly parallel, scales linearly
     with corpus bytes. n_planes is capped at 63 so the packed signature
-    fits a signed int64 without touching the sign bit."""
+    fits a signed int64 without touching the sign bit.
+
+    ``reserve_planes`` > 0 appends extra hyperplane bits for the
+    bucket-cap sub-split (see _lsh_bands), packed _RESERVE_WORD_BITS per
+    additional ``rk{i}`` int64 column — drawn from the SAME seeded plane
+    matrix (rows n_planes..), so the primary signature is bit-identical
+    with or without reserves."""
     if not 0 < n_planes < 64:
         raise ValueError(f"n_planes must be in [1, 63], got {n_planes}")
+
+    n_words = -(-reserve_planes // _RESERVE_WORD_BITS) if reserve_planes else 0
 
     def batches(it):
         import numpy as np
         import pandas as pd
 
-        signs_t = _sign_matrix(dim, n_planes, seed).T  # (dim, n_planes)
-        weights = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+        total = n_planes + reserve_planes
+        signs_t = _sign_matrix(dim, total, seed).T  # (dim, total)
+        w_sig = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
         for pdf in it:
             if len(pdf):
                 vecs = np.vstack(pdf["u"].to_numpy())  # (rows, dim)
-                sig = ((vecs @ signs_t) > 0) @ weights
+                bits = (vecs @ signs_t) > 0  # (rows, total)
+                sig = bits[:, :n_planes] @ w_sig
             else:
+                bits = np.zeros((0, n_planes + reserve_planes), dtype=bool)
                 sig = np.empty(0, dtype=np.int64)
-            yield pd.DataFrame({"vec_id": pdf["vec_id"], "sig": sig})
+            out = {"vec_id": pdf["vec_id"], "sig": sig}
+            for w in range(n_words):
+                lo = n_planes + w * _RESERVE_WORD_BITS
+                hi = min(lo + _RESERVE_WORD_BITS, n_planes + reserve_planes)
+                ww = (np.int64(1) << np.arange(hi - lo, dtype=np.int64))
+                out[f"rk{w}"] = (
+                    bits[:, lo:hi] @ ww
+                    if len(pdf)
+                    else np.empty(0, dtype=np.int64)
+                )
+            yield pd.DataFrame(out)
 
-    return emb_u.mapInPandas(batches, "vec_id bigint, sig bigint")
+    schema = "vec_id bigint, sig bigint" + "".join(
+        f", rk{w} bigint" for w in range(n_words)
+    )
+    return emb_u.mapInPandas(batches, schema)
 
 
 def _band_cols(bits_per_band: int, n_bands: int = PLANE_BANDS):
@@ -630,7 +660,17 @@ def _band_cols(bits_per_band: int, n_bands: int = PLANE_BANDS):
 # scale (<= ~500-row buckets) no bucket crosses the cap, so the capped
 # generator is bit-identical to the uncapped one there (pytest-gated).
 LSH_BUCKET_CAP = 512
-_LSH_RESERVE_BITS = 16
+# Reserve bits are PER BAND and DISJOINT across bands (band bi owns bits
+# [bi*6, bi*6+6) of the reserve plane space). The first cut of this cap
+# shared one reserve key across all 16 bands, and the scale probe's
+# measured within-copy recall exposed the mistake: a true pair that
+# misses the shared reserve bits misses in EVERY split bucket, so recall
+# collapses to p^extra * P(any band) ~= 0.16 instead of the independent
+# 1-(1-p^(bits+extra))^bands ~= 0.8 at theta=0.40. Disjoint slices
+# restore band independence; the price is reserve_planes = 6 * n_bands
+# extra hyperplanes in the (still single-pass, still cheap) Arrow
+# signature matmul.
+_LSH_RESERVE_BITS_PER_BAND = 6
 
 
 def _lsh_bands(
@@ -642,38 +682,51 @@ def _lsh_bands(
     bucket_cap: int | None = LSH_BUCKET_CAP,
 ) -> DataFrame:
     """(vec_id, band, key) bucket assignments for the banded self-join,
-    with oversized buckets sub-split on reserve signature bits (see
-    LSH_BUCKET_CAP). Factored out of lsh_candidate_pairs so the cap's
-    sub-bucket bound is directly testable."""
+    with oversized buckets sub-split on per-band reserve signature bits
+    (see LSH_BUCKET_CAP / _LSH_RESERVE_BITS_PER_BAND). Factored out of
+    lsh_candidate_pairs so the cap's sub-bucket bound is testable."""
     u = emb.select("vec_id", _unit(F.col("embedding")).alias("u"))
     bits_per_band = n_planes // n_bands
-    reserve = _LSH_RESERVE_BITS if bucket_cap else 0
-    bands = (
-        hyperplane_signatures(u, dim, n_planes=n_planes + reserve, seed=seed)
-        .select(
-            "vec_id",
-            # reserve key: the high `reserve` signature bits, spent only
-            # on buckets that exceed the cap (same planes for every band,
-            # which is fine: splits are within-bucket, across-band keys
-            # never compare)
-            F.expr(f"shiftright(sig, {n_planes})").alias("rk"),
-            F.explode(
-                F.array(*_band_cols(bits_per_band, n_bands=n_bands))
-            ).alias("bk"),
-        )
-        .select(
-            "vec_id",
-            "rk",
-            F.col("bk.band").alias("band"),
-            F.col("bk.key").alias("key"),
-        )
+    rb = _LSH_RESERVE_BITS_PER_BAND if bucket_cap else 0
+    sigs = hyperplane_signatures(
+        u, dim, n_planes=n_planes, seed=seed, reserve_planes=rb * n_bands
     )
+    per_band = 8 if not rb else _RESERVE_WORD_BITS // rb  # bands per word
+
+    def _rk(bi: int):
+        # band bi's disjoint reserve slice from its packed word
+        w, off = divmod(bi, per_band)
+        return (
+            F.expr(f"shiftright(rk{w}, {off * rb})")
+            .bitwiseAND((1 << rb) - 1)
+            .alias("rkey")
+        )
+
+    mask = (1 << bits_per_band) - 1
+    bands = sigs.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.expr(f"shiftright(sig, {bi * bits_per_band})")
+                        .bitwiseAND(mask)
+                        .alias("key"),
+                        *([_rk(bi)] if rb else []),
+                    )
+                    for bi in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vec_id", "bk.*")
     if not bucket_cap:
-        return bands.drop("rk")
+        return bands
     # bucket census: at most n_bands * 2^bits_per_band rows — AQE
     # broadcasts it back onto the bands frame, no corpus shuffle.
     # extra = floor(log2((cnt-1)/cap)) + 1 (exact-power-robust) so that
-    # cnt / 2^extra <= cap in expectation; clamped to the reserve width.
+    # cnt / 2^extra <= cap in expectation; clamped to the per-band
+    # reserve width.
     sizes = (
         bands.groupBy("band", "key")
         .agg(F.count("*").alias("cnt"))
@@ -683,7 +736,7 @@ def _lsh_bands(
             F.when(
                 F.col("cnt") > bucket_cap,
                 F.least(
-                    F.lit(reserve),
+                    F.lit(rb),
                     (
                         F.floor(
                             F.log2(
@@ -706,7 +759,7 @@ def _lsh_bands(
         # original key occupies the high bits so packed keys never
         # collide across buckets of the same band
         F.expr(
-            f"shiftleft(key, {reserve}) + (rk & (shiftleft(1L, extra) - 1))"
+            f"shiftleft(key, {rb}) + (rkey & (shiftleft(1L, extra) - 1))"
         ).alias("key"),
     )
 

@@ -586,6 +586,13 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = PR_ITERS) -> DataF
                     )
                 ).alias("rank"),
             )
+            # localCheckpoint is safe HERE because the generation count
+            # is bounded by PR_ITERS=10 (plus 3 setup checkpoints) per
+            # call — under the ~16-generation cliff where repeated local
+            # checkpointing starts degrading super-linearly in this
+            # Spark build (measured in _barrier's docstring). Anything
+            # iterating deeper must use the scratch-parquet _barrier,
+            # as connected_components does.
             .localCheckpoint(eager=True)
         )
         ranks.unpersist()
