@@ -62,6 +62,7 @@ ALLOWED = {
     ],
     "functions/text.py": [
         r"n_docs\b",  # 1-row corpus-size scalar
+        r"cap\b",  # 1-row median-derived per-source cap (x_source_cap)
         r"corpus_stats\b",  # 1-row (N, avgdl) aggregate
         r"term_df\b",  # BM25 df table: |query terms| rows
         r"n$",  # 1-row doc-count aggregate (x_tfidf_terms)
