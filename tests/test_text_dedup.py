@@ -327,3 +327,40 @@ def test_lake_dedup_ingest_equals_direct_incremental(spark, sf_dir):
     direct = x_dedup_incremental(spark, sf_dir).collect()
     composite = lake_dedup_ingest(spark, sf_dir).collect()
     assert [tuple(r) for r in direct] == [tuple(r) for r in composite]
+
+
+def test_source_cap_two_phase_exact_under_skew(spark, tmp_path):
+    """The salted two-phase per-source top-cap must equal the naive
+    single-window form on a deliberately skewed corpus (one mega-source
+    with 50x the docs of the others) — the shape where the naive window
+    serializes onto one task at scale. Exactness argument under test:
+    every global top-cap row also ranks <= cap within its salt cell, so
+    phase 1 never discards a keeper."""
+    from pyspark.sql import Window
+
+    rows = [(i, "mega") for i in range(1000)] + [
+        (10_000 + s * 100 + i, f"s{s}") for s in range(5) for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    d = str(tmp_path / "skew")
+    docs.write.parquet(f"{d}/documents.parquet")
+    got = [tuple(r) for r in T.x_source_cap(spark, d).collect()]
+
+    per_src = docs.groupBy("source").agg(F.count("*").alias("n"))
+    cap_v = per_src.agg(
+        F.ceil(T.SOURCE_CAP_MULT * F.expr("percentile(n, 0.5d)")).alias("c")
+    ).first()["c"]
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    naive = [
+        tuple(r)
+        for r in docs.select("doc_id", "source")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= cap_v)
+        .orderBy("source", "doc_id")
+        .collect()
+    ]
+    assert got == naive
+    # the cap actually bit on the mega source
+    assert sum(1 for _, s, _ in got if s == "mega") == cap_v < 1000

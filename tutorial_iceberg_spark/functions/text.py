@@ -925,6 +925,7 @@ def x_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SOURCE_CAP_MULT = 0.8  # cap = ceil(mult * median docs-per-source)
+SOURCE_CAP_SALTS = 16  # phase-1 split factor for skewed mega-sources
 
 
 @register(
@@ -958,10 +959,14 @@ SOURCE_CAP_MULT = 0.8  # cap = ceil(mult * median docs-per-source)
     "everything or nothing as the corpus grows — the q11 lesson): it "
     "derives from the corpus's own source-size distribution, and Spark "
     "percentile == DuckDB quantile_cont bit-for-bit. Shape: one "
-    "|sources|-row aggregate + a 1-row broadcast cap + one "
-    "hash-partitioned window per source — the window shuffles on the "
-    "same source key the aggregate already grouped by, and skewed "
-    "mega-sources are exactly the rows the cap discards",
+    "|sources|-row aggregate + a 1-row broadcast cap + an EXACT salted "
+    "two-phase per-source top-cap — phase 1 ranks within (source, salt) "
+    "cells so a mega-source splits SOURCE_CAP_SALTS ways instead of "
+    "serializing onto one window task, and keeps each cell's local "
+    "top-cap (a superset of the global top-cap by a pigeonhole "
+    "argument); phase 2 runs the exact per-source window on the "
+    "survivors, whose per-source size is bounded by salts x cap "
+    "regardless of how skewed the raw source is",
     tags=("text", "sampling", "extension"),
 )
 def x_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -970,13 +975,25 @@ def x_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap = per_src.agg(
         F.ceil(SOURCE_CAP_MULT * F.expr("percentile(n, 0.5d)")).alias("cap")
     )
-    w = Window.partitionBy("source").orderBy(
-        F.md5(F.col("doc_id").cast("string")), "doc_id"
-    )
-    return (
-        docs.select("doc_id", "source")
-        .withColumn("rk", F.row_number().over(w))
+    order = [F.md5(F.col("doc_id").cast("string")), F.col("doc_id")]
+    # phase 1: local top-cap per (source, salt) — every row of the
+    # source's global top-cap ranks <= cap within its own salt cell too,
+    # so filtering local rank > cap only discards rows that can never
+    # rank <= cap globally. The shuffle key (source, salt) bounds any
+    # one task's rows at ~|source| / SOURCE_CAP_SALTS.
+    salt = F.pmod(F.xxhash64("doc_id"), F.lit(SOURCE_CAP_SALTS))
+    w_local = Window.partitionBy("source", "salt").orderBy(*order)
+    survivors = (
+        docs.select("doc_id", "source", salt.alias("salt"))
+        .withColumn("lrk", F.row_number().over(w_local))
         .crossJoin(F.broadcast(cap))
+        .filter(F.col("lrk") <= F.col("cap"))
+    )
+    # phase 2: exact global rank per source over <= salts * cap
+    # survivors — bounded state no matter the source skew
+    w = Window.partitionBy("source").orderBy(*order)
+    return (
+        survivors.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= F.col("cap"))
         .select("doc_id", "source", "rk")
         .orderBy("source", "doc_id")
