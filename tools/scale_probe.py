@@ -106,6 +106,14 @@ GATE_SWITCHERS = {
 BNLJ_BOUNDED_OK = {
     "x_ann_ivf_cosine",  # crossJoin(broadcast(cents)), 16 rows
     "x_ann_ivf_pq",  # same coarse quantizer + 16-row codebook LUT
+    # 1-row scalar-aggregate crossJoins (corpus stats / doc count /
+    # median-derived cap): Spark plans crossJoin(broadcast(<1 row>)) as
+    # BroadcastNestedLoopJoin; the sides are aggregates, not tables, so
+    # they cannot grow (tests/test_plans.py ALLOWED sweep proves each)
+    "x_bm25_search",
+    "x_tfidf_terms",
+    "x_keyword_extract",
+    "x_source_cap",
 }
 
 
@@ -228,6 +236,11 @@ def main() -> None:
     spark = get_spark(app_name="scale-probe")
     specs = all_queries()
     rows = _probe_callables(specs)
+    # any registered query can be probed by exact name, beyond the
+    # default at-risk family
+    for f in name_filter:
+        if f in specs and f not in rows:
+            rows[f] = specs[f].builder
     if name_filter:
         rows = {
             n: b
