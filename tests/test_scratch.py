@@ -1,0 +1,102 @@
+"""The cluster-portable scratch root (round-9 verdict Next #2).
+
+Every operator family that materializes scratch state must honor
+``TIS_SCRATCH_DIR`` (via ``tutorial_iceberg_spark.scratch``): on a real
+multi-node cluster that variable points at a shared filesystem, and any
+site still writing to a driver-local tmpdir silently breaks there. The
+test sets the knob to a fresh directory, runs one representative query
+from each scratch-using family, and asserts (a) every artifact landed
+under the knob, (b) the deferred-cleanup reaper removes what it tracked.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tutorial_iceberg_spark import scratch
+
+
+@pytest.fixture()
+def scratch_root(tmp_path):
+    root = str(tmp_path / "shared_scratch")
+    scratch.set_scratch_root(root)
+    # drain anything earlier tests deferred so the reap assertion below
+    # counts only this test's registrations
+    scratch.reap()
+    yield root
+    scratch.reap()
+    scratch.set_scratch_root(None)
+
+
+def _entries(root):
+    if not os.path.isdir(root):
+        return set()
+    return set(os.listdir(root))
+
+
+def test_graph_cc_uses_scratch_root(spark, scratch_root):
+    from tutorial_iceberg_spark.operators.graph import connected_components
+
+    nodes = spark.range(0, 12).withColumnRenamed("id", "id")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4), (5, 6), (6, 7), (7, 8)], "src long, dst long"
+    )
+    out = connected_components(nodes, edges)
+    comps = {r["id"]: r["comp"] for r in out.collect()}
+    assert comps[2] == comps[0] and comps[8] == comps[5]
+    cc_dirs = [e for e in _entries(scratch_root) if e.startswith("tis_cc_")]
+    assert cc_dirs, "CC scratch did not land under TIS_SCRATCH_DIR"
+    # final labels parquet is deferred: reap removes it
+    assert scratch.reap() >= 1
+    assert not [e for e in _entries(scratch_root) if e.startswith("tis_cc_")]
+
+
+def test_graph_cc_error_path_cleans_scratch(spark, scratch_root, monkeypatch):
+    import tutorial_iceberg_spark.operators.graph as graph
+
+    monkeypatch.setattr(graph, "MAX_CC_ROUNDS", 0)  # force non-convergence
+    nodes = spark.range(0, 4)
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        graph.connected_components(nodes, edges)
+    assert not [e for e in _entries(scratch_root) if e.startswith("tis_cc_")], (
+        "non-convergence must not leak the scratch directory"
+    )
+
+
+def test_lakehouse_sinks_f14_use_scratch_root(spark, sf_dir, scratch_root):
+    from tutorial_iceberg_spark.registry import all_queries
+
+    q = all_queries()
+    # one representative per scratch-using family
+    assert q["lake_create_insert_read"].builder(spark, sf_dir).count() > 0
+    assert q["s3_csv_roundtrip"].builder(spark, sf_dir).count() > 0
+    assert q["f14_timestamp_ns_roundtrip"].builder(spark, sf_dir).count() > 0
+    got = _entries(scratch_root)
+    for expected in ("tis_lake", "tis_scratch", "tis_ns_roundtrip"):
+        assert expected in got, f"{expected} not rooted at TIS_SCRATCH_DIR"
+    # deferred dirs (lake warehouse + ns roundtrip) reap clean
+    assert scratch.reap() >= 2
+
+
+def test_bucketed_join_uses_scratch_root(spark, sf_dir, scratch_root):
+    from tutorial_iceberg_spark.registry import all_queries
+
+    q = all_queries()
+    assert q["s10_bucketed_join"].builder(spark, sf_dir).count() >= 0
+    assert "tis_buckets" in _entries(scratch_root)
+
+
+def test_env_var_resolution(monkeypatch, tmp_path):
+    scratch.set_scratch_root(None)
+    monkeypatch.setenv(scratch.ENV_VAR, str(tmp_path / "envroot"))
+    assert scratch.scratch_root() == str(tmp_path / "envroot")
+    d = scratch.scratch_dir("fam", unique=True)
+    assert d.startswith(str(tmp_path / "envroot"))
+    assert os.path.isdir(d)
+    scratch.defer_cleanup(d)
+    assert scratch.reap() == 1
+    assert not os.path.exists(d)

@@ -138,7 +138,7 @@ def test_shard_corpus_covers_and_balances(spark, sf_dir):
     mean = n_total / CORPUS_SHARDS
     assert all(r["n_docs"] <= 3 * mean for r in rows)
     # physical layout: one shard=N directory per shard
-    path = os.path.join(sinks.SCRATCH_BASE, "shard_corpus")
+    path = sinks.scratch_dir("shard_corpus")
     dirs = sorted(glob.glob(os.path.join(path, "shard=*")))
     assert len(dirs) == CORPUS_SHARDS
 

@@ -410,3 +410,29 @@ def test_embed_fold_gate_auto_resolution(sf_dir):
     assert V._bitexact_auto(sf_dir, "embeddings", None) is True
     assert V._bitexact_auto(sf_dir, "embeddings", False) is False
     assert V._bitexact_auto(sf_dir, "embeddings", True) is True
+
+
+def test_lsh_clamp_binding_is_surfaced(spark, sf_dir):
+    """No silent caps (round-9 ADVICE): when a bucket is denser than
+    2^reserve_bits * cap, the reserve width cannot split it down to the
+    cap — the generator must WARN and record the event rather than
+    quietly weakening its O(n_bands * n * cap) candidate bound."""
+    import warnings as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = emb.select(F.size("embedding")).first()[0]
+    n = emb.count()
+    rb = V._LSH_RESERVE_BITS_PER_BAND
+    cap = 1  # clamp threshold 2^rb rows; natural buckets are ~n/4 >> that
+    assert n / 4 > (1 << rb), "fixture too small to bind the clamp"
+    V._LSH_CLAMP_EVENTS.clear()
+    with W.catch_warnings(record=True) as rec:
+        W.simplefilter("always")
+        out = V._lsh_bands(emb, dim, bucket_cap=cap)
+        assert out.count() > 0  # frame still valid, just denser than cap
+    assert any("clamp binds" in str(w.message) for w in rec)
+    assert V._LSH_CLAMP_EVENTS and "residual" in V._LSH_CLAMP_EVENTS[-1]
+    # and at the default cap on this fixture the clamp must NOT bind
+    V._LSH_CLAMP_EVENTS.clear()
+    V._lsh_bands(emb, dim).count()
+    assert not V._LSH_CLAMP_EVENTS

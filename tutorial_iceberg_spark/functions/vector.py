@@ -672,6 +672,11 @@ LSH_BUCKET_CAP = 512
 # signature matmul.
 _LSH_RESERVE_BITS_PER_BAND = 6
 
+# Observability for the cap clamp (tests + operators can inspect): every
+# time a bucket census finds buckets too dense for the reserve width to
+# split down to the cap, the warning text is appended here.
+_LSH_CLAMP_EVENTS: list[str] = []
+
 
 def _lsh_bands(
     emb: DataFrame,
@@ -720,19 +725,30 @@ def _lsh_bands(
             )
         ).alias("bk"),
     ).select("vec_id", "bk.*")
+    # Materialize the exploded bands ONCE (lazy local checkpoint,
+    # realized by the first downstream job): the bucket census and BOTH
+    # sides of the candidate self-join read this frame, so without a
+    # barrier the Arrow signature matmul re-runs 3+ times per call
+    # (round-9 ADVICE low). Two checkpoint generations — far under this
+    # build's measured ~16-generation localCheckpoint cliff.
+    bands = bands.localCheckpoint(eager=False)
     if not bucket_cap:
         return bands
     # bucket census: at most n_bands * 2^bits_per_band rows — AQE
     # broadcasts it back onto the bands frame, no corpus shuffle.
     # extra = floor(log2((cnt-1)/cap)) + 1 (exact-power-robust) so that
     # cnt / 2^extra <= cap in expectation; clamped to the per-band
-    # reserve width.
+    # reserve width, so the WORST-CASE residual bound is 2^rb * cap rows
+    # in one sub-bucket (a bucket denser than that cannot split further
+    # on rb reserve bits). The clamp binding is surfaced, never silent —
+    # see the census check below.
     sizes = (
         bands.groupBy("band", "key")
         .agg(F.count("*").alias("cnt"))
         .select(
             "band",
             "key",
+            "cnt",
             F.when(
                 F.col("cnt") > bucket_cap,
                 F.least(
@@ -750,17 +766,48 @@ def _lsh_bands(
             .otherwise(F.lit(0))
             .alias("extra"),
         )
-    )
-    return bands.join(sizes, ["band", "key"]).select(
-        "vec_id",
-        "band",
-        # extend the bucket key with `extra` reserve bits: `extra` is
-        # per-bucket constant so the split is consistent, and the
-        # original key occupies the high bits so packed keys never
-        # collide across buckets of the same band
-        F.expr(
-            f"shiftleft(key, {rb}) + (rkey & (shiftleft(1L, extra) - 1))"
-        ).alias("key"),
+    ).localCheckpoint(eager=False)  # tiny; read by clamp check + join
+    # No silent caps (repo convention): if any bucket exceeds
+    # 2^rb * cap, the reserve width cannot fully split it and the
+    # O(n_bands * n * cap) candidate bound quietly degrades toward the
+    # residual 2^rb * cap bound — warn with the worst offender so a
+    # deployment at extreme density raises rb / n_planes instead of
+    # discovering it in wall time. One aggregation job on the <=
+    # n_bands * 2^bits_per_band-row census, nothing corpus-sized.
+    over = sizes.agg(
+        F.sum(
+            F.when(F.col("cnt") > (bucket_cap << rb), 1).otherwise(0)
+        ).alias("n_clamped"),
+        F.max(F.col("cnt")).alias("max_cnt"),
+    ).first()
+    if over["n_clamped"]:
+        import warnings
+
+        msg = (
+            f"LSH bucket cap clamp binds: {over['n_clamped']} bucket(s) "
+            f"exceed 2^{rb} * cap = {bucket_cap << rb} rows (max "
+            f"{over['max_cnt']}); residual per-sub-bucket bound is "
+            f"2^{rb} * cap. Raise _LSH_RESERVE_BITS_PER_BAND or n_planes "
+            "for this density."
+        )
+        _LSH_CLAMP_EVENTS.append(msg)
+        warnings.warn(msg)
+    return (
+        bands.join(sizes, ["band", "key"])
+        .select(
+            "vec_id",
+            "band",
+            # extend the bucket key with `extra` reserve bits: `extra` is
+            # per-bucket constant so the split is consistent, and the
+            # original key occupies the high bits so packed keys never
+            # collide across buckets of the same band
+            F.expr(
+                f"shiftleft(key, {rb}) + (rkey & (shiftleft(1L, extra) - 1))"
+            ).alias("key"),
+        )
+        # both sides of the downstream self-join alias this frame;
+        # checkpoint so the split-key join computes once, not per alias
+        .localCheckpoint(eager=False)
     )
 
 

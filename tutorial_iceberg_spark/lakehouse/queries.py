@@ -13,12 +13,11 @@ lives in tests/test_lakehouse.py.
 from __future__ import annotations
 
 import os
-import tempfile
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tutorial_iceberg_spark import scratch as _scratch
 from tutorial_iceberg_spark.io import load_table
 from tutorial_iceberg_spark.lakehouse.table import LakeTable
 from tutorial_iceberg_spark.registry import register
@@ -34,8 +33,13 @@ ORDERS_COLS = "o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, 
 def _fresh_table(
     spark: SparkSession, name: str, ddl: str = ORDERS_DDL, **kwargs
 ) -> LakeTable:
-    wh = os.path.join(tempfile.gettempdir(), "tis_lake", name, uuid.uuid4().hex[:8])
-    os.makedirs(wh, exist_ok=True)
+    # Warehouse temps under the cluster-portable scratch root (shared
+    # filesystem on multi-node: executors write data files, the driver
+    # writes metadata — both must resolve the same path). Returned frames
+    # read the table, so removal is deferred to the scratch reaper
+    # (round-9 ADVICE: repeated oracle/bench runs must not accumulate
+    # unbounded table copies).
+    wh = _scratch.defer_cleanup(_scratch.scratch_dir("tis_lake", name, unique=True))
     return LakeTable.create(spark, os.path.join(wh, "t"), ddl, name=name, **kwargs)
 
 
@@ -533,10 +537,9 @@ def lake_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def lake_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    wh = os.path.join(
-        tempfile.gettempdir(), "tis_lake", "inc_rollup", uuid.uuid4().hex[:8]
+    wh = _scratch.defer_cleanup(
+        _scratch.scratch_dir("tis_lake", "inc_rollup", unique=True)
     )
-    os.makedirs(wh, exist_ok=True)
     t = LakeTable.create(
         spark,
         os.path.join(wh, "t"),

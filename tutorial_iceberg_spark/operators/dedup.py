@@ -786,16 +786,16 @@ def x_fuzzy_verify_lev(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def lake_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
-    import uuid
 
+    from tutorial_iceberg_spark import scratch as _scratch
     from tutorial_iceberg_spark.lakehouse.table import LakeTable
 
     docs = load_table(spark, sf_dir, "documents")
-    wh = os.path.join(
-        tempfile.gettempdir(), "tis_lake", "dedup_ingest", uuid.uuid4().hex[:8]
+    # Cluster-portable scratch; deferred to the reaper (round-9 ADVICE:
+    # no unbounded table-copy accumulation across oracle/bench runs).
+    wh = _scratch.defer_cleanup(
+        _scratch.scratch_dir("tis_lake", "dedup_ingest", unique=True)
     )
-    os.makedirs(wh, exist_ok=True)
     t = LakeTable.create(
         spark,
         os.path.join(wh, "t"),

@@ -215,6 +215,11 @@ def _barrier(df: DataFrame, path: str) -> DataFrame:
     plan provably constant-size. A parquet roundtrip is flat (~0.4
     s/step, same loop) and is exactly what a cluster deployment does for
     iterative state anyway: durable scratch storage, restartable rounds.
+
+    ``path`` comes from ``tutorial_iceberg_spark.scratch`` — on a
+    multi-node cluster set ``TIS_SCRATCH_DIR`` to a SHARED filesystem
+    (HDFS/NFS/object-store mount); a driver-local tmpdir only works on
+    ``local[*]`` where all executor threads share the node.
     """
     df.write.mode("overwrite").parquet(path)
     return df.sparkSession.read.parquet(path)
@@ -237,9 +242,10 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     is materialized, so scratch usage is O(nodes + edges).
     """
     import shutil as _shutil
-    import tempfile as _tempfile
 
-    scratch = _tempfile.mkdtemp(prefix="tis_cc_")
+    from tutorial_iceberg_spark import scratch as _scratch
+
+    scratch = _scratch.mkdtemp(prefix="tis_cc_")
     sym = edges.select(
         F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
     )
@@ -261,6 +267,34 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     )
     _sum = F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
     prev_total = labels.agg(_sum).first()["s"]
+
+    try:
+        labels = _cc_rounds(sym, labels, scratch, _sum, prev_total)
+    except BaseException:
+        # error path (non-convergence, task failure, interrupt): nothing
+        # downstream references the scratch — remove it all before
+        # re-raising instead of leaking edges + every label generation
+        # (round-9 ADVICE low, graph.py error path).
+        _shutil.rmtree(scratch, ignore_errors=True)
+        raise
+    # edge lists + initial labels are no longer referenced by the
+    # returned frame and are deleted inside _cc_rounds; the final round's
+    # labels parquet must outlive the call (the returned DataFrame reads
+    # it), so it is handed to the scratch reaper — removed at process
+    # exit, or earlier if a long-lived session calls scratch.reap() once
+    # results are collected (round-8 verdict low #b: no unbounded
+    # accumulation across many CC calls).
+    _scratch.defer_cleanup(scratch)
+    return labels
+
+
+def _cc_rounds(sym, labels, scratch, _sum, prev_total):
+    """The propagation/contraction loop of connected_components.
+
+    Split out so the caller can wrap the whole iterative phase in one
+    error-path cleanup; semantics documented on connected_components.
+    """
+    import shutil as _shutil
 
     last_path = None
     for rnd in range(MAX_CC_ROUNDS):
@@ -330,9 +364,9 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
             _shutil.rmtree(f"{scratch}/edges_{rnd - 1}", ignore_errors=True)
     else:
         raise RuntimeError(f"CC did not converge in {MAX_CC_ROUNDS} rounds")
-    # edge lists + initial labels are no longer referenced by the
-    # returned frame; the final round's labels parquet must outlive the
-    # call (the returned DataFrame reads it) and rides on OS tmp cleanup.
+    # Intermediate state cleanup: only the final round's labels parquet
+    # stays (the returned DataFrame reads it; the caller defers it to
+    # the scratch reaper).
     import glob as _glob
 
     for d in _glob.glob(f"{scratch}/edges*") + [f"{scratch}/labels_init"]:

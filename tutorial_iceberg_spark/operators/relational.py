@@ -2497,10 +2497,7 @@ def f13_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("functions", "temporal", "extension"),
 )
 def f14_timestamp_ns_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import tempfile
-    import uuid
-
+    from tutorial_iceberg_spark import scratch as _scratch
     from tutorial_iceberg_spark.io import table_path
     from tutorial_iceberg_spark.session import apply_engine_conf
 
@@ -2516,8 +2513,9 @@ def f14_timestamp_ns_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = raw.filter(F.col("event_id") % 11 == 0).select(
         "event_id", ns_col.alias("ts_ns")
     )
-    out = os.path.join(
-        tempfile.gettempdir(), "tis_ns_roundtrip", uuid.uuid4().hex[:8]
+    # returned frame reads the round-trip parquet -> deferred cleanup
+    out = _scratch.defer_cleanup(
+        _scratch.scratch_dir("tis_ns_roundtrip", unique=True)
     )
     staged.write.mode("overwrite").parquet(out)  # int64 ns: lossless
     back = spark.read.parquet(out)

@@ -17,12 +17,12 @@ file/task sizes at the expected data volume (128-512 MB per bucket-file);
 from __future__ import annotations
 
 import os
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tutorial_iceberg_spark import scratch as _scratch
 from tutorial_iceberg_spark.functions.numeric import dec
 from tutorial_iceberg_spark.io import load_table
 from tutorial_iceberg_spark.registry import register
@@ -35,7 +35,13 @@ def write_bucketed(
 ) -> str:
     """Write df as a bucketed+sorted external table; returns the table name.
     Sorting within buckets lets the join skip its per-task sort too."""
-    path = os.path.join(tempfile.gettempdir(), "tis_buckets", uuid.uuid4().hex[:8], table)
+    # Bucketed table files must be visible to every executor reading the
+    # join -> cluster-portable scratch root (TIS_SCRATCH_DIR); the join
+    # result reads these files, so removal rides the scratch reaper.
+    path = os.path.join(
+        _scratch.defer_cleanup(_scratch.scratch_dir("tis_buckets", unique=True)),
+        table,
+    )
     (
         df.write.mode("overwrite")
         .option("path", path)

@@ -23,8 +23,9 @@ JVM. On a real multi-JVM cluster this exact demo would fail to boot from
 the executors — point the URL at a server-form database instead (Derby
 network server ``jdbc:derby://host/db``, or PostgreSQL/MySQL/...); the
 reader/writer wrappers themselves are cluster-correct, the embedded URL is
-the demo fixture. Per-run scratch databases live under /tmp/tis_jdbc and
-stale ones are swept on the next run.
+the demo fixture. Per-run scratch databases live under
+``<TIS_SCRATCH_DIR or tmpdir>/tis_jdbc`` and stale ones are swept on the
+next run.
 """
 
 from __future__ import annotations
@@ -88,8 +89,18 @@ def write_jdbc(
     w.mode(mode).save()
 
 
-_SCRATCH_ROOT = "/tmp/tis_jdbc"
 _STALE_AFTER_SEC = 3600  # grace window: never sweep a possibly-live run
+
+
+def _scratch_root() -> str:
+    # Embedded-Derby demo databases under the cluster-portable scratch
+    # root. Note the honest caveat: embedded Derby itself is a
+    # single-node fixture (every executor JVM opens the db path via
+    # JDBC); a real cluster points read_jdbc at an actual database URL,
+    # at which point no scratch is involved.
+    from tutorial_iceberg_spark import scratch as _scratch
+
+    return _scratch.scratch_dir("tis_jdbc")
 
 
 def _sweep_stale_scratch() -> None:
@@ -98,12 +109,12 @@ def _sweep_stale_scratch() -> None:
     database is never deleted; the new run's own directory is created
     after the sweep."""
     try:
-        entries = os.listdir(_SCRATCH_ROOT)
+        entries = os.listdir(_scratch_root())
     except FileNotFoundError:
         return
     cutoff = time.time() - _STALE_AFTER_SEC
     for name in entries:
-        p = os.path.join(_SCRATCH_ROOT, name)
+        p = os.path.join(_scratch_root(), name)
         try:
             if os.path.getmtime(p) < cutoff:
                 shutil.rmtree(p, ignore_errors=True)
@@ -114,10 +125,10 @@ def _sweep_stale_scratch() -> None:
 def _embedded_derby_url(spark: SparkSession) -> str:
     # keep Derby's boot log out of the repo cwd (read once at engine boot)
     spark._jvm.java.lang.System.setProperty(
-        "derby.stream.error.file", "/tmp/derby.log"
+        "derby.stream.error.file", os.path.join(_scratch_root(), "derby.log")
     )
     _sweep_stale_scratch()
-    db = os.path.join(_SCRATCH_ROOT, uuid.uuid4().hex[:12], "db")
+    db = os.path.join(_scratch_root(), uuid.uuid4().hex[:12], "db")
     os.makedirs(os.path.dirname(db), exist_ok=True)
     return f"jdbc:derby:{db};create=true"
 

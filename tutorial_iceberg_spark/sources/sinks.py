@@ -16,22 +16,22 @@ file per partition instead of spraying small files.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tutorial_iceberg_spark import scratch as _scratch
 from tutorial_iceberg_spark.io import load_table
 from tutorial_iceberg_spark.functions.numeric import dsum, o_dsum
 from tutorial_iceberg_spark.registry import register
 
-SCRATCH_BASE = os.path.join(tempfile.gettempdir(), "tis_scratch")
-
 
 def scratch_dir(name: str) -> str:
-    path = os.path.join(SCRATCH_BASE, name)
-    os.makedirs(SCRATCH_BASE, exist_ok=True)
-    return path
+    """Sink round-trip staging under the cluster-portable scratch root
+    (TIS_SCRATCH_DIR on multi-node deploys — executors must see the same
+    path the read-back scan resolves). Fixed names (no uuid): each
+    round-trip overwrites its own dir, so repeated runs reuse space."""
+    return os.path.join(_scratch.scratch_dir("tis_scratch"), name)
 
 
 def write_csv(df: DataFrame, path: str) -> None:

@@ -81,11 +81,16 @@ def run_stream(stream_df: DataFrame, mode: str = "complete") -> DataFrame:
     ever sees the paths.
     """
     import os
-    import tempfile
+
+    from tutorial_iceberg_spark import scratch as _scratch
 
     spark = stream_df.sparkSession
-    root = os.path.join(
-        tempfile.gettempdir(), "tis_stream_spill", uuid.uuid4().hex[:12]
+    # Shared-filesystem scratch (TIS_SCRATCH_DIR on clusters): the sink
+    # and checkpoint dirs are read/written by executor tasks across
+    # micro-batches, so a driver-local tmpdir only works on local[*].
+    # The returned frame reads out_dir -> defer removal to the reaper.
+    root = _scratch.defer_cleanup(
+        _scratch.scratch_dir("tis_stream_spill", unique=True)
     )
     out_dir = os.path.join(root, "out")
     chk_dir = os.path.join(root, "_chk")
@@ -562,15 +567,16 @@ def make_idempotent_ingest(table):
 )
 def x_stream_lakehouse_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
 
+    from tutorial_iceberg_spark import scratch as _scratch
     from tutorial_iceberg_spark.lakehouse.table import LakeTable
 
     ev = read_events_stream(spark, sf_dir)
-    root = os.path.join(
-        tempfile.gettempdir(), "tis_stream_sink", uuid.uuid4().hex[:8]
+    # Table + checkpoint state crosses micro-batches -> shared scratch on
+    # clusters (TIS_SCRATCH_DIR); result frame reads the table -> reaper.
+    root = _scratch.defer_cleanup(
+        _scratch.scratch_dir("tis_stream_sink", unique=True)
     )
-    os.makedirs(root, exist_ok=True)
     table = LakeTable.create(
         spark,
         os.path.join(root, "events_ingest"),
