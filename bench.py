@@ -84,6 +84,151 @@ HEADLINE = (
 # reference host) to judge whether a raw delta is machine noise.
 CALIBRATION_REF_SEC = 0.24
 
+# ---------------------------------------------------------------------------
+# Paired A/B vs the previous round's tip (VERDICT r8 Next #3): raw
+# round-over-round totals are not interpretable on this host (the r8 suite
+# measured 1.12x r7 on 28/30 code-untouched queries; the builder's own quiet
+# runs spanned 29.2-34.0 s, and the CPU calibration probe does not capture
+# IO/hypervisor drift). The drift-immune measurement is to run BOTH code
+# versions in the SAME Spark session, interleaved ABBA (prev, cur, cur,
+# prev — a monotone drift cancels in the means), and report the per-query
+# paired ratio. The previous tip comes from BENCH_PREV_REF (updated at each
+# round's end) checked out into a .bench_prev/ worktree; its package
+# temporarily shadows the current one on sys.path while its pass runs.
+# Degrades gracefully (paired: null + reason) when git/worktree/ref is
+# unavailable, so the headline JSON contract never breaks.
+# ---------------------------------------------------------------------------
+PAIRED_PASSES = ("prev", "cur", "cur", "prev")
+
+
+def _prev_worktree(repo_root: str) -> str | None:
+    """Materialize BENCH_PREV_REF into .bench_prev/; None if unavailable."""
+    import subprocess
+
+    ref_file = os.path.join(repo_root, "BENCH_PREV_REF")
+    if not os.path.exists(ref_file):
+        return None
+    with open(ref_file) as fh:
+        sha = fh.readline().split()[0]
+    wt = os.path.join(repo_root, ".bench_prev")
+
+    def git(*args, cwd=repo_root):
+        return subprocess.run(
+            ["git", *args], cwd=cwd, check=True, capture_output=True, text=True
+        ).stdout.strip()
+
+    try:
+        git("rev-parse", "--verify", f"{sha}^{{commit}}")
+        if os.path.exists(os.path.join(wt, ".git")):
+            if git("rev-parse", "HEAD", cwd=wt) != sha:
+                git("checkout", "--detach", sha, cwd=wt)
+        else:
+            git("worktree", "prune")
+            git("worktree", "add", "--detach", "--force", wt, sha)
+        return wt
+    except Exception as e:
+        print(f"# paired: prev worktree unavailable ({e})", file=sys.stderr)
+        return None
+
+
+class _package_from:
+    """Context manager: import tutorial_iceberg_spark from ``root``,
+    shadowing the current package; restores the caller's modules on exit."""
+
+    _PKGS = ("tutorial_iceberg_spark",)
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def _purge(self):
+        out = {}
+        for m in list(sys.modules):
+            if any(m == p or m.startswith(p + ".") for p in self._PKGS):
+                out[m] = sys.modules.pop(m)
+        return out
+
+    def __enter__(self):
+        self.saved = self._purge()
+        sys.path.insert(0, self.root)
+        from tutorial_iceberg_spark.registry import all_queries as aq
+
+        return aq()
+
+    def __exit__(self, *exc):
+        sys.path.remove(self.root)
+        self._purge()
+        sys.modules.update(self.saved)
+        return False
+
+
+def run_paired(spark, sf_dir: str, repo_root: str):
+    """ABBA-interleaved prev-vs-current timing; one run per query per pass.
+
+    Returns the ``paired`` JSON block or a {skipped: reason} stub. Uses
+    full registered builders on both sides (setup∘op for lake entries —
+    the pair is like-for-like, so fixture cost cancels in the ratio)."""
+    if os.environ.get("BENCH_PAIRED", "1") == "0":
+        return {"skipped": "BENCH_PAIRED=0"}
+    wt = _prev_worktree(repo_root)
+    if wt is None:
+        return {"skipped": "prev worktree unavailable"}
+
+    warm_sf = "/root/testdata/sf0.001"
+    times: dict[str, dict[str, list[float]]] = {}
+    shared: list[str] | None = None
+    warmed_prev = False
+    for pass_i, version in enumerate(PAIRED_PASSES):
+        root = wt if version == "prev" else repo_root
+        with _package_from(root) as specs:
+            if shared is None:
+                shared = [n for n in HEADLINE if n in specs]
+            if version == "prev" and not warmed_prev:
+                # prev code generates its own plans: one codegen/JIT warm
+                # pass at the smallest SF before its first timed pass
+                for name in shared:
+                    try:
+                        specs[name].builder(spark, warm_sf).collect()
+                    except Exception as e:
+                        print(f"# paired warmup {name}: {e}", file=sys.stderr)
+                warmed_prev = True
+            for name in shared:
+                if name not in specs:
+                    continue
+                try:
+                    t0 = time.perf_counter()
+                    specs[name].builder(spark, sf_dir).collect()
+                    dt = time.perf_counter() - t0
+                except Exception as e:
+                    print(f"# paired {name} [{version}]: {e}", file=sys.stderr)
+                    continue
+                times.setdefault(name, {"prev": [], "cur": []})[version].append(dt)
+        print(f"# paired pass {pass_i + 1}/4 ({version}) done", file=sys.stderr)
+
+    per_query = {}
+    tot_prev = tot_cur = 0.0
+    for name, t in times.items():
+        if not t["prev"] or not t["cur"]:
+            continue
+        p = sum(t["prev"]) / len(t["prev"])
+        c = sum(t["cur"]) / len(t["cur"])
+        tot_prev += p
+        tot_cur += c
+        per_query[name] = {
+            "prev_sec": round(p, 4),
+            "cur_sec": round(c, 4),
+            "ratio": round(c / p, 4) if p > 0 else None,
+        }
+    with open(os.path.join(repo_root, "BENCH_PREV_REF")) as fh:
+        sha = fh.readline().split()[0]
+    return {
+        "prev_ref": sha,
+        "pattern": "ABBA",
+        "per_query": per_query,
+        "total_prev_sec": round(tot_prev, 4),
+        "total_cur_sec": round(tot_cur, 4),
+        "total_ratio": round(tot_cur / tot_prev, 4) if tot_prev else None,
+    }
+
 
 def run_calibration(spark) -> float:
     probe = lambda: (
@@ -171,6 +316,9 @@ def main() -> None:
         )
     cal_after = run_calibration(spark)
 
+    repo_root = os.path.dirname(os.path.abspath(__file__))
+    paired = run_paired(spark, sf_dir, repo_root)
+
     # the mean of before/after probes absorbs load drift across the run;
     # reported as a ratio only — "value" stays the raw wall-clock gate
     cal = (cal_before + cal_after) / 2
@@ -188,6 +336,7 @@ def main() -> None:
                 "calibration_sec": round(cal, 4),
                 "calibration_ref_sec": CALIBRATION_REF_SEC,
                 "calibration_ratio": round(cal / CALIBRATION_REF_SEC, 4),
+                "paired": paired,
             }
         )
     )

@@ -963,3 +963,70 @@ def test_deletion_vector_bitmap_is_offset_trimmed(cat, spark):
     assert t.read().count() == n - 1
     assert t.scan(f"k = {n - 1}").count() == 0
     assert t.scan("k = 0").count() == 1  # positions below offset survive
+
+
+# -- rewrite_manifests (round 9: metadata-side maintenance) ------------------
+
+
+def test_manifest_ids_one_per_commit_and_carryover(cat, spark):
+    """Each commit's fresh entries share ONE new manifest id; carried-over
+    entries keep theirs (Iceberg reuses existing manifest files)."""
+    t = cat.create_table("db.mf", ORDERS_DDL)
+    t.append(seed_df(spark))
+    t.append(seed_df(spark, [(10, 110, "cable", "5.00", "2024-04-01")]))
+    groups = t.manifest_groups()
+    assert len(groups) == 2
+    snap1 = t.meta.snapshot(1)
+    first_ids = {f.manifest_id for f in snap1.files}
+    assert len(first_ids) == 1
+    # the second snapshot carries snapshot-1 entries under their old id
+    head_ids = {f.manifest_id for f in t.meta.snapshot().files}
+    assert first_ids < head_ids
+
+
+def test_rewrite_manifests_zero_data_io_and_history(cat, spark):
+    """rewrite_manifests regroups entries without touching data files;
+    time travel to the pre-rewrite snapshot still sees the old grouping."""
+    t = cat.create_table("db.mfrw", ORDERS_DDL)
+    for i in range(4):
+        t.append(seed_df(spark, [(i, 100 + i, "x", "1.00", "2024-01-01")]))
+    pre = t.meta.current_snapshot_id
+    paths_before = {f.path for f in t.meta.snapshot().files}
+    rows_before = sorted(tuple(r) for r in t.read().collect())
+    assert len(t.manifest_groups()) == 4
+    t.rewrite_manifests(target_manifests=2)
+    assert {f.path for f in t.meta.snapshot().files} == paths_before
+    assert len(t.manifest_groups()) == 2
+    assert sorted(tuple(r) for r in t.read().collect()) == rows_before
+    # history intact: the pre-rewrite snapshot still plans 4 manifests
+    assert len(t.manifest_groups(t.meta.snapshot(pre))) == 4
+    s = t.meta.snapshot()
+    assert s.operation == "replace-manifests"
+    assert s.summary["manifests-before"] == 4
+
+
+def test_manifest_pruning_skips_clustered_manifests(cat, spark):
+    """After a partition-clustered rewrite, a partition predicate plans a
+    strict subset of manifests — and the pruned read stays row-correct."""
+    t = cat.create_table(
+        "db.mfprune", ORDERS_DDL, partition_by=["month(order_date)"]
+    )
+    months = ["2024-01-15", "2024-02-15", "2024-03-15", "2024-04-15"]
+    for r in range(3):  # 3 interleaved appends, each spanning all months
+        t.append(
+            seed_df(
+                spark,
+                [
+                    (r * 10 + i, 100 + i, "m", "1.00", d)
+                    for i, d in enumerate(months)
+                ],
+            )
+        )
+    pred = "order_date >= DATE '2024-03-01' AND order_date < DATE '2024-04-01'"
+    touched, total = t.plan_manifests(pred)
+    assert (touched, total) == (3, 3)  # every manifest spans every month
+    t.rewrite_manifests(target_manifests=4)
+    touched2, total2 = t.plan_manifests(pred)
+    assert total2 == 4 and touched2 < total2
+    got = sorted(r["order_id"] for r in t.scan(pred).collect())
+    assert got == [2, 12, 22]  # pruning is never load-bearing: rows exact

@@ -63,6 +63,13 @@ from tutorial_iceberg_spark.session import get_spark  # noqa: E402
 
 ID_STRIDE = 10_000_000  # shared by doc_id/vec_id/user_id copies
 EV_STRIDE = 1_000_000_000
+# TPC-H key strides (round 9: relational/lakehouse family). Every engine
+# query that slices these keys uses `key % m` with m in {2,3,4,5,7,9};
+# 720720 = 2^4*3^2*5*7*11*13 is divisible by all of them, so copy
+# offsets of k*720720 PRESERVE every mod class — each inflated copy is a
+# bit-faithful sub-database and linear growth is exact ground truth.
+ORD_STRIDE = 3 * 720_720  # > max o_orderkey at sf0.1 (149,999)
+CUST_STRIDE = 720_720  # > max c_custkey at sf0.1 (14,999)
 
 # The at-risk family (VERDICT r7 #1 next-round list): every query whose
 # cost COULD go super-linear if a candidate cap / bucketing contract
@@ -82,6 +89,25 @@ DEFAULT_PROBES = [
     "x_triangle_count",
     "x_pagerank_sim",
     "x_cooccur_pairs",
+]
+
+# Round-9 family: the fact-table half of the engine (VERDICT r8 Next #1).
+# Probed with `python tools/scale_probe.py [base] [factor] relational`.
+# customer/orders/lineitem inflate as key-offset copies (disjoint
+# sub-databases sharing the part/supplier/nation dims), so per-copy
+# results mirror the base and work is exactly linear; expected wall
+# growth is ~FACTOR for full-scan shapes and ~FLAT for the [narrow]
+# merge (whose source overlap is constant by construction).
+RELATIONAL_PROBES = [
+    "q3_shipping_priority",
+    "q8_market_share",
+    "q9_product_profit",
+    "q18_large_volume_orders",
+    "q21_sole_returning_supplier",
+    "j4_salted_skew_join",
+    "lake_merge_upsert",
+    "lake_sorted_compaction",
+    "lake_changelog",
 ]
 
 # Queries whose registered form crosses the ALL_PAIRS_MAX_ROWS auto-gate
@@ -114,6 +140,11 @@ BNLJ_BOUNDED_OK = {
     "x_tfidf_terms",
     "x_keyword_extract",
     "x_source_cap",
+    # the salt-replication crossJoin against the N_SALT=8-row broadcast
+    # salts frame (parameter-bounded; tests/test_plans.py ALLOWED) — the
+    # join itself is a hash equi-join on (key, salt)
+    "j4_salted_skew_join",
+    "j4_salted_skew_join[skew]",
 }
 
 
@@ -182,6 +213,51 @@ def _inflate_events(ev: DataFrame, factor: int) -> DataFrame:
     return out
 
 
+def _inflate_customer(cust: DataFrame, factor: int) -> DataFrame:
+    out = cust
+    for i in range(1, factor):
+        out = out.unionByName(
+            cust.select(
+                (F.col("c_custkey") + i * CUST_STRIDE).alias("c_custkey"),
+                "c_name",
+                "c_nationkey",  # nation/region dims stay shared
+                "c_acctbal",
+                "c_mktsegment",
+            )
+        )
+    return out
+
+
+def _inflate_orders(orders: DataFrame, factor: int) -> DataFrame:
+    # each copy's orders reference that copy's customers: the join graph
+    # decomposes into `factor` disjoint sub-databases
+    out = orders
+    for i in range(1, factor):
+        out = out.unionByName(
+            orders.select(
+                (F.col("o_orderkey") + i * ORD_STRIDE).alias("o_orderkey"),
+                (F.col("o_custkey") + i * CUST_STRIDE).alias("o_custkey"),
+                "o_orderstatus",
+                "o_totalprice",
+                "o_orderdate",
+                "o_orderpriority",
+            )
+        )
+    return out
+
+
+def _inflate_lineitem(li: DataFrame, factor: int) -> DataFrame:
+    # part/supplier keys stay shared (dims are not inflated): per-part /
+    # per-supplier aggregates grow exactly `factor`-fold in VALUE with
+    # constant output rows — still exact linear ground truth
+    out = li
+    for i in range(1, factor):
+        out = out.unionByName(
+            li.withColumn("l_orderkey", F.col("l_orderkey") + i * ORD_STRIDE)
+        )
+    return out
+
+
 def build_inflated(
     spark: SparkSession, base_dir: str, out_dir: str, factor: int
 ) -> None:
@@ -190,6 +266,9 @@ def build_inflated(
         "embeddings": _inflate_embeddings,
         "documents": _inflate_documents,
         "events": _inflate_events,
+        "customer": _inflate_customer,
+        "orders": _inflate_orders,
+        "lineitem": _inflate_lineitem,
     }
     for t in TABLES:
         dst = table_path(out_dir, t)
@@ -227,6 +306,93 @@ def _probe_callables(specs):
     return rows
 
 
+def _j4_skewed(spark: SparkSession, d: str) -> DataFrame:
+    """j4 under PATHOLOGICAL key skew: ~30% of ALL orders funneled onto
+    one mega-customer (the funnel fraction is scale-free, so the hot
+    key's absolute volume grows with the corpus — base ~45k rows, 10x
+    ~450k). A plain hash join puts that entire key on one task; the salt
+    scatter must keep the wall growth ~linear instead."""
+    from tutorial_iceberg_spark.operators.relational import salted_segment_revenue
+
+    orders = load_table(spark, d, "orders").withColumn(
+        "o_custkey",
+        F.when(
+            F.pmod(F.col("o_orderkey"), F.lit(10)) < 3, F.lit(1).cast("long")
+        ).otherwise(F.col("o_custkey")),
+    )
+    return salted_segment_revenue(orders, load_table(spark, d, "customer"))
+
+
+def _merge_narrow_setup(spark: SparkSession, d: str):
+    """CONSTANT-OVERLAP merge fixture: the table holds every key stripe
+    (10x the rows at 10x), but the MERGE source touches only stripe 0 —
+    constant rows by construction. Appends go one stripe per commit so
+    data files carry tight o_orderkey bounds (the layout any clustered
+    ingest produces); that is what gives MERGE's key-bounds pruning
+    something to prune. If pruning is O(overlap) the op phase stays FLAT
+    as the table grows; if it silently rewrites everything, wall growth
+    tracks the table instead."""
+    from tutorial_iceberg_spark.lakehouse.queries import _fresh_table
+
+    orders = load_table(spark, d, "orders")
+    t = _fresh_table(spark, "merge_narrow_probe")
+    n_stripes = (
+        int(
+            orders.agg(
+                F.max(F.floor(F.col("o_orderkey") / ORD_STRIDE))
+            ).first()[0]
+        )
+        + 1
+    )
+    for i in range(n_stripes):
+        t.append(
+            orders.filter(F.floor(F.col("o_orderkey") / ORD_STRIDE) == i)
+        )
+    src = orders.filter(
+        (F.col("o_orderkey") < ORD_STRIDE) & (F.col("o_orderkey") % 4 == 0)
+    ).withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    return t, src
+
+
+def _merge_narrow_op(state) -> DataFrame:
+    """Measured phase: the MERGE alone. Returns the pruning evidence
+    (files before / files carried over untouched / files rewritten) as a
+    1-row frame instead of a full table read — a 10x read would swamp
+    the flat-cost signal the probe exists to measure."""
+    t, src = state
+    before = {f.path for f in t.meta.snapshot().files}
+    t.merge(src, on="o_orderkey")
+    after = {f.path for f in t.meta.snapshot().files}
+    spark = src.sparkSession
+    return spark.createDataFrame(
+        [(len(before), len(before & after), len(before - after))],
+        "files_before int, files_carried int, files_rewritten int",
+    )
+
+
+def _relational_callables(specs):
+    """The round-9 fact-table family. Lake entries time the OP phase only
+    (fresh setup per run, untimed) via the bench-split pairs, so the
+    measurement is the maintenance operator, not the fixture write."""
+    from tutorial_iceberg_spark.lakehouse.queries import BENCH_SPLIT
+
+    rows: dict[str, object] = {}
+    for n in RELATIONAL_PROBES:
+        rows[n] = BENCH_SPLIT.get(n, specs[n].builder)
+    rows["j4_salted_skew_join[skew]"] = _j4_skewed
+    rows["lake_merge_upsert[narrow]"] = (_merge_narrow_setup, _merge_narrow_op)
+    return rows
+
+
+def _materialize(entry, spark, d) -> DataFrame:
+    """Build the result frame for a probe entry: plain builder, or
+    (setup, op) bench-split pair (fresh fixture, op applied)."""
+    if isinstance(entry, tuple):
+        setup, op = entry
+        return op(setup(spark, d))
+    return entry(spark, d)
+
+
 def main() -> None:
     args = sys.argv[1:]
     base_dir = args[0] if args else "/root/testdata/sf0.1"
@@ -235,7 +401,14 @@ def main() -> None:
 
     spark = get_spark(app_name="scale-probe")
     specs = all_queries()
-    rows = _probe_callables(specs)
+    # `relational` as the first name selects the round-9 fact-table
+    # family (TPC-H shapes + lakehouse maintenance + skew twins);
+    # remaining names still filter within it.
+    if name_filter and name_filter[0] == "relational":
+        rows = _relational_callables(specs)
+        name_filter = name_filter[1:]
+    else:
+        rows = _probe_callables(specs)
     # any registered query can be probed by exact name, beyond the
     # default at-risk family
     for f in name_filter:
@@ -252,7 +425,9 @@ def main() -> None:
         tempfile.gettempdir(), "tis_scale_probe", f"x{factor}"
     )
     marker = os.path.join(probe_dir, "_built_from")
-    stamp = f"{base_dir}|{factor}"
+    # v2: round 9 added customer/orders/lineitem inflation — stale v1
+    # dirs (file-copied fact tables) must rebuild
+    stamp = f"{base_dir}|{factor}|v2"
     if not (os.path.exists(marker) and open(marker).read() == stamp):
         t0 = time.perf_counter()
         build_inflated(spark, base_dir, probe_dir, factor)
@@ -267,7 +442,7 @@ def main() -> None:
     # warm-up at the smallest SF: JIT + codegen caches, none of the data
     for n, b in rows.items():
         try:
-            b(spark, "/root/testdata/sf0.001").collect()
+            _materialize(b, spark, "/root/testdata/sf0.001").collect()
         except Exception as e:
             print(f"# warmup {n} failed: {e}", file=sys.stderr)
 
@@ -275,25 +450,36 @@ def main() -> None:
     # from two single runs compounds it)
     RUNS = int(os.environ.get("SCALE_PROBE_RUNS", "2"))
 
-    def timed(builder, d):
-        best, nrows = float("inf"), 0
+    def timed(entry, d):
+        """Best-of-RUNS wall time. Bench-split pairs run a FRESH untimed
+        setup per run (lake ops mutate their fixture; re-running op on a
+        merged table would measure a no-op) and time only the op phase."""
+        best, out = float("inf"), []
         for _ in range(RUNS):
-            t0 = time.perf_counter()
-            nrows = len(builder(spark, d).collect())
+            if isinstance(entry, tuple):
+                setup, op = entry
+                state = setup(spark, d)
+                t0 = time.perf_counter()
+                out = op(state).collect()
+            else:
+                t0 = time.perf_counter()
+                out = entry(spark, d).collect()
             best = min(best, time.perf_counter() - t0)
-        return best, nrows
+        return best, out
 
     results = []
     for n, b in rows.items():
-        t_base, base_rows = timed(b, base_dir)
+        t_base, base_out = timed(b, base_dir)
+        base_rows = len(base_out)
 
-        df_big = b(spark, probe_dir)
+        df_big = _materialize(b, spark, probe_dir)
         plan = _plan_of(df_big)
         gates = {
             "bnlj": "BroadcastNestedLoopJoin" in plan,
             "cartesian": "CartesianProduct" in plan,
         }
-        t_big, big_rows = timed(b, probe_dir)
+        t_big, big_out = timed(b, probe_dir)
+        big_rows = len(big_out)
 
         # measured recall of the capped-LSH edge generator on the
         # inflated table: within-copy edges are bit-identical copies of
@@ -331,6 +517,10 @@ def main() -> None:
             "bnlj_bounded_ok": n in BNLJ_BOUNDED_OK,
             "plan_cartesian_10x": gates["cartesian"],
         }
+        if n == "lake_merge_upsert[narrow]":
+            # pruning evidence: files carried over untouched vs rewritten
+            rec["pruning_base"] = base_out[0].asDict()
+            rec["pruning_10x"] = big_out[0].asDict()
         results.append(rec)
         print(json.dumps(rec))
 

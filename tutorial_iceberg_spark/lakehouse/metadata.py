@@ -80,6 +80,13 @@ class DataFile:
     partition: dict[str, str] = field(default_factory=dict)  # pcol -> value
     # column name (at write time) -> [min, max] as JSON-safe strings
     stats: dict[str, list] = field(default_factory=dict)
+    # Which manifest file this entry lives in (Iceberg: a snapshot's
+    # manifest list points at manifest files, each holding a batch of
+    # entries; commits add ONE new manifest and carry prior ones over by
+    # reference). 0 = not yet assigned; _new_snapshot stamps fresh
+    # entries with the next manifest id. rewrite_manifests regroups
+    # entries so planning can skip whole manifests (see table.py).
+    manifest_id: int = 0
 
 
 @dataclass
@@ -141,6 +148,9 @@ class TableMetadata:
     # Commits are CAS'd against loaded_version, not the current hint: a
     # writer holding stale metadata must conflict, not silently clobber.
     loaded_version: int = 0
+    # Monotone manifest-id counter (see DataFile.manifest_id). Default 0
+    # keeps every pre-manifest metadata file readable.
+    last_manifest_id: int = 0
 
     # -- convenience -------------------------------------------------
     def schema(self, schema_id: int | None = None) -> Schema:

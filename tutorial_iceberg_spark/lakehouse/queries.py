@@ -239,6 +239,49 @@ def lake_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lake_rewrite_manifests",
+    oracle=f"""
+        SELECT {ORDERS_COLS} FROM orders
+    """,
+    doc="CALL rewrite_manifests — the METADATA-side maintenance twin of "
+    "rewrite_data_files (the reference's Iceberg maintenance story, "
+    "README.md:1016-1028, implies it: manifest count grows one per "
+    "commit). Fixture: a year(o_orderdate)-partitioned table takes 6 "
+    "interleaved appends, so each of the 6 manifests spans EVERY year "
+    "and a one-year scan must plan all 6. rewrite_manifests repacks the "
+    "entries partition-clustered with ZERO data-file IO (paths carried "
+    "byte-identically — asserted), after which the same scan plans a "
+    "strict subset of manifests (asserted). Row-identical end state, "
+    "value-hash-checked; at 100 TB manifest planning is the driver-side "
+    "cost every query pays before touching data",
+    tags=("lakehouse", "maintenance", "metadata", "extension"),
+)
+def lake_rewrite_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _fresh_table(spark, "rewrite_manifests", partition_by=["year(o_orderdate)"])
+    for r in range(6):
+        t.append(_orders_mod(spark, sf_dir, 6, r))
+    pred = (
+        "o_orderdate >= TIMESTAMP '1997-01-01' "
+        "AND o_orderdate < TIMESTAMP '1998-01-01'"
+    )
+    before_paths = {f.path for f in t.meta.snapshot().files}
+    touched_before, total_before = t.plan_manifests(pred)
+    assert total_before == 6 and touched_before == 6, (
+        touched_before,
+        total_before,
+    )  # every commit-shaped manifest spans every year: nothing prunes
+    t.rewrite_manifests(target_manifests=6)
+    after_paths = {f.path for f in t.meta.snapshot().files}
+    assert after_paths == before_paths  # metadata-only: zero data IO
+    touched_after, total_after = t.plan_manifests(pred)
+    assert total_after == 6 and touched_after < touched_before, (
+        touched_after,
+        touched_before,
+    )  # partition-clustered manifests: the one-year scan skips most
+    return t.read()
+
+
+@register(
     "lake_mor_delete",
     oracle=f"""
         SELECT {ORDERS_COLS} FROM orders WHERE o_orderstatus <> 'F'

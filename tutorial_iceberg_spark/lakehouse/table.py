@@ -201,6 +201,15 @@ class LakeTable:
         advances only that ref (main's pointer is untouched — the isolation
         property write-audit-publish relies on)."""
         md.last_snapshot_id += 1
+        # Manifest bookkeeping (Iceberg shape): entries carried over from
+        # prior snapshots keep their manifest id (their manifest file is
+        # reused by reference); entries this commit created (stamped 0 by
+        # _write_files) land together in ONE fresh manifest.
+        fresh = [f for f in files if f.manifest_id == 0]
+        if fresh:
+            md.last_manifest_id += 1
+            for f in fresh:
+                f.manifest_id = md.last_manifest_id
         parent = md.refs.get(ref) if ref is not None else md.current_snapshot_id
         snap = M.Snapshot(
             snapshot_id=md.last_snapshot_id,
@@ -549,17 +558,116 @@ class LakeTable:
         df = self._read_snapshot(md, snap, files)
         return df.filter(F.expr(pred_sql)) if pred_sql else df
 
+    def manifest_groups(
+        self, snap: M.Snapshot | None = None
+    ) -> dict[int, list[M.DataFile]]:
+        """Snapshot entries grouped by manifest file (planning unit)."""
+        snap = snap or self.meta.snapshot()
+        groups: dict[int, list[M.DataFile]] = {}
+        for f in snap.files:
+            groups.setdefault(f.manifest_id, []).append(f)
+        return groups
+
+    def plan_manifests(
+        self, pred_sql: str, snap: M.Snapshot | None = None
+    ) -> tuple[int, int]:
+        """(manifests touched, total manifests) for a predicate — the
+        metadata-planning cost a scan pays before opening any data file.
+        This is what rewrite_manifests improves: after reclustering,
+        aggregate manifest stats become selective and whole manifests
+        drop out of planning."""
+        md = self.meta
+        snap = snap or md.snapshot()
+        conjuncts = T.parse_conjuncts(pred_sql)
+        groups = self.manifest_groups(snap)
+        if conjuncts is None:
+            return len(groups), len(groups)
+        touched = sum(
+            1
+            for g in groups.values()
+            if self._manifest_may_match(md, g, conjuncts)
+        )
+        return touched, len(groups)
+
+    @staticmethod
+    def _manifest_may_match(md, group, conjuncts) -> bool:
+        """Aggregate (manifest-level) pruning check: a manifest whose
+        per-column aggregate min/max and partition-value summary exclude a
+        conjunct cannot contain a matching file. Conservative: any column
+        missing stats in ANY member file has no aggregate bound. O(distinct
+        partitions + columns) per manifest, vs O(files) per-file checks."""
+        current_by_name = {f.name: f.id for f in md.schema().fields}
+        source_types = {f.name: f.type for f in md.schema().fields}
+        # aggregate column stats: elementwise min/max where every file
+        # reports the column under the same written name
+        agg: dict[str, list] = {}
+        complete: dict[str, bool] = {}
+        for f in group:
+            written = md.schema(f.schema_id).by_id()
+            wname_by_cur = {
+                cur: written[fid].name
+                for cur, fid in current_by_name.items()
+                if fid in written
+            }
+            for cur, wname in wname_by_cur.items():
+                st = f.stats.get(wname)
+                if st is None:
+                    complete[cur] = False
+                    continue
+                complete.setdefault(cur, True)
+                cur_agg = agg.get(cur)
+                if cur_agg is None:
+                    agg[cur] = [st[0], st[1]]
+                else:
+                    try:
+                        agg[cur] = [
+                            min(cur_agg[0], st[0]),
+                            max(cur_agg[1], st[1]),
+                        ]
+                    except TypeError:
+                        complete[cur] = False
+        # partition summary: distinct (spec, partition-tuple) combos
+        combos = {
+            (f.spec_id, tuple(sorted(f.partition.items()))) for f in group
+        }
+        for col, op, val in conjuncts:
+            if complete.get(col) and not T.stats_may_match(agg[col], op, val):
+                return False
+            # the manifest matches only if SOME member partition may match
+            if not any(
+                T.partition_may_match(
+                    md.spec(sid).fields, dict(pv), col, op, val, source_types
+                )
+                for sid, pv in combos
+            ):
+                return False
+        return True
+
     def _candidates(
         self, md: M.TableMetadata, snap: M.Snapshot, pred_sql: str
     ) -> list[M.DataFile]:
         conjuncts = T.parse_conjuncts(pred_sql)
         if conjuncts is None:
             return list(snap.files)
+        # manifest-level short-circuit first (Iceberg's two-tier plan:
+        # manifest list summaries -> manifest entries): a pruned manifest
+        # skips ALL its per-file checks. Behavior-neutral — per-file
+        # pruning below would reject the same files — but the planning
+        # cost drops from O(files) to O(surviving files + manifests)
+        # when manifests are selective (see rewrite_manifests).
+        groups = self.manifest_groups(snap)
+        scan_files: list[M.DataFile] = []
+        if len(groups) > 1:
+            for g in groups.values():
+                if self._manifest_may_match(md, g, conjuncts):
+                    scan_files.extend(g)
+        else:
+            scan_files = list(snap.files)
         # predicate references current names; map back to write-time names
         current_by_name = {f.name: f.id for f in md.schema().fields}
         source_types = {f.name: f.type for f in md.schema().fields}
         out = []
-        for f in snap.files:
+        for f in scan_files:
             written = md.schema(f.schema_id).by_id()
             keep = True
             for col, op, val in conjuncts:
@@ -1282,6 +1390,66 @@ class LakeTable:
             df = df.repartition(target_files)
         files = self._write_files(self._align(df, md.schema()), md)
         self._new_snapshot(md, "replace", files, [], summary)
+
+    def rewrite_manifests(self, target_manifests: int = 1) -> None:
+        """CALL rewrite_manifests — the METADATA-side maintenance twin of
+        rewrite_data_files. After N commits a snapshot references N
+        manifests, each an append's worth of entries spanning the whole
+        partition/key space, so manifest-level planning
+        (_manifest_may_match) can skip nothing and every scan pays
+        O(all entries). This op rewrites the manifest layer only: entries
+        are re-sorted by partition values (falling back to the first
+        schema column's min stat for unpartitioned tables) and packed
+        into ``target_manifests`` groups, so each manifest covers a
+        narrow partition/key slice and aggregate summaries become
+        selective. ZERO data-file IO — data file paths are carried over
+        byte-identically; only the grouping metadata changes, exactly
+        Iceberg's rewrite_manifests contract. The commit is a snapshot
+        ("replace-manifests") so it is time-travelable and
+        branch-isolated like any other maintenance op."""
+        md = self.meta
+        snap = md.snapshot()
+        if snap is None or not snap.files:
+            return
+        first_col = md.schema().fields[0].name
+
+        def sort_key(f: M.DataFile):
+            if f.partition:
+                return (0, tuple(sorted(f.partition.items())), f.path)
+            written = md.schema(f.schema_id).by_id()
+            # min stat of the first current column under its written name
+            fid = md.schema().fields[0].id
+            wname = written[fid].name if fid in written else first_col
+            st = f.stats.get(wname)
+            return (1, (("", str(st[0]) if st else ""),), f.path)
+
+        entries = sorted(snap.files, key=sort_key)
+        n = max(1, min(target_manifests, len(entries)))
+        per = -(-len(entries) // n)
+        before = len({f.manifest_id for f in snap.files})
+        regrouped: list[M.DataFile] = []
+        for gi in range(n):
+            chunk = entries[gi * per : (gi + 1) * per]
+            if not chunk:
+                continue
+            md.last_manifest_id += 1
+            for f in chunk:
+                # fresh entry objects: prior snapshots keep their own
+                # grouping (manifest history is per-snapshot, like files)
+                regrouped.append(
+                    M.DataFile(**{**f.__dict__, "manifest_id": md.last_manifest_id})
+                )
+        self._new_snapshot(
+            md,
+            "replace-manifests",
+            regrouped,
+            list(snap.delete_files),
+            {
+                "op": "rewrite-manifests",
+                "manifests-before": before,
+                "manifests-after": len({f.manifest_id for f in regrouped}),
+            },
+        )
 
     # -- D13/D14 maintenance ---------------------------------------------------------
     def expire_snapshots(self, older_than_ms: int | None = None, keep_last: int = 1) -> list[str]:

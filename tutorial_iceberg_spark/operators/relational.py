@@ -960,6 +960,29 @@ def a9_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_SALT = 8
 
 
+def salted_segment_revenue(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """The salted join itself, factored out so the scale probe can feed it
+    a deliberately skewed fact frame (one mega-key) and measure that the
+    salt scatter keeps task sizes bounded where a plain hash join would
+    funnel the whole key onto one task."""
+    spark = orders.sparkSession
+    salts = spark.range(N_SALT).select(F.col("id").cast("int").alias("salt"))
+    dim = customer.select("c_custkey", "c_mktsegment").crossJoin(F.broadcast(salts))
+    fact = orders.withColumn("salt", F.pmod(F.col("o_orderkey"), F.lit(N_SALT)).cast("int"))
+    return (
+        fact.join(
+            dim,
+            (fact.o_custkey == dim.c_custkey) & (fact.salt == dim.salt),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum(dec("o_totalprice")), 2).cast("double").alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 @register(
     "j4_salted_skew_join",
     oracle="""
@@ -978,22 +1001,8 @@ N_SALT = 8
     tags=("join", "skew"),
 )
 def j4_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    customer = load_table(spark, sf_dir, "customer")
-    salts = spark.range(N_SALT).select(F.col("id").cast("int").alias("salt"))
-    dim = customer.select("c_custkey", "c_mktsegment").crossJoin(F.broadcast(salts))
-    fact = orders.withColumn("salt", F.pmod(F.col("o_orderkey"), F.lit(N_SALT)).cast("int"))
-    return (
-        fact.join(
-            dim,
-            (fact.o_custkey == dim.c_custkey) & (fact.salt == dim.salt),
-        )
-        .groupBy("c_mktsegment")
-        .agg(
-            F.count("*").alias("n_orders"),
-            F.round(F.sum(dec("o_totalprice")), 2).cast("double").alias("revenue"),
-        )
-        .orderBy("c_mktsegment")
+    return salted_segment_revenue(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "customer")
     )
 
 

@@ -411,6 +411,133 @@ def x_stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return closed.unionByName(residual).orderBy("user_id", "session_id")
 
 
+# ---------------------------------------------------------------------------
+# Rate-capped ingest: the streaming twin of x_source_cap (functions/text.py).
+# Batch capping trims a finished corpus; the PRODUCTION shape is quota
+# enforcement at ingest — a per-key admission counter in stream state, with
+# the quota derived from historical volume (here: the corpus median, the
+# same scale-free derivation as x_source_cap — a fixed absolute cap
+# degenerates as volume grows, the q11 lesson). First-come admission: once
+# a user's counter hits the cap, further events drop; admitted events are
+# never displaced. Under the deterministic availableNow replay, per-user
+# arrival order is (ts, event_id) — so the admitted set equals the batch
+# ROW_NUMBER() <= cap form and the DuckDB oracle checks it bit-exactly. In
+# a live deployment admission follows true arrival order; the state is one
+# counter per user (constant memory per key, the cheapest stateful op
+# there is).
+# ---------------------------------------------------------------------------
+
+STREAM_CAP_MULT = 0.5  # quota = ceil(mult * median historical events/user)
+
+CAP_STATE_SCHEMA = "admitted INT"
+CAP_OUT_SCHEMA = (
+    "user_id BIGINT, event_id BIGINT, event_type STRING, value DOUBLE, rk INT"
+)
+
+
+def _cap_group_fn(cap: int):
+    def _cap_group(key, pdfs, state):
+        import pandas as pd
+
+        (user_id,) = key
+        n = state.get[0] if state.exists else 0
+        # one group's micro-batch can arrive as several Arrow chunks with
+        # no global order across them — concatenate BEFORE sorting so the
+        # admission scan sees the batch's true (ts, event_id) order
+        # (sorting chunks independently would admit a chunk-dependent
+        # set). Memory = one key's batch, the same bound the sort needs.
+        chunks = [p for p in pdfs if len(p)]
+        rows = []
+        if chunks and n < cap:
+            pdf = (
+                pd.concat(chunks, ignore_index=True)
+                if len(chunks) > 1
+                else chunks[0]
+            ).sort_values(["ts_us", "event_id"])
+            take = pdf.head(cap - n)
+            rks = range(n + 1, n + 1 + len(take))
+            n += len(take)
+            rows = list(
+                zip(
+                    take["user_id"].astype("int64"),
+                    take["event_id"].astype("int64"),
+                    take["event_type"],
+                    take["value"].astype("float64"),
+                    rks,
+                )
+            )
+        elif chunks:
+            pass  # quota already exhausted: drop the whole batch
+        state.update((n,))
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=["user_id", "event_id", "event_type", "value", "rk"],
+            )
+
+    return _cap_group
+
+
+@register(
+    "x_stream_source_cap",
+    oracle=f"""
+        WITH hist AS (
+            SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+        ), cap AS (
+            SELECT CAST(ceil({STREAM_CAP_MULT} * quantile_cont(n, 0.5))
+                        AS BIGINT) AS cap
+            FROM hist
+        ), ranked AS (
+            SELECT user_id, event_id, event_type, value,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS rk
+            FROM events
+        )
+        SELECT r.user_id, r.event_id, r.event_type, r.value,
+               CAST(r.rk AS INTEGER) AS rk
+        FROM ranked r, cap
+        WHERE r.rk <= cap.cap
+        ORDER BY r.user_id, r.event_id
+    """,
+    doc="Rate-capped ingest (streaming twin of x_source_cap): per-user "
+    f"quota = ceil({STREAM_CAP_MULT} x historical median events/user), "
+    "enforced first-come in stream state (applyInPandasWithState, one "
+    "admission counter per key — constant memory). Quota derivation is "
+    "scale-free (corpus-relative, the q11 lesson); under the availableNow "
+    "replay arrival order is (ts, event_id), so the admitted set equals "
+    "the batch ROW_NUMBER form and the oracle is exact",
+    tags=("streaming", "stateful", "extension", "pandas-udf"),
+)
+def x_stream_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    hist = load_table(spark, sf_dir, "events")
+    med = (
+        hist.groupBy("user_id")
+        .count()
+        .agg(F.expr("percentile(count, 0.5)"))
+        .first()[0]
+    )
+    cap = int(math.ceil(STREAM_CAP_MULT * float(med)))
+    ev = read_events_stream(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    admitted = ev.groupBy("user_id").applyInPandasWithState(
+        _cap_group_fn(cap),
+        outputStructType=CAP_OUT_SCHEMA,
+        stateStructType=CAP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_stream(admitted, mode="append").orderBy("user_id", "event_id")
+
+
 @register(
     "x_stream_sliding_agg",
     oracle="""
