@@ -108,6 +108,8 @@ RELATIONAL_PROBES = [
     "lake_merge_upsert",
     "lake_sorted_compaction",
     "lake_changelog",
+    "lake_rewrite_manifests",  # metadata-only commit: should stay ~flat
+    "x_stream_source_cap",  # per-key admission state x10 keys
 ]
 
 # Queries whose registered form crosses the ALL_PAIRS_MAX_ROWS auto-gate

@@ -604,12 +604,13 @@ class LakeTable:
         complete: dict[str, bool] = {}
         for f in group:
             written = md.schema(f.schema_id).by_id()
-            wname_by_cur = {
-                cur: written[fid].name
-                for cur, fid in current_by_name.items()
-                if fid in written
-            }
-            for cur, wname in wname_by_cur.items():
+            for cur, fid in current_by_name.items():
+                if fid not in written:
+                    # file predates the column: its rows materialize the
+                    # read-time default, which no footer stat bounds
+                    complete[cur] = False
+                    continue
+                wname = written[fid].name
                 st = f.stats.get(wname)
                 if st is None:
                     complete[cur] = False
