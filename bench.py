@@ -162,7 +162,17 @@ class _package_from:
 
 
 def run_paired(spark, sf_dir: str, repo_root: str):
-    """ABBA-interleaved prev-vs-current timing; one run per query per pass.
+    """Query-level ABBA prev-vs-current timing.
+
+    Each query runs its (prev, cur, cur, prev) quartet BACK-TO-BACK —
+    the four samples land seconds apart, so session aging (heap growth,
+    state-store accumulation — a CONCAVE drift over the multi-minute
+    suite that a pass-level ABBA provably does not cancel; the
+    HEAD-vs-HEAD self-test measured it at ~3-10%) is constant within
+    the quartet and cancels in the per-query ratio. The package swap
+    per version change is a sys.modules purge + reimport (~1 s); 3
+    swaps per query. Self-test: point BENCH_PREV_REF at HEAD — every
+    ratio must read ~1.0.
 
     Returns the ``paired`` JSON block or a {skipped: reason} stub. Uses
     full registered builders on both sides (setup∘op for lake entries —
@@ -174,35 +184,46 @@ def run_paired(spark, sf_dir: str, repo_root: str):
         return {"skipped": "prev worktree unavailable"}
 
     warm_sf = "/root/testdata/sf0.001"
+    roots = {"prev": wt, "cur": repo_root}
     times: dict[str, dict[str, list[float]]] = {}
-    shared: list[str] | None = None
-    warmed_prev = False
-    for pass_i, version in enumerate(PAIRED_PASSES):
-        root = wt if version == "prev" else repo_root
-        with _package_from(root) as specs:
-            if shared is None:
-                shared = [n for n in HEADLINE if n in specs]
-            if version == "prev" and not warmed_prev:
-                # prev code generates its own plans: one codegen/JIT warm
-                # pass at the smallest SF before its first timed pass
-                for name in shared:
-                    try:
-                        specs[name].builder(spark, warm_sf).collect()
-                    except Exception as e:
-                        print(f"# paired warmup {name}: {e}", file=sys.stderr)
-                warmed_prev = True
-            for name in shared:
+    # one prev-code warm pass at the smallest SF (codegen/JIT for ITS
+    # plans; current code was warmed by the main phase)
+    with _package_from(wt) as specs_prev:
+        shared = [n for n in HEADLINE if n in specs_prev]
+        for name in shared:
+            try:
+                specs_prev[name].builder(spark, warm_sf).collect()
+            except Exception as e:
+                print(f"# paired warmup {name}: {e}", file=sys.stderr)
+    for qi, name in enumerate(shared):
+        rec = times.setdefault(name, {"prev": [], "cur": []})
+        # The quartet's FIRST run pays a cold penalty (page cache / JIT
+        # state evicted by the 29 other queries since this one last ran;
+        # the HEAD-vs-HEAD self-test measured it at ~10%), so (a) an
+        # UNTIMED warm run at the bench SF absorbs it before any timed
+        # sample, and (b) the pattern alternates per query so whatever
+        # position effect remains splits evenly across versions.
+        pattern = (
+            PAIRED_PASSES if qi % 2 == 0 else tuple(reversed(PAIRED_PASSES))
+        )
+        for runs, version in enumerate((pattern[0],) + pattern):
+            with _package_from(roots[version]) as specs:
                 if name not in specs:
                     continue
                 try:
                     t0 = time.perf_counter()
                     specs[name].builder(spark, sf_dir).collect()
-                    dt = time.perf_counter() - t0
+                    if runs > 0:  # run 0 = untimed warm
+                        rec[version].append(time.perf_counter() - t0)
                 except Exception as e:
                     print(f"# paired {name} [{version}]: {e}", file=sys.stderr)
-                    continue
-                times.setdefault(name, {"prev": [], "cur": []})[version].append(dt)
-        print(f"# paired pass {pass_i + 1}/4 ({version}) done", file=sys.stderr)
+        print(
+            f"# paired {qi + 1}/{len(shared)} {name}: "
+            + ", ".join(
+                f"{v}={sum(t)/len(t):.3f}s" for v, t in rec.items() if t
+            ),
+            file=sys.stderr,
+        )
 
     per_query = {}
     tot_prev = tot_cur = 0.0
