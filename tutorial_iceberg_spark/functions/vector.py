@@ -792,6 +792,17 @@ def _lsh_bands(
         )
         _LSH_CLAMP_EVENTS.append(msg)
         warnings.warn(msg)
+    if over["max_cnt"] is not None and over["max_cnt"] <= bucket_cap:
+        # FAST PATH (the common case at every density below the cap —
+        # all of test/oracle/bench scale): no bucket splits, so every
+        # extra is 0 and the split key is just key << rb — skip the
+        # sizes join and its checkpoint entirely. Pair-set-identical to
+        # the join path (key shift is a bijection of bucket identity);
+        # the round-9 paired bench attributed ~0.1 s at sf0.1 to the
+        # unconditional join+checkpoint this replaces.
+        return bands.select(
+            "vec_id", "band", F.expr(f"shiftleft(key, {rb})").alias("key")
+        )
     return (
         bands.join(sizes, ["band", "key"])
         .select(
