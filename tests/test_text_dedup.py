@@ -364,3 +364,36 @@ def test_source_cap_two_phase_exact_under_skew(spark, tmp_path):
     assert got == naive
     # the cap actually bit on the mega source
     assert sum(1 for _, s, _ in got if s == "mega") == cap_v < 1000
+
+
+def test_span_rewrite_reassembly_invariants(spark, sf_dir):
+    """The rewrite is a lossless reassembly of the KEPT spans: kept +
+    removed token counts reconcile with the original, fully-unique
+    documents round-trip to their whitespace-normalized text, and the
+    corpus-wide first occurrence of every span content survives."""
+    from pyspark.sql import functions as F
+
+    from tutorial_iceberg_spark.io import load_table
+    from tutorial_iceberg_spark.operators.pipeline import SPAN_TOKENS
+    from tutorial_iceberg_spark.registry import all_queries
+
+    out = {r["doc_id"]: r for r in
+           all_queries()["x_dedup_span_rewrite"].builder(spark, sf_dir).collect()}
+    orig = {
+        r["doc_id"]: r["norm"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.concat_ws(" ", F.split(F.trim("text"), r"\s+")).alias("norm"))
+        .collect()
+    }
+    assert set(out) == set(orig)
+    total_removed = 0
+    for d, r in out.items():
+        n_tok = len(orig[d].split())
+        assert r["n_spans"] == -(-n_tok // SPAN_TOKENS)
+        # token accounting: kept text + removed tokens == original tokens
+        assert len(r["clean_text"].split()) + r["removed_tokens"] == n_tok
+        if r["removed_tokens"] == 0:
+            assert r["clean_text"] == orig[d]  # lossless round-trip
+        else:
+            total_removed += r["removed_tokens"]
+    assert total_removed > 0, "fixture has no duplicate spans: test is vacuous"

@@ -587,6 +587,110 @@ def x_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPAN_TOKENS = 16  # non-overlapping span width for the rewrite pass
+
+
+@register(
+    "x_dedup_span_rewrite",
+    oracle=rf"""
+        WITH t AS (
+            SELECT doc_id,
+                   string_split_regex(trim(text), '\s+') AS toks,
+                   len(string_split_regex(trim(text), '\s+')) AS n
+            FROM documents
+        ), s AS (
+            SELECT doc_id,
+                   CAST(i AS INT) AS span_id,
+                   array_to_string(
+                       list_slice(toks, i * {SPAN_TOKENS} + 1,
+                                  (i + 1) * {SPAN_TOKENS}), ' ') AS span_text,
+                   CAST(least({SPAN_TOKENS}, n - i * {SPAN_TOKENS}) AS BIGINT)
+                       AS span_tokens
+            FROM t, UNNEST(range(0,
+                     CAST(ceil(n / {SPAN_TOKENS}.0) AS BIGINT))) AS u(i)
+        ), ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY md5(span_text)
+                ORDER BY doc_id, span_id) AS rn
+            FROM s
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(COUNT(*) FILTER (WHERE rn = 1) AS BIGINT) AS kept_spans,
+               CAST(COALESCE(SUM(span_tokens) FILTER (WHERE rn > 1), 0)
+                    AS BIGINT) AS removed_tokens,
+               COALESCE(string_agg(span_text, ' ' ORDER BY span_id)
+                        FILTER (WHERE rn = 1), '') AS clean_text
+        FROM ranked GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Span-aligned exact dedup WITH document rewrite — the cleaned-"
+    "corpus deliverable x_chunk_dedup's report stops short of (cf. the "
+    "exact-substring dedup pass of Lee et al., 'Deduplicating Training "
+    "Data Makes Language Models Better'): split every document into "
+    f"consecutive non-overlapping {SPAN_TOKENS}-token spans, keep the "
+    "corpus-wide FIRST occurrence of each span's content (md5, ordered "
+    "by doc_id, span_id — intra-doc repeats drop too), and REASSEMBLE "
+    "each document from its surviving spans in order. Output is the "
+    "rewritten corpus (doc_id, clean_text) plus the audit columns. "
+    "Boundary-aligned by construction — the Spark-expressible variant "
+    "of suffix-array substring dedup; unaligned near-dups are the "
+    "MinHash family's job. Scale shape: one narrow zero-shuffle span "
+    "pass, ONE shuffle keyed on span hash, one per-doc ordered "
+    "reassembly agg — no driver state, no collect",
+    tags=("text", "pipeline", "dedup", "extension"),
+)
+def x_dedup_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    S = SPAN_TOKENS
+    spans = docs.select(
+        "doc_id",
+        F.split(F.trim(F.col("text")), r"\s+").alias("toks"),
+    ).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(toks) / {S}.0) as int) - 1),"
+                f" i -> struct(array_join(slice(toks, i * {S} + 1, {S}), ' ')"
+                f" as span_text,"
+                f" least({S}, size(toks) - i * {S}) as span_tokens))"
+            )
+        ).alias("span_id", "sp"),
+    ).select(
+        "doc_id",
+        F.col("span_id").cast("int").alias("span_id"),
+        F.col("sp.span_text").alias("span_text"),
+        F.col("sp.span_tokens").cast("bigint").alias("span_tokens"),
+    )
+    w = Window.partitionBy(F.md5("span_text")).orderBy("doc_id", "span_id")
+    ranked = spans.withColumn("rn", F.row_number().over(w))
+    kept = F.col("rn") == 1
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_spans"),
+            F.count_if(kept).cast("bigint").alias("kept_spans"),
+            F.coalesce(
+                F.sum(F.when(~kept, F.col("span_tokens"))), F.lit(0)
+            ).cast("bigint").alias("removed_tokens"),
+            # ordered reassembly: collect_list skips the NULLed dropped
+            # spans; array_sort orders the structs by span_id (first
+            # field); join with the same separator the splitter used
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(kept, F.struct("span_id", "span_text"))
+                        )
+                    ),
+                    lambda s: s.span_text,
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @register(
     "x_skew_profile",
     oracle="""
