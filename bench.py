@@ -117,14 +117,25 @@ def _prev_worktree(repo_root: str) -> str | None:
             ["git", *args], cwd=cwd, check=True, capture_output=True, text=True
         ).stdout.strip()
 
+    def fresh():
+        import shutil
+
+        shutil.rmtree(wt, ignore_errors=True)
+        git("worktree", "prune")
+        git("worktree", "add", "--detach", "--force", wt, sha)
+
     try:
         git("rev-parse", "--verify", f"{sha}^{{commit}}")
         if os.path.exists(os.path.join(wt, ".git")):
-            if git("rev-parse", "HEAD", cwd=wt) != sha:
-                git("checkout", "--detach", sha, cwd=wt)
+            try:
+                if git("rev-parse", "HEAD", cwd=wt) != sha:
+                    git("checkout", "--detach", sha, cwd=wt)
+            except Exception:
+                # stale worktree (e.g. the repo directory was copied and
+                # the .git pointer broke): rebuild rather than skip
+                fresh()
         else:
-            git("worktree", "prune")
-            git("worktree", "add", "--detach", "--force", wt, sha)
+            fresh()
         return wt
     except Exception as e:
         print(f"# paired: prev worktree unavailable ({e})", file=sys.stderr)
