@@ -161,9 +161,23 @@ class _package_from:
     def __enter__(self):
         self.saved = self._purge()
         sys.path.insert(0, self.root)
-        from tutorial_iceberg_spark.registry import all_queries as aq
+        try:
+            import tutorial_iceberg_spark as pkg
+            from tutorial_iceberg_spark.registry import all_queries as aq
 
-        return aq()
+            got = os.path.abspath(pkg.__file__)
+            want = os.path.abspath(self.root) + os.sep
+            if not got.startswith(want):
+                # the root lacks the package and Python fell through to a
+                # later sys.path entry (the CURRENT repo) — that would pair
+                # cur-vs-cur and read a meaningless 1.0; fail loudly instead
+                raise ImportError(f"package resolved to {got}, not {want}")
+            return aq()
+        except BaseException:
+            # restore the caller's sys.path/sys.modules before propagating —
+            # a failed prev-package import must not poison the current run
+            self.__exit__(None, None, None)
+            raise
 
     def __exit__(self, *exc):
         sys.path.remove(self.root)
@@ -207,13 +221,17 @@ def run_paired(spark, sf_dir: str, repo_root: str):
     times: dict[str, dict[str, list[float]]] = {}
     # one prev-code warm pass at the smallest SF (codegen/JIT for ITS
     # plans; current code was warmed by the main phase)
-    with _package_from(wt) as specs_prev:
-        shared = [n for n in HEADLINE if n in specs_prev]
-        for name in shared:
-            try:
-                specs_prev[name].builder(spark, warm_sf).collect()
-            except Exception as e:
-                print(f"# paired warmup {name}: {e}", file=sys.stderr)
+    try:
+        with _package_from(wt) as specs_prev:
+            shared = [n for n in HEADLINE if n in specs_prev]
+            for name in shared:
+                try:
+                    specs_prev[name].builder(spark, warm_sf).collect()
+                except Exception as e:
+                    print(f"# paired warmup {name}: {e}", file=sys.stderr)
+    except Exception as e:  # prev package unimportable -> degrade, not die
+        print(f"# paired: prev import failed ({e})", file=sys.stderr)
+        return {"skipped": f"prev import failed: {e}"}
     truncated = []
     for qi, name in enumerate(shared):
         if time.perf_counter() - phase_t0 > budget_s:
@@ -235,16 +253,24 @@ def run_paired(spark, sf_dir: str, repo_root: str):
             PAIRED_PASSES if qi % 2 == 0 else tuple(reversed(PAIRED_PASSES))
         )
         for runs, version in enumerate((pattern[0],) + pattern):
-            with _package_from(roots[version]) as specs:
-                if name not in specs:
-                    continue
-                try:
-                    t0 = time.perf_counter()
-                    specs[name].builder(spark, sf_dir).collect()
-                    if runs > 0:  # run 0 = untimed warm
-                        rec[version].append(time.perf_counter() - t0)
-                except Exception as e:
-                    print(f"# paired {name} [{version}]: {e}", file=sys.stderr)
+            try:
+                with _package_from(roots[version]) as specs:
+                    if name not in specs:
+                        continue
+                    try:
+                        t0 = time.perf_counter()
+                        specs[name].builder(spark, sf_dir).collect()
+                        if runs > 0:  # run 0 = untimed warm
+                            rec[version].append(time.perf_counter() - t0)
+                    except Exception as e:
+                        print(
+                            f"# paired {name} [{version}]: {e}",
+                            file=sys.stderr,
+                        )
+            except Exception as e:  # mid-suite import failure: skip sample
+                print(
+                    f"# paired {name} [{version}] import: {e}", file=sys.stderr
+                )
         print(
             f"# paired {qi + 1}/{len(shared)} {name}: "
             + ", ".join(
@@ -373,23 +399,53 @@ def main() -> None:
     # reported as a ratio only — "value" stays the raw wall-clock gate
     cal = (cal_before + cal_after) / 2
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "runs_per_query": RUNS,
-                "queries": timings,
-                "lake_split": lake_split,
-                "sf": sf_dir,
-                "calibration_sec": round(cal, 4),
-                "calibration_ref_sec": CALIBRATION_REF_SEC,
-                "calibration_ratio": round(cal / CALIBRATION_REF_SEC, 4),
-                "paired": paired,
-            }
-        )
+    detail = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "runs_per_query": RUNS,
+        "queries": timings,
+        "lake_split": lake_split,
+        "sf": sf_dir,
+        "calibration_sec": round(cal, 4),
+        "calibration_ref_sec": CALIBRATION_REF_SEC,
+        "calibration_ratio": round(cal / CALIBRATION_REF_SEC, 4),
+        "paired": paired,
+    }
+    # Full record (per-query paired ratios, lake setup/op split) goes to a
+    # file; the driver's stdout capture keeps only the LAST 2000 chars, and
+    # r9's single oversized JSON line pushed "value" out of that window
+    # (BENCH_r09 recorded parsed:null). The final stdout line is therefore a
+    # COMPACT subset — headline value, per-query timings, calibration, and
+    # the paired TOTALS (ratio is the gate; per-query detail is diagnostics).
+    with open(os.path.join(repo_root, "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(detail, fh, indent=1)
+    paired_compact = (
+        {
+            **{k: v for k, v in paired.items() if k != "per_query"},
+            "n_paired": len(paired["per_query"]),
+            "truncated_by_budget": len(paired.get("truncated_by_budget", [])),
+        }
+        if isinstance(paired, dict) and "per_query" in paired
+        else paired
     )
+    line = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "runs_per_query": RUNS,
+        "queries": timings,
+        "sf": sf_dir,
+        "calibration_ratio": round(cal / CALIBRATION_REF_SEC, 4),
+        "paired": paired_compact,
+        "detail_file": "BENCH_DETAIL.json",
+    }
+    out = json.dumps(line, separators=(",", ":"))
+    if len(out) > 1900:  # belt-and-braces: never overflow the tail capture
+        print(f"# queries (moved off stdout): {timings}", file=sys.stderr)
+        line["queries"] = {"_see": "BENCH_DETAIL.json"}
+        out = json.dumps(line, separators=(",", ":"))
+    print(out)
 
 
 if __name__ == "__main__":
