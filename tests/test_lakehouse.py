@@ -1030,3 +1030,115 @@ def test_manifest_pruning_skips_clustered_manifests(cat, spark):
     assert total2 == 4 and touched2 < total2
     got = sorted(r["order_id"] for r in t.scan(pred).collect())
     assert got == [2, 12, 22]  # pruning is never load-bearing: rows exact
+
+
+def test_manifest_agg_stats_decimal_strings_not_lexicographic():
+    """ADVICE r9 (medium): footer stats pass through _json_safe, which
+    stores Decimal as str — aggregating those with raw min()/max() is
+    lexicographic (min('100.00','99.00') == '100.00'), inverting the
+    manifest-level bound and pruning a manifest whose member files match.
+    The aggregate must be taken under the same value order
+    stats_may_match compares with, so the manifest check stays a strict
+    relaxation of the per-file check."""
+    from tutorial_iceberg_spark.lakehouse import metadata as M
+    from tutorial_iceberg_spark.lakehouse import transforms as T
+    from tutorial_iceberg_spark.lakehouse.table import LakeTable
+
+    md = M.TableMetadata(
+        table_uuid="u",
+        name="t",
+        location="/nowhere",
+        schemas=[
+            M.Schema(
+                schema_id=0,
+                fields=[
+                    M.Field(id=1, name="id", type="bigint"),
+                    M.Field(id=2, name="price", type="decimal(10,2)"),
+                    M.Field(id=3, name="label", type="string"),
+                ],
+            )
+        ],
+        current_schema_id=0,
+        partition_specs=[M.PartitionSpec(spec_id=0, fields=[])],
+        current_spec_id=0,
+        snapshots=[],
+        current_snapshot_id=None,
+        properties={},
+        last_field_id=3,
+        last_snapshot_id=0,
+    )
+
+    def df(path, price_lo, price_hi):
+        return M.DataFile(
+            path=path,
+            rows=10,
+            bytes=1,
+            schema_id=0,
+            spec_id=0,
+            stats={
+                "price": [price_lo, price_hi],  # _json_safe(Decimal) -> str
+                "id": [1, 100],
+                "label": ["alpha", "omega"],
+            },
+        )
+
+    group = [df("a", "99.00", "99.90"), df("b", "100.00", "250.00")]
+    # price 99.5 lives inside file a; the lexicographic aggregate
+    # ['100.00', '99.90'] coerces to [100.0, 99.9] and wrongly prunes it
+    keep = LakeTable._manifest_may_match(
+        md, group, T.parse_conjuncts("price = 99.5")
+    )
+    assert keep, "manifest with a matching file must not be pruned"
+    # the aggregate still prunes what the per-file checks all prune
+    assert not LakeTable._manifest_may_match(
+        md, group, T.parse_conjuncts("price > 300")
+    )
+    assert not LakeTable._manifest_may_match(
+        md, group, T.parse_conjuncts("price < 98")
+    )
+    # string columns keep their (correct) lexicographic aggregate
+    assert not LakeTable._manifest_may_match(
+        md, group, T.parse_conjuncts("label = 'zzz'")
+    )
+    assert LakeTable._manifest_may_match(
+        md, group, T.parse_conjuncts("label = 'delta'")
+    )
+
+
+def test_cas_retry_restamps_manifest_ids(cat, spark, monkeypatch):
+    """ADVICE r9 (low): a conflicted commit attempt has already stamped
+    the new DataFiles' manifest_id from the STALE counter; the rebased
+    retry must restamp them, or two different commits' entries silently
+    share one manifest group (skewing plan_manifests counts)."""
+    from tutorial_iceberg_spark.lakehouse import metadata as M
+
+    t = cat.create_table("db.casretry", ORDERS_DDL)
+    t.append(seed_df(spark))
+    t2 = LakeTable(spark, t.location)
+    real_commit = M.commit_metadata
+    fired = {"done": False}
+
+    def racing_commit(location, md):
+        if not fired["done"]:
+            fired["done"] = True
+            # a concurrent winner lands between this writer's metadata
+            # load and its CAS -> the CAS below must conflict
+            t2.append(
+                seed_df(spark, [(99, 999, "winner", "9.99", "2024-05-05")])
+            )
+        return real_commit(location, md)
+
+    monkeypatch.setattr(M, "commit_metadata", racing_commit)
+    t.append(seed_df(spark, [(50, 500, "loser", "5.00", "2024-06-06")]))
+    assert fired["done"]
+
+    snap = t.meta.snapshot()
+    by_commit = {}  # product_name marker -> manifest ids of its files
+    for f in snap.files:
+        names = f.stats.get("product_name")
+        marker = names[0] if names else "?"
+        by_commit.setdefault(marker, set()).add(f.manifest_id)
+    # winner's and the retried loser's entries live in DISTINCT manifests
+    assert by_commit["winner"].isdisjoint(by_commit["loser"]), by_commit
+    # and three commits -> three manifest groups
+    assert len({f.manifest_id for f in snap.files}) == 3

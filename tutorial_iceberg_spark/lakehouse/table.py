@@ -35,6 +35,43 @@ from tutorial_iceberg_spark.lakehouse import metadata as M
 from tutorial_iceberg_spark.lakehouse import transforms as T
 
 
+_NUMERIC_SQL_TYPES = {
+    "tinyint", "smallint", "int", "integer", "bigint", "long",
+    "float", "real", "double",
+}
+
+
+def _stat_agg_key(v: Any, col_type: Any):
+    """Coerce a ``_json_safe``'d footer stat into the SAME value-ordered
+    representation ``transforms.stats_may_match`` compares under, so that
+    manifest-level aggregate min/max is a strict relaxation of the
+    per-file check. ``_json_safe`` stores Decimal as ``str`` — raw
+    ``min()/max()`` over those is lexicographic (min('100.00','99.00') ==
+    '100.00'), which INVERTS the bound and can prune a manifest whose
+    member files match. Returns None when the value has no usable total
+    order for this column type (caller drops the aggregate bound —
+    pruning stays conservative)."""
+    if v is None:
+        return None
+    t = str(col_type or "").lower()
+    if t in _NUMERIC_SQL_TYPES or t.startswith("decimal"):
+        if isinstance(v, bool):
+            return None
+        if isinstance(v, (int, float)):
+            return float(v)
+        try:  # Decimal stats arrive as str(v) via _json_safe
+            return float(v)
+        except (TypeError, ValueError):
+            return None
+    if t == "date" or t.startswith("timestamp"):
+        # ISO-8601 strings (fixed field order, zero-padded) sort
+        # lexicographically in chronological order
+        return v if isinstance(v, str) else None
+    if t == "string":
+        return v if isinstance(v, str) else None
+    return None  # binary hex, structs, unknown types: no aggregate bound
+
+
 def _json_safe(v: Any):
     if isinstance(v, (datetime, date)):
         return v.isoformat(sep=" ") if isinstance(v, datetime) else v.isoformat()
@@ -263,6 +300,12 @@ class LakeTable:
             except M.CommitConflictError as e:
                 last_err = e
                 md = self.meta  # rebase on the winner's metadata
+                # the failed attempt already stamped new_files with a
+                # manifest id from the STALE counter — an id the winner may
+                # also have consumed; restamp under the rebased counter or
+                # two commits' entries silently share one manifest group
+                for f in new_files:
+                    f.manifest_id = 0
         raise last_err  # type: ignore[misc]
 
     def insert_rows(self, rows: list[tuple]) -> None:
@@ -319,6 +362,8 @@ class LakeTable:
             except M.CommitConflictError as e:
                 last_err = e
                 md = self.meta
+                for f in new_files:  # see append(): restamp after rebase
+                    f.manifest_id = 0
                 if name not in md.refs:
                     raise ValueError(f"branch {name} dropped concurrently") from e
         raise last_err  # type: ignore[misc]
@@ -615,17 +660,25 @@ class LakeTable:
                 if st is None:
                     complete[cur] = False
                     continue
+                # aggregate under the value order stats_may_match compares
+                # with — NOT raw min()/max(), which is lexicographic for
+                # Decimal-as-string stats and would invert the bound
+                lo = _stat_agg_key(st[0], source_types.get(cur))
+                hi = _stat_agg_key(st[1], source_types.get(cur))
+                if lo is None or hi is None:
+                    complete[cur] = False
+                    continue
                 complete.setdefault(cur, True)
                 cur_agg = agg.get(cur)
                 if cur_agg is None:
-                    agg[cur] = [st[0], st[1]]
+                    agg[cur] = [lo, hi]
                 else:
                     try:
                         agg[cur] = [
-                            min(cur_agg[0], st[0]),
-                            max(cur_agg[1], st[1]),
+                            min(cur_agg[0], lo),
+                            max(cur_agg[1], hi),
                         ]
-                    except TypeError:
+                    except TypeError:  # mixed key types across files
                         complete[cur] = False
         # partition summary: distinct (spec, partition-tuple) combos
         combos = {
