@@ -246,3 +246,56 @@ def test_session_window_gap_boundary_semantics(spark):
         .collect()
     }
     assert got == {1: 1, 2: 1, 3: 2}, got
+
+
+def test_stream_source_cap_multifile_single_batch(spark, sf_dir, tmp_path):
+    """ADVICE r9: the admission counter is first-come ACROSS micro-batches
+    while the ROW_NUMBER oracle sorts the whole replay — equivalence needs
+    the replay in ONE batch. With maxFilesPerTrigger pinned high, a
+    multi-file layout must still match the batch form (and the checkpoint
+    commit-log assertion must stay quiet)."""
+    import math
+
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(3).write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        (r.user_id, r.event_id, r.rk)
+        for r in S.x_stream_source_cap(spark, str(tmp_path)).collect()
+    }
+    med = (
+        ev.groupBy("user_id")
+        .count()
+        .agg(F.expr("percentile(count, 0.5)"))
+        .first()[0]
+    )
+    cap = int(math.ceil(S.STREAM_CAP_MULT * float(med)))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    want = {
+        (r.user_id, r.event_id, r.rk)
+        for r in ev.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= cap)
+        .collect()
+    }
+    assert got == want and got
+
+
+def test_run_stream_single_batch_assertion_fires(spark, sf_dir, tmp_path):
+    """single_batch=True must FAIL LOUDLY when the source rate limit
+    splits the replay, instead of silently returning an admission set the
+    oracle can't check."""
+    ev = load_table(spark, sf_dir, "events").limit(30)
+    out = str(tmp_path / "ev3.parquet")
+    ev.repartition(3).write.parquet(out)
+    raw = (
+        spark.readStream.schema(spark.read.parquet(out).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(out)
+    )
+    with pytest.raises(AssertionError, match="micro-batches"):
+        S.run_stream(
+            raw.select("user_id", "event_id"),
+            mode="append",
+            single_batch=True,
+        )

@@ -31,9 +31,20 @@ from tutorial_iceberg_spark.registry import register
 SESSION_GAP_MIN = 30
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, one_batch: bool = False
+) -> DataFrame:
     """File-source stream over the events parquet (schema from the batch
-    reader, including the ns->us timestamp normalization in io.load_table)."""
+    reader, including the ns->us timestamp normalization in io.load_table).
+
+    ``one_batch=True`` pins ``maxFilesPerTrigger`` far above any fixture
+    layout so the availableNow replay admits EVERY source file in one
+    micro-batch. Queries whose oracle equivalence depends on a total
+    per-key arrival order (x_stream_source_cap's admission counter vs the
+    batch ROW_NUMBER form) need this pinned, not incidental: availableNow
+    respects source rate limits, so a multi-file layout under the default
+    maxFilesPerTrigger=1000 (or any explicit lower limit) would split the
+    replay and make admission batch-order-dependent."""
     import os
 
     batch = load_table(spark, sf_dir, "events")
@@ -46,6 +57,8 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sweep.)
     path = table_path(sf_dir, "events")
     reader = spark.readStream.schema(spark.read.parquet(path).schema)
+    if one_batch:
+        reader = reader.option("maxFilesPerTrigger", 10_000_000)
     if os.path.isdir(path):
         raw = reader.parquet(path)
     else:
@@ -67,7 +80,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAM_SHUFFLE_PARTITIONS = 8
 
 
-def run_stream(stream_df: DataFrame, mode: str = "complete") -> DataFrame:
+def run_stream(
+    stream_df: DataFrame, mode: str = "complete", single_batch: bool = False
+) -> DataFrame:
     """Execute a streaming DataFrame to completion (availableNow) through a
     parquet spill directory; return the spill read back as a batch DataFrame.
 
@@ -124,6 +139,20 @@ def run_stream(stream_df: DataFrame, mode: str = "complete") -> DataFrame:
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+    if single_batch:
+        # Callers whose semantics assume the whole replay landed in ONE
+        # micro-batch (admission-order oracles) verify it from the
+        # checkpoint's commit log rather than trusting source options.
+        commits_dir = os.path.join(chk_dir, "commits")
+        commits = [
+            f for f in os.listdir(commits_dir) if not f.startswith(".")
+        ]
+        if len(commits) != 1:
+            raise AssertionError(
+                f"replay split into {len(commits)} micro-batches; the "
+                "caller's oracle equivalence assumes exactly one "
+                f"(committed batches: {sorted(commits)})"
+            )
     os.makedirs(out_dir, exist_ok=True)  # zero-batch streams spill nothing
     # explicit schema: an empty spill must still read back with the
     # stream's exact schema (and skip parquet schema inference entirely)
@@ -521,7 +550,11 @@ def x_stream_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .first()[0]
     )
     cap = int(math.ceil(STREAM_CAP_MULT * float(med)))
-    ev = read_events_stream(spark, sf_dir).select(
+    # one_batch + single_batch: admission is first-come ACROSS micro-
+    # batches, but the ROW_NUMBER oracle sorts only within the replay —
+    # equivalence requires the whole replay in one batch, so pin it and
+    # verify it (ADVICE r9)
+    ev = read_events_stream(spark, sf_dir, one_batch=True).select(
         "user_id",
         "event_id",
         "event_type",
@@ -535,7 +568,9 @@ def x_stream_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return run_stream(admitted, mode="append").orderBy("user_id", "event_id")
+    return run_stream(admitted, mode="append", single_batch=True).orderBy(
+        "user_id", "event_id"
+    )
 
 
 @register(
