@@ -100,3 +100,41 @@ def test_env_var_resolution(monkeypatch, tmp_path):
     scratch.defer_cleanup(d)
     assert scratch.reap() == 1
     assert not os.path.exists(d)
+
+
+def test_reap_orphans_age_gated(tmp_path, monkeypatch):
+    """r9 verdict Next #6: a hard-killed driver (OOM/SIGKILL) never runs
+    the atexit reap, leaking scratch across runs. reap_orphans (invoked
+    by set_scratch_root and session start) removes STALE TIS-prefixed
+    entries, leaves fresh ones and deferred/live ones, and never touches
+    foreign names."""
+    import time
+
+    root = str(tmp_path / "shared_scratch")
+    os.makedirs(root)
+    old = time.time() - 10 * 24 * 3600
+    stale = os.path.join(root, "tis_stream_spill")
+    fresh = os.path.join(root, "tis_lake")
+    foreign_stale = os.path.join(root, "someone_elses_dir")
+    live_deferred = os.path.join(root, "tis_buckets")
+    for d in (stale, fresh, foreign_stale, live_deferred):
+        os.makedirs(os.path.join(d, "part"))
+    for d in (stale, foreign_stale, live_deferred):
+        os.utime(os.path.join(d, "part"), (old, old))
+        os.utime(d, (old, old))
+    scratch.defer_cleanup(live_deferred)
+    try:
+        scratch.set_scratch_root(root)  # triggers the sweep
+        assert not os.path.exists(stale), "stale TIS scratch must be swept"
+        assert os.path.exists(fresh), "fresh scratch is inside the grace"
+        assert os.path.exists(foreign_stale), "foreign names are untouched"
+        assert os.path.exists(live_deferred), "deferred paths are protected"
+        # a stale dir kept alive by ONE fresh child survives (live job)
+        busy = os.path.join(root, "tis_cc_busy")
+        os.makedirs(os.path.join(busy, "labels"))
+        os.utime(busy, (old, old))
+        assert scratch.reap_orphans() == 0
+        assert os.path.exists(busy)
+    finally:
+        scratch.reap()
+        scratch.set_scratch_root(None)

@@ -34,6 +34,22 @@ import threading
 import uuid
 
 ENV_VAR = "TIS_SCRATCH_DIR"
+GRACE_ENV = "TIS_SCRATCH_GRACE_SEC"
+# Orphan grace window (same discipline as remove_orphan_files): anything
+# TIS-prefixed and untouched this long is debris from a killed driver.
+DEFAULT_GRACE_SEC = 24 * 3600
+
+# Top-level scratch entry names this package creates (scratch_dir /
+# mkdtemp call sites). The orphan sweep touches ONLY these — the default
+# root is the shared system tmpdir.
+_SCRATCH_PREFIXES = (
+    "tis_",  # tis_lake, tis_stream_*, tis_cc_, tis_jdbc, tis_buckets, ...
+    "shard_corpus",
+    "csv_events",
+    "parquet_events",
+    "part_lineitem",
+    "jsonl_documents",
+)
 
 _lock = threading.Lock()
 _override: str | None = None
@@ -41,9 +57,61 @@ _deferred: list[str] = []
 
 
 def set_scratch_root(path: str | None) -> None:
-    """Process-wide override; ``None`` restores env/tmpdir resolution."""
+    """Process-wide override; ``None`` restores env/tmpdir resolution.
+
+    Also sweeps stale orphans under the (new) root: ``reap()`` runs
+    atexit, but a driver killed hard (OOM, SIGKILL — plausible on a real
+    cluster) never reaps, and on shared scratch that debris accumulates
+    across runs."""
     global _override
     _override = path
+    try:
+        reap_orphans()
+    except OSError:
+        pass  # unreadable root: resolution itself will surface it
+
+
+def reap_orphans(grace_sec: float | None = None) -> int:
+    """Age-gated sweep of TIS-prefixed debris under the scratch root.
+
+    Removes top-level scratch entries this package creates whose newest
+    mtime (the entry and its immediate children) is older than the grace
+    window — scratch a LIVE job is using keeps fresh mtimes, and anything
+    this process has registered via :func:`defer_cleanup` is skipped
+    outright. Runs at session start and on :func:`set_scratch_root`;
+    grace defaults to $TIS_SCRATCH_GRACE_SEC or 24 h."""
+    import time
+
+    if grace_sec is None:
+        grace_sec = float(os.environ.get(GRACE_ENV, DEFAULT_GRACE_SEC))
+    root = scratch_root()
+    now = time.time()
+    with _lock:
+        live = list(_deferred)
+    removed = 0
+    for name in os.listdir(root):
+        if not name.startswith(_SCRATCH_PREFIXES):
+            continue
+        path = os.path.join(root, name)
+        if not os.path.isdir(path) or any(
+            p == path or p.startswith(path + os.sep) for p in live
+        ):
+            continue
+        try:
+            newest = os.path.getmtime(path)
+            for child in os.listdir(path)[:64]:
+                try:
+                    newest = max(
+                        newest, os.path.getmtime(os.path.join(path, child))
+                    )
+                except OSError:
+                    pass
+            if now - newest > grace_sec:
+                shutil.rmtree(path, ignore_errors=True)
+                removed += 1
+        except OSError:
+            continue
+    return removed
 
 
 def scratch_root() -> str:

@@ -90,4 +90,13 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    # Session start doubles as the orphan checkpoint: atexit reap() never
+    # ran if the previous driver died hard, so age-gated debris under the
+    # scratch root is collected here (scratch.reap_orphans, 24 h grace).
+    try:
+        from tutorial_iceberg_spark import scratch as _scratch
+
+        _scratch.reap_orphans()
+    except OSError:
+        pass
     return apply_engine_conf(spark)
