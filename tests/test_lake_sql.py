@@ -78,6 +78,12 @@ def test_week45_sql_sequence(lsql, spark):
         "SELECT item_name FROM demo.db.orders").collect()}
     assert "laptop" in names
 
+    # DROP COLUMN — completes the evolution verb set (metadata-only; old
+    # files keep the bytes but id-based projection hides them)
+    lsql.sql("ALTER TABLE demo.db.orders DROP COLUMN discount_rate")
+    cols = lsql.sql("SELECT * FROM demo.db.orders").columns
+    assert "discount_rate" not in cols and "region" in cols
+
     # D8 partition evolution (README.md:990-992)
     lsql.sql("ALTER TABLE demo.db.orders ADD PARTITION FIELD month(order_date)")
 

@@ -1142,3 +1142,46 @@ def test_cas_retry_restamps_manifest_ids(cat, spark, monkeypatch):
     assert by_commit["winner"].isdisjoint(by_commit["loser"]), by_commit
     # and three commits -> three manifest groups
     assert len({f.manifest_id for f in snap.files}) == 3
+
+
+def test_drop_column_semantics(cat, spark):
+    """DROP COLUMN is metadata-only, never resurrects via same-name
+    re-add (field ids are not reused), and refuses the unsafe cases:
+    current-spec partition source, equality-delete key, last column."""
+    t = cat.create_table(
+        "db.dropcol", ORDERS_DDL, partition_by=["month(order_date)"]
+    )
+    t.append(seed_df(spark))
+    files_before = {f.path for f in t.meta.snapshot().files}
+
+    t.drop_column("product_name")
+    assert "product_name" not in t.read().columns
+    # metadata-only: zero data IO
+    assert {f.path for f in t.meta.snapshot().files} == files_before
+    # same-name re-add gets a NEW field id: old values must NOT resurrect
+    t.add_column("product_name", "string", default="redacted")
+    vals = {r["product_name"] for r in t.read().collect()}
+    assert vals == {"redacted"}
+    # time travel (current-schema read, consistent with rename semantics)
+    first = t.meta.snapshots[0].snapshot_id
+    assert t.read(snapshot_id=first).count() == len(ROWS)
+
+    # refusals
+    with pytest.raises(ValueError, match="partition source"):
+        t.drop_column("order_date")
+    with pytest.raises(ValueError, match="no column"):
+        t.drop_column("ghost")
+    t2 = cat.create_table("db.dropcol2", "k bigint")
+    t2.append(spark.createDataFrame([(1,), (2,)], "k bigint"))
+    with pytest.raises(ValueError, match="only column"):
+        t2.drop_column("k")
+    # equality-delete key: MoR delete file joins the read frame on the
+    # column name, so dropping it must refuse until those expire
+    t3 = cat.create_table("db.dropcol3", ORDERS_DDL)
+    t3.append(seed_df(spark))
+    t3.set_property("write.delete.mode", "merge-on-read")
+    t3.delete("customer_id = 101")  # delete file keys on order_id (field 1)
+    with pytest.raises(ValueError, match="equality"):
+        t3.drop_column("order_id")
+    t3.drop_column("customer_id")  # not a delete key: drop is fine
+    assert "customer_id" not in t3.read().columns

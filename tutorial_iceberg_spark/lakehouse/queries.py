@@ -222,6 +222,34 @@ def lake_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lake_drop_column",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
+               o_orderpriority,
+               'NA' AS o_orderstatus
+        FROM orders WHERE o_orderkey % 3 IN (0, 1)
+    """,
+    doc="ALTER TABLE DROP COLUMN (r9 verdict Next #8b — the one evolution "
+    "verb Week 4's set, README.md:976-983, leaves unexercised): seed, DROP "
+    "o_orderstatus (metadata-only, zero data IO — files keep the bytes but "
+    "id-based projection hides them), append more rows (writer aligns to "
+    "the narrowed schema), then ADD a column with the SAME NAME back with "
+    "default 'NA'. Field ids are never reused, so every row — including "
+    "the pre-drop files that still physically contain the old values — "
+    "must read the default, NOT the resurrected original (Iceberg's "
+    "id-based evolution guarantee)",
+    tags=("lakehouse", "extension"),
+)
+def lake_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _fresh_table(spark, "drop_col")
+    t.append(_orders_mod(spark, sf_dir, 3, 0))
+    t.drop_column("o_orderstatus")
+    t.append(_orders_mod(spark, sf_dir, 3, 1))
+    t.add_column("o_orderstatus", "string", default="NA")
+    return t.read()
+
+
+@register(
     "lake_compaction",
     oracle=f"""
         SELECT {ORDERS_COLS} FROM orders
@@ -554,6 +582,70 @@ def _changelog_op(state) -> DataFrame:
 )
 def lake_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _changelog_op(_changelog_setup(spark, sf_dir))
+
+
+@register(
+    "lake_changelog_apply",
+    oracle="""
+        WITH final AS (
+            SELECT CASE WHEN o_orderkey % 9 = 3 THEN '9-UPDATED'
+                        ELSE o_orderpriority END AS o_orderpriority,
+                   o_totalprice
+            FROM orders
+            WHERE (o_orderkey % 3 = 0 AND o_orderkey % 9 <> 0)
+               OR o_orderkey % 3 = 1
+        )
+        SELECT o_orderpriority,
+               COUNT(*) AS cnt,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(15,4))), 2)
+                    AS DOUBLE) AS total_price
+        FROM final
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    doc="CDC changelog APPLY (r9 verdict Next #8a) — the consumer half of "
+    "lake_changelog: a downstream per-priority aggregate built at snapshot "
+    "1 is advanced to head by folding ONLY the diff stream in (INSERT/"
+    "UPDATE_AFTER add, DELETE/UPDATE_BEFORE retract — classic delta "
+    "maintenance), never rescanning the base table. Partials stay exact "
+    "DECIMAL so incremental == full recompute bit-for-bit; the oracle IS "
+    "the full recompute of the final state. Updates that move a row "
+    "between groups (priority itself changes) retract from the old group "
+    "and add to the new one; groups whose count reaches zero drop out. At "
+    "100 TB this is the refresh pattern for every derived table: cost "
+    "O(|changes|) after the point-in-time diff, not O(|table|)",
+    tags=("lakehouse", "incremental", "agg", "extension"),
+)
+def lake_changelog_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t, first = _changelog_setup(spark, sf_dir)
+
+    def partial(df: DataFrame, sign=None) -> DataFrame:
+        term = F.col("o_totalprice").cast("decimal(15,4)")
+        one = F.lit(1)
+        if sign is not None:
+            term, one = sign * term, sign
+        return df.groupBy("o_orderpriority").agg(
+            F.sum(one).alias("cnt"), F.sum(term).alias("psum")
+        )
+
+    base = partial(t.read(snapshot_id=first))
+    log = snapshot_changelog(t, first, ["o_orderkey"])
+    sign = F.when(
+        F.col("change_type").isin("INSERT", "UPDATE_AFTER"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    delta = partial(log, sign=sign)
+    return (
+        base.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(F.sum("cnt").alias("cnt"), F.sum("psum").alias("psum"))
+        .where(F.col("cnt") > 0)
+        .select(
+            "o_orderpriority",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.round("psum", 2).cast("double").alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
 
 
 @register(

@@ -65,6 +65,11 @@ _RENAME_COLUMN = re.compile(
     r"(?P<old>\w+)\s+TO\s+(?P<new>\w+)\s*$",
     re.IGNORECASE,
 )
+_DROP_COLUMN = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<ident>[\w.]+)\s+DROP\s+COLUMNS?\s*\(?\s*"
+    r"(?P<name>\w+)\s*\)?\s*$",
+    re.IGNORECASE,
+)
 _ADD_PARTITION = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<ident>[\w.]+)\s+ADD\s+PARTITION\s+FIELD\s+"
     r"(?P<decl>.+?)\s*$",
@@ -194,6 +199,11 @@ class LakeSQL:
         if m := _RENAME_COLUMN.match(s):
             self.catalog.load_table(self._resolve(m["ident"])).rename_column(
                 m["old"], m["new"]
+            )
+            return None
+        if m := _DROP_COLUMN.match(s):
+            self.catalog.load_table(self._resolve(m["ident"])).drop_column(
+                m["name"]
             )
             return None
         if m := _ADD_COLUMN.match(s):

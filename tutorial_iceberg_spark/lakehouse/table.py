@@ -1229,6 +1229,42 @@ class LakeTable:
         md.current_schema_id = new_id
         self._commit(md)
 
+    def drop_column(self, name: str) -> None:
+        """ALTER TABLE DROP COLUMN — the one schema-evolution verb Week
+        4's set (README.md:976-983) leaves unexercised. Metadata-only:
+        the field leaves the current schema; data files are untouched and
+        ``_read_files`` projects by field id against the current schema,
+        so the column vanishes at read with zero data IO. Field ids are
+        never reused (``last_field_id`` is monotone), so a later ADD
+        COLUMN of the same NAME is a NEW field — old files' values do not
+        resurrect (Iceberg's id-based evolution guarantee). Refuses to
+        drop a column the current partition spec derives from (new writes
+        could not compute their partition values — Iceberg refuses too)
+        or one any live equality-delete file keys on (the MoR read
+        applies equality deletes by joining the projected frame on those
+        names)."""
+        md = self.meta
+        by_name = {f.name: f for f in md.schema().fields}
+        if name not in by_name:
+            raise ValueError(f"no column {name}")
+        if len(by_name) == 1:
+            raise ValueError("cannot drop the only column")
+        fid = by_name[name].id
+        if any(pf.source_id == fid for pf in md.spec().fields):
+            raise ValueError(
+                f"column {name} is a partition source in the current "
+                "spec; evolve the spec first"
+            )
+        for s in md.snapshots:
+            for d in s.delete_files:
+                if name in d.equality_columns:
+                    raise ValueError(
+                        f"column {name} is keyed by a live equality-"
+                        "delete file; rewrite or expire those snapshots "
+                        "first"
+                    )
+        self._evolve_schema([f for f in md.schema().fields if f.id != fid])
+
     def rename_column(self, old: str, new: str) -> None:
         """D6 RENAME COLUMN — metadata-only via field IDs (README.md:979);
         old data files keep the old name and still resolve (the exact
