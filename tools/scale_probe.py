@@ -112,6 +112,23 @@ RELATIONAL_PROBES = [
     "x_stream_source_cap",  # per-key admission state x10 keys
 ]
 
+# Round-10 family: the streaming operators (VERDICT r9 Next #4). Only
+# x_stream_source_cap had a measured 10x row; the stateful sessionizer,
+# native session windows, stream-stream join, exactly-once lakehouse
+# sink, and streaming dedup had bounded-state ARGUMENTS but no measured
+# growth. events inflate 10x as user-offset copies (10x keys, per-user
+# timelines mirror the base), so state should grow ~linearly in keys and
+# wall sub-linearly (micro-batch machinery is a large fixed cost at this
+# SF). Each row also reports the measured state-store footprint
+# (events_stream.LAST_STREAM_STATE) at both sizes.
+STREAMING_PROBES = [
+    "x_stream_session_window",
+    "x_stream_sessionize_stateful",
+    "x_stream_stream_join",
+    "x_stream_lakehouse_sink",
+    "x_stream_dedup",
+]
+
 # Queries whose registered form crosses the ALL_PAIRS_MAX_ROWS auto-gate
 # between base (2k embeddings) and 10x (20k): their base/10x timings
 # compare different algorithms (exact all-pairs vs banded LSH).
@@ -409,6 +426,9 @@ def main() -> None:
     if name_filter and name_filter[0] == "relational":
         rows = _relational_callables(specs)
         name_filter = name_filter[1:]
+    elif name_filter and name_filter[0] == "streaming":
+        rows = {n: specs[n].builder for n in STREAMING_PROBES}
+        name_filter = name_filter[1:]
     else:
         rows = _probe_callables(specs)
     # any registered query can be probed by exact name, beyond the
@@ -469,10 +489,20 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         return best, out
 
+    def _stream_state(reset: bool = False):
+        from tutorial_iceberg_spark.streaming import events_stream as S
+
+        if reset:  # a query that never calls run_stream must report None,
+            S.LAST_STREAM_STATE = None  # not the previous query's state
+            return None
+        return S.LAST_STREAM_STATE
+
     results = []
     for n, b in rows.items():
+        _stream_state(reset=True)
         t_base, base_out = timed(b, base_dir)
         base_rows = len(base_out)
+        state_base = _stream_state()
 
         df_big = _materialize(b, spark, probe_dir)
         plan = _plan_of(df_big)
@@ -480,8 +510,10 @@ def main() -> None:
             "bnlj": "BroadcastNestedLoopJoin" in plan,
             "cartesian": "CartesianProduct" in plan,
         }
+        _stream_state(reset=True)
         t_big, big_out = timed(b, probe_dir)
         big_rows = len(big_out)
+        state_big = _stream_state()
 
         # measured recall of the capped-LSH edge generator on the
         # inflated table: within-copy edges are bit-identical copies of
@@ -523,6 +555,11 @@ def main() -> None:
             # pruning evidence: files carried over untouched vs rewritten
             rec["pruning_base"] = base_out[0].asDict()
             rec["pruning_10x"] = big_out[0].asDict()
+        if n.startswith("x_stream") and state_big is not None:
+            # measured state-store footprint (last stream of the query's
+            # final run at each size): rows + bytes, base vs 10x
+            rec["stream_state_base"] = state_base
+            rec["stream_state_10x"] = state_big
         results.append(rec)
         print(json.dumps(rec))
 
