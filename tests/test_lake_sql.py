@@ -271,3 +271,24 @@ def test_rewrite_data_files_strategies(lsql, spark):
     lsql.sql("CALL system.rewrite_data_files('db.c', 'zorder', 'k,v')")
     assert t.meta.snapshot().summary.get("zorder-by") == "k,v"
     assert lsql.sql("SELECT COUNT(*) AS n FROM db.c").first()["n"] == 200
+
+
+def test_drop_column_multi_and_malformed(lsql):
+    """r10 ADVICE low: DROP COLUMNS (a, b) must drop both (it used to
+    fall through to the generic SQL path), and unbalanced parens must
+    error loudly instead of matching."""
+    lsql.sql(
+        "CREATE TABLE demo.db.t (id BIGINT, a BIGINT, b BIGINT, c BIGINT) "
+        "USING iceberg"
+    )
+    lsql.sql("INSERT INTO demo.db.t VALUES (1, 10, 20, 30)")
+    lsql.sql("ALTER TABLE demo.db.t DROP COLUMNS (a, b)")
+    assert lsql.sql("SELECT * FROM demo.db.t").columns == ["id", "c"]
+    for bad in (
+        "ALTER TABLE demo.db.t DROP COLUMN (c",
+        "ALTER TABLE demo.db.t DROP COLUMN c)",
+        "ALTER TABLE demo.db.t DROP COLUMNS (c,)",
+    ):
+        with pytest.raises(ValueError, match="DROP COLUMN"):
+            lsql.sql(bad)
+    assert lsql.sql("SELECT * FROM demo.db.t").columns == ["id", "c"]

@@ -138,3 +138,105 @@ def test_reap_orphans_age_gated(tmp_path, monkeypatch):
     finally:
         scratch.reap()
         scratch.set_scratch_root(None)
+
+
+def test_reap_orphans_deep_fresh_activity_protects(tmp_path):
+    """r10 ADVICE medium: live scratch activity often lands DEEP in the
+    tree (tis_lake/<tbl>/data/part-*), below the old depth-1/64-child
+    mtime sample — a concurrent driver's live entry whose top levels are
+    old must survive the sweep when any descendant is fresh."""
+    import time
+
+    root = str(tmp_path / "shared")
+    os.makedirs(root)
+    old = time.time() - 10 * 24 * 3600
+    entry = os.path.join(root, "tis_lake")
+    deep = os.path.join(entry, "tbl", "data")
+    os.makedirs(deep)
+    # 70 stale siblings ahead of the live subtree: the old 64-child cap
+    # would never reach it even at depth 1
+    for i in range(70):
+        d = os.path.join(entry, f"a{i:03d}")
+        os.makedirs(d)
+        os.utime(d, (old, old))
+    with open(os.path.join(deep, "part-0.parquet"), "w"):
+        pass  # fresh mtime, three levels down
+    for p in (entry, os.path.join(entry, "tbl")):
+        os.utime(p, (old, old))
+    try:
+        scratch.set_scratch_root(root)
+        assert os.path.exists(entry), "deep fresh activity must protect the entry"
+        # drop the fresh descendant -> genuinely stale -> swept
+        os.remove(os.path.join(deep, "part-0.parquet"))
+        for p in (deep, os.path.join(entry, "tbl"), entry):
+            os.utime(p, (old, old))
+        assert scratch.reap_orphans() == 1
+        assert not os.path.exists(entry)
+    finally:
+        scratch.set_scratch_root(None)
+
+
+def test_reap_orphans_malformed_grace_env(tmp_path, monkeypatch):
+    """r10 ADVICE low: a garbage TIS_SCRATCH_GRACE_SEC must degrade to
+    the default grace with a warning, not crash session start."""
+    import time
+    import warnings
+
+    root = str(tmp_path / "shared")
+    os.makedirs(root)
+    stale = os.path.join(root, "tis_debris")
+    os.makedirs(stale)
+    old = time.time() - 10 * 24 * 3600
+    os.utime(stale, (old, old))
+    monkeypatch.setenv(scratch.GRACE_ENV, "not-a-number")
+    try:
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            scratch.set_scratch_root(root)  # must not raise
+        assert any(scratch.GRACE_ENV in str(x.message) for x in w)
+        assert not os.path.exists(stale), "default grace still sweeps debris"
+    finally:
+        scratch.set_scratch_root(None)
+
+
+def test_reap_orphans_generic_names_need_claimed_root(tmp_path, monkeypatch):
+    """r10 ADVICE low: generic entry names (csv_events, shard_corpus...)
+    are plausible foreign dirs under the shared system tmpdir — they are
+    swept only under a root the deployer explicitly claimed."""
+    import time
+
+    root = str(tmp_path / "implicit_tmp")
+    os.makedirs(root)
+    old = time.time() - 10 * 24 * 3600
+    generic = os.path.join(root, "csv_events")
+    tis = os.path.join(root, "tis_debris")
+    for d in (generic, tis):
+        os.makedirs(d)
+        os.utime(d, (old, old))
+    # implicit root: no override, no env var -> tmpdir resolution
+    monkeypatch.delenv(scratch.ENV_VAR, raising=False)
+    monkeypatch.setattr(scratch.tempfile, "gettempdir", lambda: root)
+    scratch.set_scratch_root(None)
+    assert os.path.exists(generic), "generic names survive under implicit /tmp"
+    assert not os.path.exists(tis), "tis_ namespace is always ours"
+    # explicitly-claimed root: generic names are ours to reap
+    os.makedirs(tis)
+    os.utime(tis, (old, old))
+    try:
+        scratch.set_scratch_root(root)
+        assert not os.path.exists(generic)
+        assert not os.path.exists(tis)
+    finally:
+        scratch.set_scratch_root(None)
+
+
+def test_scratch_dir_touches_heartbeat(tmp_path):
+    """scratch_dir re-touches a top-level heartbeat every call, so a job
+    only READING old scratch still presents fresh activity to the sweep."""
+    try:
+        scratch.set_scratch_root(str(tmp_path))
+        scratch.scratch_dir("tis_lake", "tbl")
+        hb = tmp_path / "tis_lake" / scratch.HEARTBEAT_NAME
+        assert hb.exists()
+    finally:
+        scratch.set_scratch_root(None)

@@ -371,3 +371,15 @@ def test_windowed_funnel_is_subset_of_unbounded(spark, sf_dir):
     # anchor on an EARLIER click (within 1h of view) whose 24h purchase
     # window differs; only the click stage is provably monotone
     assert bounded["purchase"] <= bounded["click"]
+
+
+def test_stats_int_literal_vs_decimal_string_stats_not_truncated():
+    """r10 ADVICE low: int literals vs per-file string stats used to be
+    coerced with int(float(stat)), truncating toward zero — 'price < -99'
+    wrongly pruned a file whose true min is -99.9. Bounds must stay float
+    so file- and manifest-level checks share one exact numeric order."""
+    assert T.stats_may_match(["-99.9", "-10.0"], "<", -99)
+    assert T.stats_may_match(["10.0", "99.9"], ">", 99)
+    assert T.stats_may_match(["99.5", "100.5"], "=", 100)
+    # pruning still fires when genuinely disjoint
+    assert not T.stats_may_match(["-98.9", "-10.0"], "<", -99)

@@ -65,10 +65,19 @@ _RENAME_COLUMN = re.compile(
     r"(?P<old>\w+)\s+TO\s+(?P<new>\w+)\s*$",
     re.IGNORECASE,
 )
+# Parens must come as a matched pair (r10 ADVICE: 'DROP COLUMN (x' used
+# to match and 'DROP COLUMNS (a, b)' silently fell through to the generic
+# SQL path). The comma list supports multi-column drops; _DROP_PREFIX
+# catches malformed variants so they error loudly instead of falling
+# through.
 _DROP_COLUMN = re.compile(
-    r"^\s*ALTER\s+TABLE\s+(?P<ident>[\w.]+)\s+DROP\s+COLUMNS?\s*\(?\s*"
-    r"(?P<name>\w+)\s*\)?\s*$",
+    r"^\s*ALTER\s+TABLE\s+(?P<ident>[\w.]+)\s+DROP\s+COLUMNS?\s+"
+    r"(?:\(\s*(?P<plist>\w+(?:\s*,\s*\w+)*)\s*\)|(?P<list>\w+(?:\s*,\s*\w+)*))"
+    r"\s*$",
     re.IGNORECASE,
+)
+_DROP_PREFIX = re.compile(
+    r"^\s*ALTER\s+TABLE\s+[\w.]+\s+DROP\s+COLUMNS?\b", re.IGNORECASE
 )
 _ADD_PARTITION = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<ident>[\w.]+)\s+ADD\s+PARTITION\s+FIELD\s+"
@@ -202,10 +211,16 @@ class LakeSQL:
             )
             return None
         if m := _DROP_COLUMN.match(s):
-            self.catalog.load_table(self._resolve(m["ident"])).drop_column(
-                m["name"]
-            )
+            tbl = self.catalog.load_table(self._resolve(m["ident"]))
+            for name in re.split(r"\s*,\s*", m["plist"] or m["list"]):
+                tbl.drop_column(name)
             return None
+        if _DROP_PREFIX.match(s):
+            raise ValueError(
+                "malformed ALTER TABLE ... DROP COLUMN: expected "
+                "'DROP COLUMN c' or 'DROP COLUMNS (a, b)' with balanced "
+                f"parentheses, got: {s.strip()!r}"
+            )
         if m := _ADD_COLUMN.match(s):
             default = m["default"]
             if default is not None:

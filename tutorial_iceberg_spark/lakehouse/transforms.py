@@ -143,7 +143,12 @@ def stats_may_match(stats_minmax: list | None, op: str, value: Any) -> bool:
         v = _cmp_key(value)
         lo, hi = _cmp_key(lo), _cmp_key(hi)
         if isinstance(v, (int, float)) and isinstance(lo, str):
-            lo, hi = type(v)(float(lo)), type(v)(float(hi))
+            # Keep float bounds even for int literals: int() truncates
+            # toward zero (int(-99.9) == -99), which could wrongly prune
+            # 'price < -99' against a true min of -99.9. Python compares
+            # int vs float exactly, so float bounds share one numeric
+            # order with the manifest-level _stat_agg_key (r10 ADVICE).
+            lo, hi = float(lo), float(hi)
         if isinstance(v, str) and isinstance(lo, (int, float)):
             lo, hi = str(lo), str(hi)
         if op in ("=", "=="):

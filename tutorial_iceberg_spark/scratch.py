@@ -40,8 +40,12 @@ GRACE_ENV = "TIS_SCRATCH_GRACE_SEC"
 DEFAULT_GRACE_SEC = 24 * 3600
 
 # Top-level scratch entry names this package creates (scratch_dir /
-# mkdtemp call sites). The orphan sweep touches ONLY these — the default
-# root is the shared system tmpdir.
+# mkdtemp call sites). The orphan sweep touches ONLY these. The generic
+# (non-``tis_``) names are plausible for OTHER software to create under
+# the shared system tmpdir, so they are swept only under a root the
+# deployer explicitly claimed via TIS_SCRATCH_DIR / set_scratch_root
+# (round-10 ADVICE) — under the implicit /tmp default only the
+# unambiguous ``tis_`` namespace is touched.
 _SCRATCH_PREFIXES = (
     "tis_",  # tis_lake, tis_stream_*, tis_cc_, tis_jdbc, tis_buckets, ...
     "shard_corpus",
@@ -50,6 +54,10 @@ _SCRATCH_PREFIXES = (
     "part_lineitem",
     "jsonl_documents",
 )
+_UNAMBIGUOUS_PREFIXES = ("tis_",)
+# Fresh-touched marker a live run may keep at an entry's top level; the
+# sweeper honors it without walking the tree (see heartbeat()).
+HEARTBEAT_NAME = ".tis_heartbeat"
 
 _lock = threading.Lock()
 _override: str | None = None
@@ -71,26 +79,74 @@ def set_scratch_root(path: str | None) -> None:
         pass  # unreadable root: resolution itself will surface it
 
 
+def _grace_from_env() -> float:
+    """$TIS_SCRATCH_GRACE_SEC, falling back (with a warning) on garbage —
+    a malformed env var must not crash every session start (r10 ADVICE)."""
+    raw = os.environ.get(GRACE_ENV)
+    if raw is None:
+        return DEFAULT_GRACE_SEC
+    try:
+        return float(raw)
+    except ValueError:
+        import warnings
+
+        warnings.warn(
+            f"ignoring malformed {GRACE_ENV}={raw!r}; "
+            f"using default {DEFAULT_GRACE_SEC}s",
+            stacklevel=3,
+        )
+        return DEFAULT_GRACE_SEC
+
+
+def _is_fresh(path: str, now: float, grace_sec: float) -> bool:
+    """True iff anything under ``path`` (any depth) was touched within the
+    grace window. Early-exits on the first fresh mtime, so a LIVE tree is
+    cheap to clear; only genuinely-stale trees pay a full walk — and those
+    are about to pay an rmtree anyway (r10 ADVICE: the old depth-1 /
+    64-child sample could miss activity in ``tis_lake/<tbl>/data/*`` and
+    sweep a concurrent driver's live scratch)."""
+    try:
+        if now - os.path.getmtime(path) <= grace_sec:
+            return True
+    except OSError:
+        pass
+    for dirpath, dirnames, filenames in os.walk(path, onerror=lambda e: None):
+        for name in dirnames + filenames:
+            try:
+                if now - os.path.getmtime(os.path.join(dirpath, name)) <= grace_sec:
+                    return True
+            except OSError:
+                continue
+    return False
+
+
 def reap_orphans(grace_sec: float | None = None) -> int:
     """Age-gated sweep of TIS-prefixed debris under the scratch root.
 
     Removes top-level scratch entries this package creates whose newest
-    mtime (the entry and its immediate children) is older than the grace
-    window — scratch a LIVE job is using keeps fresh mtimes, and anything
-    this process has registered via :func:`defer_cleanup` is skipped
-    outright. Runs at session start and on :func:`set_scratch_root`;
-    grace defaults to $TIS_SCRATCH_GRACE_SEC or 24 h."""
+    mtime — computed RECURSIVELY, with early exit on the first fresh
+    entry — is older than the grace window. Scratch a LIVE job is using
+    keeps fresh mtimes (and :func:`scratch_dir` re-touches a heartbeat
+    file on every call, covering long read-only phases); anything this
+    process registered via :func:`defer_cleanup` is skipped outright.
+    Under the implicit system-tmpdir root only the unambiguous ``tis_``
+    namespace is swept — generic names (csv_events, shard_corpus, ...)
+    are only reaped under an explicitly-claimed root. Runs at session
+    start and on :func:`set_scratch_root`; grace defaults to
+    $TIS_SCRATCH_GRACE_SEC or 24 h."""
     import time
 
     if grace_sec is None:
-        grace_sec = float(os.environ.get(GRACE_ENV, DEFAULT_GRACE_SEC))
+        grace_sec = _grace_from_env()
+    explicit = _override is not None or bool(os.environ.get(ENV_VAR))
+    prefixes = _SCRATCH_PREFIXES if explicit else _UNAMBIGUOUS_PREFIXES
     root = scratch_root()
     now = time.time()
     with _lock:
         live = list(_deferred)
     removed = 0
     for name in os.listdir(root):
-        if not name.startswith(_SCRATCH_PREFIXES):
+        if not name.startswith(prefixes):
             continue
         path = os.path.join(root, name)
         if not os.path.isdir(path) or any(
@@ -98,15 +154,7 @@ def reap_orphans(grace_sec: float | None = None) -> int:
         ):
             continue
         try:
-            newest = os.path.getmtime(path)
-            for child in os.listdir(path)[:64]:
-                try:
-                    newest = max(
-                        newest, os.path.getmtime(os.path.join(path, child))
-                    )
-                except OSError:
-                    pass
-            if now - newest > grace_sec:
+            if not _is_fresh(path, now, grace_sec):
                 shutil.rmtree(path, ignore_errors=True)
                 removed += 1
         except OSError:
@@ -127,8 +175,17 @@ def scratch_dir(*parts: str, unique: bool = False) -> str:
     comps = list(parts)
     if unique:
         comps.append(uuid.uuid4().hex[:8])
-    path = os.path.join(scratch_root(), *comps)
+    root = scratch_root()
+    path = os.path.join(root, *comps)
     os.makedirs(path, exist_ok=True)
+    # Re-touch a top-level heartbeat on every call so a long-lived job
+    # that is only READING old scratch (e.g. barrier parquet written
+    # hours ago) still presents a fresh mtime to reap_orphans.
+    try:
+        with open(os.path.join(root, comps[0], HEARTBEAT_NAME), "w"):
+            pass
+    except OSError:
+        pass
     return path
 
 
