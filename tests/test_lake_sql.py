@@ -292,3 +292,16 @@ def test_drop_column_multi_and_malformed(lsql):
         with pytest.raises(ValueError, match="DROP COLUMN"):
             lsql.sql(bad)
     assert lsql.sql("SELECT * FROM demo.db.t").columns == ["id", "c"]
+
+
+def test_alter_column_type_promotion(lsql):
+    """Iceberg's ALTER COLUMN ... TYPE verb through the router."""
+    lsql.sql("CREATE TABLE demo.db.p (id INT, price FLOAT) USING iceberg")
+    lsql.sql("INSERT INTO demo.db.p VALUES (1, CAST(1.5 AS FLOAT))")
+    lsql.sql("ALTER TABLE demo.db.p ALTER COLUMN id TYPE BIGINT")
+    lsql.sql("ALTER TABLE demo.db.p ALTER COLUMN price TYPE DOUBLE")
+    got = lsql.sql("SELECT * FROM demo.db.p")
+    assert dict(got.dtypes) == {"id": "bigint", "price": "double"}
+    assert got.first()["price"] == 1.5
+    with pytest.raises(ValueError, match="promot"):
+        lsql.sql("ALTER TABLE demo.db.p ALTER COLUMN id TYPE INT")

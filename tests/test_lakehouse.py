@@ -1185,3 +1185,64 @@ def test_drop_column_semantics(cat, spark):
         t3.drop_column("order_id")
     t3.drop_column("customer_id")  # not a delete key: drop is fine
     assert "customer_id" not in t3.read().columns
+
+
+def test_promote_column_semantics(cat, spark):
+    """Type promotion (r10 verdict Next #4): metadata-only widening —
+    old int32/float32 files read back as bigint/double with zero data
+    IO; narrowing and cross-family changes refuse; time travel still
+    reads pre-promotion snapshots."""
+    t = cat.create_table(
+        "db.promote",
+        "k int, price float, amount decimal(10,2), tag string",
+    )
+    from decimal import Decimal
+
+    t.append(
+        spark.createDataFrame(
+            [(1, 1.5, Decimal("10.00"), "a"), (2, 2.5, Decimal("20.00"), "b")],
+            "k int, price float, amount decimal(10,2), tag string",
+        )
+    )
+    files_before = {f.path for f in t.meta.snapshot().files}
+    t.promote_column("k", "bigint")
+    t.promote_column("price", "double")
+    t.promote_column("amount", "decimal(16,2)")
+    # metadata-only: same files, new read types
+    assert {f.path for f in t.meta.snapshot().files} == files_before
+    got = t.read()
+    types = dict(got.dtypes)
+    assert types["k"] == "bigint" and types["price"] == "double"
+    assert types["amount"] == "decimal(16,2)"
+    rows = {r["k"]: r for r in got.collect()}
+    assert rows[1]["price"] == 1.5 and str(rows[2]["amount"]) == "20.00"
+    # field id is KEPT (promotion is not drop+add)
+    by_name = {f.name: f.id for f in t.meta.schema().fields}
+    old_ids = {f.name: f.id for f in t.meta.schema(0).fields}
+    assert by_name["k"] == old_ids["k"]
+    # new appends land wide; both generations union cleanly
+    t.append(
+        spark.createDataFrame(
+            [(3_000_000_000, 3.5, Decimal("30.00"), "c")],
+            "k bigint, price double, amount decimal(16,2), tag string",
+        )
+    )
+    assert t.read().count() == 3
+    assert {r["k"] for r in t.read().collect()} == {1, 2, 3_000_000_000}
+    # time travel to the pre-promotion snapshot still works
+    first = t.meta.snapshots[0].snapshot_id
+    assert t.read(snapshot_id=first).count() == 2
+
+    # refusals: narrowing, cross-family, scale change, same type, ghost
+    for name, bad in (
+        ("k", "int"),  # same after promotion? k is bigint now -> narrowing
+        ("price", "float"),
+        ("tag", "bigint"),
+        ("amount", "decimal(16,4)"),
+        ("amount", "decimal(12,2)"),
+        ("k", "bigint"),  # already bigint
+    ):
+        with pytest.raises(ValueError):
+            t.promote_column(name, bad)
+    with pytest.raises(ValueError, match="no column"):
+        t.promote_column("ghost", "bigint")

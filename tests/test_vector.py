@@ -436,3 +436,69 @@ def test_lsh_clamp_binding_is_surfaced(spark, sf_dir):
     V._LSH_CLAMP_EVENTS.clear()
     V._lsh_bands(emb, dim).count()
     assert not V._LSH_CLAMP_EVENTS
+
+
+def test_lsh_auto_size_math():
+    """r10 verdict Next #3: sizing from a corpus census. Bits grow with
+    density so expected bucket load stays under cap/2; bands grow to
+    hold the recall floor; the floor shortfall is never silent."""
+    import warnings
+
+    cap = V.LSH_BUCKET_CAP
+    prev_planes = 0
+    for n in (100, 2_000, 20_000, 60_000, 1_000_000):
+        s = V.lsh_auto_size(n)
+        if n > cap:
+            assert s["expected_density"] <= cap / 2, (n, s)
+        assert not s["band_clamped"]
+        assert s["expected_recall"] >= 0.85, (n, s)
+        assert s["n_planes"] == s["bits_per_band"] * s["n_bands"]
+        assert s["n_planes"] >= prev_planes, "plane budget must not shrink with n"
+        prev_planes = s["n_planes"]
+    # higher design similarity -> cheaper (fewer bands at same floor)
+    near = V.lsh_auto_size(60_000, sim_threshold=0.85)
+    far = V.lsh_auto_size(60_000, sim_threshold=0.40)
+    assert near["n_bands"] < far["n_bands"]
+    # unattainable floor at extreme n: clamp binds with a warning and an
+    # HONEST expected_recall, never a silent cap
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        s = V.lsh_auto_size(10**9)
+    assert s["band_clamped"] and s["expected_recall"] < 0.85
+    assert any("max_bands" in str(x.message) for x in w)
+
+
+def test_lsh_auto_candidates_recall_and_subset(spark, sf_dir):
+    """The auto-sized wide band path: candidates verify to a SUBSET of
+    the true edge set (verification predicate unchanged) and within-run
+    recall meets the sizing model's floor minus sampling slack — the
+    probe extends this measurement to 10x/30x density (SCALE_PROBE r11)."""
+    from tutorial_iceberg_spark.operators import graph as G
+
+    truth = {
+        (r.left_id, r.right_id)
+        for r in G.cosine_edges(spark, sf_dir, candidates="all_pairs").collect()
+    }
+    auto = {
+        (r.left_id, r.right_id)
+        for r in G.cosine_edges(spark, sf_dir, candidates="lsh_auto").collect()
+    }
+    assert auto <= truth
+    assert truth, "fixture has no edges"
+    assert len(auto) / len(truth) >= 0.70, (len(auto), len(truth))
+
+
+def test_lsh_sized_path_equals_fixed_when_config_matches(spark, sf_dir):
+    """hyperplane_band_keys packs per-band keys from its own plane
+    layout, so pair sets differ from the packed-int64 path in general —
+    but the SAME census/cap/split machinery applies (shared
+    _apply_bucket_cap); with no cap, every vector appears in every band
+    exactly once in both paths."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    dim = emb.select(F.size("embedding")).first()[0]
+    sizing = {"bits_per_band": 2, "n_bands": 16, "rb": 6}
+    bands = V._lsh_bands_sized(emb, dim, sizing, bucket_cap=None)
+    per_vec = bands.groupBy("vec_id").count().agg(F.min("count"), F.max("count")).first()
+    assert per_vec[0] == per_vec[1] == 16
+    assert bands.count() == 16 * n

@@ -319,6 +319,12 @@ def _probe_callables(specs):
     rows["cosine_edges[lsh]"] = lambda s, d: cosine_edges(
         s, d, candidates="lsh"
     )
+    # the auto-sized twin (r10 verdict Next #3): constants re-picked per
+    # corpus census, so within-copy recall should hold roughly flat
+    # across densities where the fixed path drifts
+    rows["cosine_edges[lsh_auto]"] = lambda s, d: cosine_edges(
+        s, d, candidates="lsh_auto"
+    )
     rows["x_knn_classify_loo[lsh]"] = lambda s, d: x_knn_classify_loo(
         s, d, candidates="lsh"
     )
@@ -521,7 +527,7 @@ def main() -> None:
         # base edges| (the cross-copy noise edges the threshold also
         # admits are excluded — they are data, not structure).
         recall = None
-        if n == "cosine_edges[lsh]":
+        if n in ("cosine_edges[lsh]", "cosine_edges[lsh_auto]"):
             from tutorial_iceberg_spark.operators.graph import cosine_edges
 
             exact_base = cosine_edges(

@@ -734,6 +734,16 @@ def _lsh_bands(
     bands = bands.localCheckpoint(eager=False)
     if not bucket_cap:
         return bands
+    return _apply_bucket_cap(bands, rb, bucket_cap)
+
+
+def _apply_bucket_cap(bands: DataFrame, rb: int, bucket_cap: int) -> DataFrame:
+    """Census + consistent sub-split of oversized (band, key) buckets on
+    each row's ``rkey`` reserve bits. Shared verbatim by the fixed-width
+    `_lsh_bands` path and the auto-sized wide path (`_lsh_bands_sized`),
+    so the clamp warning, fast path, and split-key bijection behave
+    identically however the band keys were packed. ``bands`` must carry
+    (vec_id, band, key, rkey)."""
     # bucket census: at most n_bands * 2^bits_per_band rows — AQE
     # broadcasts it back onto the bands frame, no corpus shuffle.
     # extra = floor(log2((cnt-1)/cap)) + 1 (exact-power-robust) so that
@@ -822,6 +832,178 @@ def _lsh_bands(
     )
 
 
+# ---------------------------------------------------------------------------
+# LSH constant auto-sizing (round-10 verdict Next #3)
+#
+# At FIXED constants (32 planes / 16 x 2-bit bands / rb=6) the scale
+# probes measured within-copy recall drifting 0.678 @ 10x -> 0.494 @ 30x:
+# as corpus density rises past cap/2^bits, the bucket-cap split spends
+# reserve bits, and every extra bit prices true pairs by p^extra per
+# band. The fix is not a bigger cap (that re-opens the quadratic
+# candidate bound) but LSH's textbook scaling law: bits_per_band must
+# grow with log2(n/cap) so buckets stay under the cap WITHOUT splits,
+# and the band count must grow to hold recall at the design threshold —
+# planes ~ O(log n * bands). The packed-int64 primary signature hard-caps
+# n_planes at 63, which is exactly why the fixed path drifts; the sized
+# path below packs per-band keys in ONE Arrow pass with no 63-plane
+# ceiling (same single matmul, just a wider sign matrix).
+# ---------------------------------------------------------------------------
+
+
+def lsh_auto_size(
+    n_vectors: int,
+    *,
+    sim_threshold: float = 0.40,
+    recall_floor: float = 0.85,
+    bucket_cap: int = LSH_BUCKET_CAP,
+    rb: int = _LSH_RESERVE_BITS_PER_BAND,
+    max_bits_per_band: int = 24,
+    max_bands: int = 512,
+) -> dict:
+    """Pick (bits_per_band, n_bands, rb) from a cheap corpus census so
+    expected bucket density stays BELOW the cap (no splits, so the clamp
+    regime is unreachable in expectation) while expected recall for a
+    pair AT ``sim_threshold`` meets ``recall_floor``.
+
+    The census is just ``n_vectors`` (a parquet-footer row count — no
+    scan). Sizing math, validated against the measured probes (the
+    analytic model reproduces the measured 0.678/0.494 drift of the
+    fixed path within a few points):
+
+    - collision prob per plane  p = 1 - theta/pi,  theta = acos(sim)
+    - bits_per_band b: smallest with expected density n/2^b <= cap/2
+      (the /2 is skew headroom; rb reserve bits still back-stop tails)
+    - bands L: smallest with 1 - (1 - p^b)^L >= recall_floor
+
+    Never silently capped: if ``max_bands`` binds, the returned
+    ``expected_recall`` honestly reports the shortfall and a warning
+    fires."""
+    import math
+
+    n = max(1, int(n_vectors))
+    p = 1.0 - math.acos(min(1.0, max(-1.0, sim_threshold))) / math.pi
+    b = 2
+    if n > bucket_cap:
+        b = max(2, math.ceil(math.log2(2.0 * n / bucket_cap)))
+    b = min(b, max_bits_per_band)
+    pb = p**b
+    if pb >= 1.0:
+        n_bands = 1
+    else:
+        n_bands = max(1, math.ceil(math.log(1.0 - recall_floor) / math.log(1.0 - pb)))
+    band_clamped = n_bands > max_bands
+    if band_clamped:
+        import warnings
+
+        n_bands = max_bands
+        warnings.warn(
+            f"lsh_auto_size: max_bands={max_bands} binds at n={n} "
+            f"(recall floor {recall_floor} needs more bands at "
+            f"sim_threshold={sim_threshold}); expected_recall is the "
+            "honest achievable value"
+        )
+    return {
+        "bits_per_band": b,
+        "n_bands": n_bands,
+        "n_planes": b * n_bands,
+        "rb": rb,
+        "design_p": p,
+        "expected_density": n / float(1 << b),
+        "expected_recall": 1.0 - (1.0 - pb) ** n_bands,
+        "band_clamped": band_clamped,
+    }
+
+
+def hyperplane_band_keys(
+    emb_u: DataFrame,
+    dim: int,
+    bits_per_band: int,
+    n_bands: int,
+    rb: int,
+    seed: int = _PLANE_SEED,
+) -> DataFrame:
+    """vec_id -> per-band key/reserve-key ARRAYS in one Arrow pass.
+
+    The wide twin of :func:`hyperplane_signatures` for auto-sized
+    configurations whose total plane count exceeds the packed-int64
+    63-plane ceiling: plane layout is [band0 primary bits | band1 ... |
+    then all reserve slices], drawn from the same seeded sign matrix
+    scheme, and each band's key is packed independently — so the plane
+    budget is unbounded while every key still fits an int64
+    (bits_per_band, rb <= 62). Same single ``vecs @ signs.T`` matmul, no
+    shuffle, linear in corpus bytes."""
+    if not 0 < bits_per_band < 63 or not 0 <= rb < 63:
+        raise ValueError(f"bits out of range: {bits_per_band=} {rb=}")
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        total = n_bands * (bits_per_band + rb)
+        signs_t = _sign_matrix(dim, total, seed).T  # (dim, total)
+        w_prim = np.int64(1) << np.arange(bits_per_band, dtype=np.int64)
+        w_res = np.int64(1) << np.arange(rb, dtype=np.int64)
+        prim_w = n_bands * bits_per_band
+        for pdf in it:
+            rows = len(pdf)
+            if rows:
+                vecs = np.vstack(pdf["u"].to_numpy())  # (rows, dim)
+                bits = (vecs @ signs_t) > 0  # (rows, total)
+                keys = bits[:, :prim_w].reshape(rows, n_bands, bits_per_band) @ w_prim
+                if rb:
+                    rkeys = bits[:, prim_w:].reshape(rows, n_bands, rb) @ w_res
+                else:
+                    rkeys = np.zeros((rows, n_bands), dtype=np.int64)
+            else:
+                keys = rkeys = np.zeros((0, n_bands), dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "keys": list(keys),
+                    "rkeys": list(rkeys),
+                }
+            )
+
+    return emb_u.mapInPandas(
+        batches, "vec_id bigint, keys array<bigint>, rkeys array<bigint>"
+    )
+
+
+def _lsh_bands_sized(
+    emb: DataFrame,
+    dim: int,
+    sizing: dict,
+    seed: int = _PLANE_SEED,
+    bucket_cap: int | None = LSH_BUCKET_CAP,
+) -> DataFrame:
+    """(vec_id, band, key) assignments under an explicit
+    :func:`lsh_auto_size` configuration — wide band keys, then the SAME
+    census/cap/split machinery as the fixed path (splits are expected to
+    be census-rare here since sizing targets density cap/2, but skewed
+    real corpora still get the rb back-stop and the clamp warning)."""
+    rb = sizing["rb"] if bucket_cap else 0
+    u = emb.select("vec_id", _unit(F.col("embedding")).alias("u"))
+    kk = hyperplane_band_keys(
+        u, dim, sizing["bits_per_band"], sizing["n_bands"], rb, seed=seed
+    )
+    bands = (
+        kk.select(
+            "vec_id",
+            F.posexplode(F.arrays_zip("keys", "rkeys")).alias("band", "kr"),
+        )
+        .select(
+            "vec_id",
+            "band",
+            F.col("kr.keys").alias("key"),
+            F.col("kr.rkeys").alias("rkey"),
+        )
+        .localCheckpoint(eager=False)  # census + both self-join sides read this
+    )
+    if not bucket_cap:
+        return bands.drop("rkey")
+    return _apply_bucket_cap(bands, rb, bucket_cap)
+
+
 def lsh_candidate_pairs(
     emb: DataFrame,
     dim: int,
@@ -829,6 +1011,7 @@ def lsh_candidate_pairs(
     n_bands: int = 16,
     seed: int = _PLANE_SEED,
     bucket_cap: int | None = LSH_BUCKET_CAP,
+    sizing: dict | None = None,
 ) -> DataFrame:
     """Distinct (left_id, right_id) candidate pairs via an LSH band-bucket
     SELF-join — the scale-path pair generator for threshold similarity
@@ -848,15 +1031,24 @@ def lsh_candidate_pairs(
     toward 1 at moderate cosine thresholds — P(miss) = (1 - p^bits)^bands
     with p = 1 - theta/pi — and the cap only spends extra bits where
     buckets are dense. Recall, the candidate-superset property, and the
-    cap's sub-bucket bound are pytest-gated on the testdata."""
-    bands = _lsh_bands(
-        emb,
-        dim,
-        n_planes=n_planes,
-        n_bands=n_bands,
-        seed=seed,
-        bucket_cap=bucket_cap,
-    )
+    cap's sub-bucket bound are pytest-gated on the testdata.
+
+    ``sizing`` (a :func:`lsh_auto_size` dict) switches to the auto-sized
+    wide band path, which holds recall roughly flat as corpus density
+    grows instead of letting the fixed 63-plane budget drift it down."""
+    if sizing is not None:
+        bands = _lsh_bands_sized(
+            emb, dim, sizing, seed=seed, bucket_cap=bucket_cap
+        )
+    else:
+        bands = _lsh_bands(
+            emb,
+            dim,
+            n_planes=n_planes,
+            n_bands=n_bands,
+            seed=seed,
+            bucket_cap=bucket_cap,
+        )
     x, y = bands.alias("x"), bands.alias("y")
     return (
         x.join(

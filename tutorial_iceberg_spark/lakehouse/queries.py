@@ -250,6 +250,49 @@ def lake_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lake_promote_column",
+    oracle="""
+        SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+               CAST(o_custkey AS BIGINT) AS o_custkey,
+               CAST(CAST(o_totalprice AS REAL) AS DOUBLE) AS o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 3 = 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 3 = 1
+    """,
+    doc="ALTER COLUMN ... TYPE — Iceberg type promotion (spec: int->long, "
+    "float->double, decimal precision widening), the last evolution verb "
+    "(r10 verdict Next #4). Seed a table declared NARROW (int keys, "
+    "float price), append (files physically int32/float32), promote all "
+    "three to bigint/bigint/double, append again (new files physically "
+    "wide). Metadata-only — field ids keep, zero data IO — and the "
+    "oracle proves the read semantics: old files' values surface cast "
+    "up (the float32 rounding they were STORED with is preserved, not "
+    "un-rounded), new files' values are exact",
+    tags=("lakehouse", "extension"),
+)
+def lake_promote_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _fresh_table(
+        spark,
+        "promote_col",
+        ddl="o_orderkey int, o_custkey int, o_totalprice float, "
+        "o_orderdate timestamp_ntz, o_orderpriority string",
+    )
+    cols = [
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
+        "o_orderpriority",
+    ]
+    t.append(_orders_mod(spark, sf_dir, 3, 0).select(*cols))
+    t.promote_column("o_orderkey", "bigint")
+    t.promote_column("o_custkey", "bigint")
+    t.promote_column("o_totalprice", "double")
+    t.append(_orders_mod(spark, sf_dir, 3, 1).select(*cols))
+    return t.read()
+
+
+@register(
     "lake_compaction",
     oracle=f"""
         SELECT {ORDERS_COLS} FROM orders

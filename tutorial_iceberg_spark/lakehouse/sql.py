@@ -65,6 +65,12 @@ _RENAME_COLUMN = re.compile(
     r"(?P<old>\w+)\s+TO\s+(?P<new>\w+)\s*$",
     re.IGNORECASE,
 )
+# Iceberg's type-promotion verb: ALTER TABLE t ALTER COLUMN c TYPE bigint
+_ALTER_COL_TYPE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<ident>[\w.]+)\s+ALTER\s+COLUMN\s+"
+    r"(?P<name>\w+)\s+TYPE\s+(?P<type>\w+(?:\s*\(\s*\d+\s*,\s*\d+\s*\))?)\s*$",
+    re.IGNORECASE,
+)
 # Parens must come as a matched pair (r10 ADVICE: 'DROP COLUMN (x' used
 # to match and 'DROP COLUMNS (a, b)' silently fell through to the generic
 # SQL path). The comma list supports multi-column drops; _DROP_PREFIX
@@ -208,6 +214,11 @@ class LakeSQL:
         if m := _RENAME_COLUMN.match(s):
             self.catalog.load_table(self._resolve(m["ident"])).rename_column(
                 m["old"], m["new"]
+            )
+            return None
+        if m := _ALTER_COL_TYPE.match(s):
+            self.catalog.load_table(self._resolve(m["ident"])).promote_column(
+                m["name"], m["type"]
             )
             return None
         if m := _DROP_COLUMN.match(s):

@@ -21,6 +21,7 @@ Single-writer commit protocol; see metadata.commit_metadata.
 from __future__ import annotations
 
 import os
+import re
 import shutil
 import uuid
 from datetime import date, datetime
@@ -1264,6 +1265,65 @@ class LakeTable:
                         "first"
                     )
         self._evolve_schema([f for f in md.schema().fields if f.id != fid])
+
+    # type-promotion lattice (Iceberg spec "Schema Evolution": int -> long,
+    # float -> double, decimal(P,S) -> decimal(P',S) with P' > P; widening
+    # within Spark's int ladder is the natural superset and is safe for
+    # the same reason — every old value is exactly representable)
+    _INT_LADDER = {"tinyint": 0, "smallint": 1, "int": 2, "integer": 2,
+                   "bigint": 3, "long": 3}
+
+    @classmethod
+    def _can_promote(cls, old: str, new: str) -> bool:
+        o, n = old.strip().lower(), new.strip().lower()
+        if o in cls._INT_LADDER and n in cls._INT_LADDER:
+            return cls._INT_LADDER[n] > cls._INT_LADDER[o]
+        if o == "float" and n == "double":
+            return True
+        do = re.fullmatch(r"decimal\s*\((\d+)\s*,\s*(\d+)\)", o)
+        dn = re.fullmatch(r"decimal\s*\((\d+)\s*,\s*(\d+)\)", n)
+        if do and dn:
+            return int(dn[2]) == int(do[2]) and int(dn[1]) > int(do[1])
+        return False
+
+    def promote_column(self, name: str, new_type: str) -> None:
+        """ALTER COLUMN name TYPE new_type — Iceberg type promotion, the
+        last schema-evolution verb (spec table: int->long, float->double,
+        decimal precision widening at fixed scale; README.md:974-992 is
+        the evolution story this completes). Metadata-only: the field
+        KEEPS its id with the new type in a new schema, data files are
+        untouched, and ``_read_files``'s id-based projection casts old
+        files' narrower physical values up at read — so a file written
+        as int32 reads back as bigint with zero data IO. Anything not on
+        the promotion lattice (narrowing, cross-family, scale changes)
+        is refused: old files could hold values the new type cannot
+        represent exactly, which breaks the time-travel guarantee that a
+        snapshot reads back the bytes it committed."""
+        md = self.meta
+        by_name = {f.name: f for f in md.schema().fields}
+        if name not in by_name:
+            raise ValueError(f"no column {name}")
+        fld = by_name[name]
+        if fld.type.strip().lower() == new_type.strip().lower():
+            raise ValueError(f"column {name} is already {new_type}")
+        if not self._can_promote(fld.type, new_type):
+            raise ValueError(
+                f"cannot promote {name}: {fld.type} -> {new_type} is not "
+                "a widening promotion (allowed: int ladder widening, "
+                "float->double, decimal(P,S)->decimal(P'>P,S))"
+            )
+        self._evolve_schema(
+            [
+                M.Field(
+                    f.id,
+                    f.name,
+                    new_type if f.id == fld.id else f.type,
+                    f.nullable,
+                    f.initial_default,
+                )
+                for f in md.schema().fields
+            ]
+        )
 
     def rename_column(self, old: str, new: str) -> None:
         """D6 RENAME COLUMN — metadata-only via field IDs (README.md:979);

@@ -103,6 +103,9 @@ def cosine_edges(
       exact cosine verification on candidates only. Recall is the LSH
       band-parameter dial; candidate-set coverage of every true edge on
       the testdata is pytest-gated.
+    - ``"lsh_auto"`` — LSH with constants picked per-corpus by
+      lsh_auto_size (footer-count census; recall held roughly flat as
+      density grows instead of drifting with the fixed 63-plane budget).
     - ``"auto"`` (default) — all-pairs when the table is under
       ALL_PAIRS_MAX_ROWS (a parquet-metadata count, no scan), else LSH.
     - a DataFrame of (left_id, right_id) — caller-supplied pairs (e.g. the
@@ -145,6 +148,25 @@ def cosine_edges(
             dim = emb.select(F.size("embedding")).first()[0]
             candidates = lsh_candidate_pairs(
                 load_table(spark, sf_dir, "embeddings"), dim
+            )
+        elif candidates == "lsh_auto":
+            # auto-sized LSH (r10 verdict Next #3): census the corpus
+            # from the parquet footer (driver-side, no scan) and pick
+            # band constants that hold recall at the threshold roughly
+            # flat as density grows, instead of the fixed 63-plane
+            # budget's measured 0.678 -> 0.494 drift across 10x -> 30x
+            from tutorial_iceberg_spark.functions.vector import (
+                lsh_auto_size,
+            )
+            from tutorial_iceberg_spark.sources.parquet_meta import (
+                footer_row_count,
+            )
+
+            n = footer_row_count(sf_dir, "embeddings")
+            sizing = lsh_auto_size(n, sim_threshold=threshold)
+            dim = emb.select(F.size("embedding")).first()[0]
+            candidates = lsh_candidate_pairs(
+                load_table(spark, sf_dir, "embeddings"), dim, sizing=sizing
             )
         else:
             raise ValueError(f"unknown candidate source: {candidates!r}")
@@ -189,6 +211,26 @@ def cosine_edges(
 )
 def x_sim_join_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_edges(spark, sf_dir).orderBy("left_id", "right_id")
+
+
+@register(
+    "x_sim_join_lsh_auto",
+    oracle=None,  # probabilistic candidate recall: rows-only driver check;
+    # recall floor, true-edge-subset, and flat-across-density are
+    # pytest-gated (tests/test_vector.py) and probe-measured at 10x/30x
+    doc="Threshold similarity self-join forced onto the AUTO-SIZED LSH "
+    "candidate path (lsh_auto_size: bits_per_band from a footer-count "
+    "census so expected bucket density stays under the cap, bands from "
+    "the 0.85 recall floor at the join threshold). The fixed-constant "
+    "path's measured recall drifts with corpus density (0.678 @ 10x -> "
+    "0.494 @ 30x); this twin is the deployment-facing configuration "
+    "whose recall holds roughly flat (SCALE_PROBE.md r11)",
+    tags=("vector", "dedup", "extension", "ann"),
+)
+def x_sim_join_lsh_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_edges(spark, sf_dir, candidates="lsh_auto").orderBy(
+        "left_id", "right_id"
+    )
 
 
 # ---------------------------------------------------------------------------
