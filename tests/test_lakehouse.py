@@ -535,8 +535,17 @@ def test_incremental_read_rejects_non_append_range(cat, spark):
     t.delete("order_id = 2")
     with pytest.raises(ValueError, match="non-append"):
         t.incremental_read(first)
-    with pytest.raises(ValueError, match="not an ancestor"):
+    # a `from` id that never existed now hits the expired-boundary
+    # pre-check (r11 CDC honesty) rather than the ancestor walk
+    with pytest.raises(ValueError, match="expired"):
         t.incremental_read(999)
+    # the ancestor walk still guards live-but-unrelated ids: a branch
+    # head that is not on `to`'s parent chain
+    t.create_branch("side", snapshot_id=first)
+    t.append_to_branch("side", seed_df(spark, rows=[(77, 107, "hub", "9.99", "2024-05-01")]))
+    side_head = t.branches()["side"]
+    with pytest.raises(ValueError, match="not an ancestor"):
+        t.incremental_read(side_head)
 
 
 def test_identity_partition_pruning_never_drops_decimal_rows(cat, spark):
@@ -1246,3 +1255,28 @@ def test_promote_column_semantics(cat, spark):
             t.promote_column(name, bad)
     with pytest.raises(ValueError, match="no column"):
         t.promote_column("ghost", "bigint")
+
+
+def test_changelog_across_expired_boundary_fails_loudly(cat, spark):
+    """CDC failure honesty (r10 verdict Next #8): a consumer resuming
+    from an EXPIRED snapshot must get a loud error from every changelog
+    surface — never an empty read that diffs into 'everything is an
+    INSERT'."""
+    from tutorial_iceberg_spark.lakehouse.queries import snapshot_changelog
+
+    t = cat.create_table("db.cdc_expire", ORDERS_DDL)
+    t.append(seed_df(spark))
+    first = t.meta.snapshot().snapshot_id
+    t.append(seed_df(spark, rows=[(9, 109, "webcam", "89.99", "2024-04-01")]))
+    t.append(seed_df(spark, rows=[(10, 110, "dock", "49.99", "2024-04-02")]))
+    t.expire_snapshots(older_than_ms=2**62, keep_last=2)  # expires `first`
+    assert t.meta.snapshot(first) is None, "fixture must actually expire"
+    with pytest.raises(ValueError, match="expired"):
+        t.read(snapshot_id=first)
+    with pytest.raises(ValueError, match="expired"):
+        t.incremental_read(first)
+    with pytest.raises(ValueError, match="expired"):
+        snapshot_changelog(t, first, ["order_id"]).collect()
+    # live boundary still works
+    live = t.meta.snapshots[0].snapshot_id
+    assert t.incremental_read(live).count() == 1

@@ -484,6 +484,19 @@ class LakeTable:
         else:
             snap = md.snapshot(snapshot_id)
         if snap is None:
+            # An EXPLICIT snapshot id that no longer resolves must fail
+            # loudly: returning the empty frame here would let a CDC
+            # consumer diff against an expired snapshot and silently
+            # report every current row as INSERT (a wrong partial diff).
+            # Only "no snapshot yet" (fresh table / as-of predating
+            # history) reads as empty.
+            if snapshot_id is not None:
+                raise ValueError(
+                    f"snapshot {snapshot_id} does not exist — it was "
+                    "expired (or never existed); time travel and "
+                    "changelogs across an expired boundary are "
+                    "unrecoverable"
+                )
             return self._empty_df(md.schema())
         return self._read_snapshot(md, snap, snap.files)
 
@@ -561,6 +574,18 @@ class LakeTable:
         to_snap = md.snapshot(to_snapshot_id)
         if to_snap is None:
             raise ValueError("to_snapshot_id does not exist")
+        # CDC failure honesty: a consumer resuming from an EXPIRED
+        # snapshot must fail loudly here, never get a partial diff — the
+        # changes between the expired snapshot and the oldest live one
+        # are unrecoverable, so the only sound continuation is a full
+        # recompute (exactly Iceberg's incremental-scan behavior).
+        if md.snapshot(from_snapshot_id) is None:
+            raise ValueError(
+                f"from snapshot {from_snapshot_id} no longer exists — it "
+                "was expired (or never existed); the changelog across an "
+                "expired boundary is unrecoverable, resume with a full "
+                "recompute from a live snapshot"
+            )
         chain: list[M.Snapshot] = []
         cur = to_snap
         while cur is not None and cur.snapshot_id != from_snapshot_id:
