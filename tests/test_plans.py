@@ -59,6 +59,9 @@ ALLOWED = {
         r"tot\b",  # 1-row (total, n_classes) aggregate (x_class_weights)
         r"probes\b",  # query->cell probe pairs: n_queries x n_probe
         r"b$",  # kNN-LOO all-pairs baseline, gated to ALL_PAIRS_MAX_ROWS
+        # first-collision dedup key table: caller-gated to
+        # _FIRST_COLLISION_BROADCAST_MAX rows (distinct() fallback above)
+        r"keys_by_vec\.select\(",
     ],
     "functions/text.py": [
         r"n_docs\b",  # 1-row corpus-size scalar

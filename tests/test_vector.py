@@ -502,3 +502,34 @@ def test_lsh_sized_path_equals_fixed_when_config_matches(spark, sf_dir):
     per_vec = bands.groupBy("vec_id").count().agg(F.min("count"), F.max("count")).first()
     assert per_vec[0] == per_vec[1] == 16
     assert bands.count() == 16 * n
+
+
+def test_first_collision_dedup_equals_distinct(spark, sf_dir):
+    """The sized path dedups candidates by first-colliding band (no
+    global distinct shuffle); the pair SET must be exactly the
+    distinct() one."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = emb.select(F.size("embedding")).first()[0]
+    sizing = V.lsh_auto_size(emb.count())
+    bands = V._lsh_bands_sized(emb, dim, sizing)
+    x, y = bands.alias("x"), bands.alias("y")
+    pairs = x.join(
+        y,
+        (F.col("x.band") == F.col("y.band"))
+        & (F.col("x.key") == F.col("y.key"))
+        & (F.col("x.vec_id") < F.col("y.vec_id")),
+    ).select(
+        F.col("x.vec_id").alias("left_id"),
+        F.col("y.vec_id").alias("right_id"),
+        F.col("x.band").alias("band"),
+    )
+    via_distinct = {
+        (r.left_id, r.right_id)
+        for r in pairs.drop("band").distinct().collect()
+    }
+    fc_rows = [
+        (r.left_id, r.right_id)
+        for r in V._first_collision_dedup(pairs, bands).collect()
+    ]
+    assert len(fc_rows) == len(set(fc_rows)), "pairs must be unique rows"
+    assert set(fc_rows) == via_distinct

@@ -903,6 +903,7 @@ def lsh_auto_size(
             "honest achievable value"
         )
     return {
+        "n_vectors": n,
         "bits_per_band": b,
         "n_bands": n_bands,
         "n_planes": b * n_bands,
@@ -1050,18 +1051,74 @@ def lsh_candidate_pairs(
             bucket_cap=bucket_cap,
         )
     x, y = bands.alias("x"), bands.alias("y")
+    pairs = x.join(
+        y,
+        (F.col("x.band") == F.col("y.band"))
+        & (F.col("x.key") == F.col("y.key"))
+        & (F.col("x.vec_id") < F.col("y.vec_id")),
+    ).select(
+        F.col("x.vec_id").alias("left_id"),
+        F.col("y.vec_id").alias("right_id"),
+        F.col("x.band").alias("band"),
+    )
+    if (
+        sizing is not None
+        and sizing.get("n_vectors", 0) <= _FIRST_COLLISION_BROADCAST_MAX
+    ):
+        return _first_collision_dedup(pairs, bands)
+    return pairs.drop("band").distinct()
+
+
+# First-collision dedup is a broadcast-side pattern: the per-vector key
+# table is n rows x ~8*L bytes, so it stays broadcastable to roughly
+# this many vectors (~0.5M x 600 B = ~300 MB, well under the driver and
+# Spark's 8 GB broadcast ceiling). Beyond it, the sized path falls back
+# to the global distinct — which shuffles the full duplicated candidate
+# stream and needs executor spill disks sized for it (a real cluster
+# has them; a single dev box may not).
+_FIRST_COLLISION_BROADCAST_MAX = 500_000
+
+
+def _first_collision_dedup(pairs: DataFrame, bands: DataFrame) -> DataFrame:
+    """Emit each candidate pair from its FIRST colliding band only.
+
+    The naive banded self-join emits a pair once per colliding band and
+    dedups with a global ``distinct()`` — at auto-sized band counts
+    (L ~ 50-100) that shuffles and sort-spills an L-fold duplicated
+    candidate stream (the 30x probe run of the sized path filled this
+    box's disk exactly there). Instead, join each side to its compact
+    per-vector FINAL bucket-key array (one broadcast-joined row per
+    vector, built from the post-split bands frame so split keys are
+    respected) and keep a (pair, band) row only when NO earlier band
+    already collided: pairs become unique by construction inside
+    whole-stage codegen, nothing corpus-squared ever shuffles, and the
+    pair SET is exactly the distinct() one (pytest-gated)."""
+    keys_by_vec = bands.groupBy("vec_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("band", "key"))),
+            lambda s: s["key"],
+        ).alias("bkeys")
+    )
+    kl = F.broadcast(
+        keys_by_vec.select(
+            F.col("vec_id").alias("left_id"), F.col("bkeys").alias("lkeys")
+        )
+    )
+    kr = F.broadcast(
+        keys_by_vec.select(
+            F.col("vec_id").alias("right_id"), F.col("bkeys").alias("rkeys")
+        )
+    )
     return (
-        x.join(
-            y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.key") == F.col("y.key"))
-            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        pairs.join(kl, "left_id")
+        .join(kr, "right_id")
+        .filter(
+            ~F.expr(
+                "exists(zip_with(slice(lkeys, 1, band), "
+                "slice(rkeys, 1, band), (a, b) -> a <=> b), c -> c)"
+            )
         )
-        .select(
-            F.col("x.vec_id").alias("left_id"),
-            F.col("y.vec_id").alias("right_id"),
-        )
-        .distinct()
+        .select("left_id", "right_id")
     )
 
 
