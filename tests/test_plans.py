@@ -89,6 +89,10 @@ ALLOWED = {
     "operators/graph.py": [
         r"b$",  # all-pairs oracle baseline, gated to small inputs only
         r"dangling\b",  # 1-row dangling-mass aggregate (pagerank)
+        # lsh_auto verification sides: gated to
+        # _FIRST_COLLISION_BROADCAST_MAX vectors (AQE fallback above)
+        r"left$",
+        r"right$",
     ],
 }
 

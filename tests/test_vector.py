@@ -440,32 +440,40 @@ def test_lsh_clamp_binding_is_surfaced(spark, sf_dir):
 
 def test_lsh_auto_size_math():
     """r10 verdict Next #3: sizing from a corpus census. Bits grow with
-    density so expected bucket load stays under cap/2; bands grow to
-    hold the recall floor; the floor shortfall is never silent."""
+    density so expected bucket load stays under cap/2 AND background
+    candidates stay under the per-vector budget (the selectivity term —
+    its omission in the first cut admitted ~25% of all pairs at 30x
+    corpus and spilled past local disk); bands grow to hold the recall
+    floor; any floor shortfall is never silent."""
     import warnings
 
     cap = V.LSH_BUCKET_CAP
-    prev_planes = 0
-    for n in (100, 2_000, 20_000, 60_000, 1_000_000):
+    for n in (100, 2_000, 20_000, 60_000):
         s = V.lsh_auto_size(n)
         if n > cap:
             assert s["expected_density"] <= cap / 2, (n, s)
+        assert s["expected_cand_per_vec"] <= 8192, (n, s)
         assert not s["band_clamped"]
         assert s["expected_recall"] >= 0.85, (n, s)
         assert s["n_planes"] == s["bits_per_band"] * s["n_bands"]
-        assert s["n_planes"] >= prev_planes, "plane budget must not shrink with n"
-        prev_planes = s["n_planes"]
     # higher design similarity -> cheaper (fewer bands at same floor)
     near = V.lsh_auto_size(60_000, sim_threshold=0.85)
     far = V.lsh_auto_size(60_000, sim_threshold=0.40)
     assert near["n_bands"] < far["n_bands"]
-    # unattainable floor at extreme n: clamp binds with a warning and an
-    # HONEST expected_recall, never a silent cap
+    # the rho-exponent reality: at threshold 0.40 the floor is honestly
+    # unaffordable at very large n — clamp binds with a warning and an
+    # HONEST expected_recall, never a silent cap...
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        s = V.lsh_auto_size(10**9)
+        s = V.lsh_auto_size(10**6)
     assert s["band_clamped"] and s["expected_recall"] < 0.85
-    assert any("max_bands" in str(x.message) for x in w)
+    assert s["expected_cand_per_vec"] <= 8192
+    assert any("unaffordable" in str(x.message) for x in w)
+    # ...while a realistic near-dup threshold meets the floor within the
+    # same budgets even at 1e8 vectors
+    big = V.lsh_auto_size(10**8, sim_threshold=0.85)
+    assert not big["band_clamped"] and big["expected_recall"] >= 0.85
+    assert big["expected_cand_per_vec"] <= 8192
 
 
 def test_lsh_auto_candidates_recall_and_subset(spark, sf_dir):

@@ -855,52 +855,94 @@ def lsh_auto_size(
     *,
     sim_threshold: float = 0.40,
     recall_floor: float = 0.85,
+    background_q: float = 0.5,
+    max_candidates_per_vec: int = 8192,
     bucket_cap: int = LSH_BUCKET_CAP,
     rb: int = _LSH_RESERVE_BITS_PER_BAND,
     max_bits_per_band: int = 24,
     max_bands: int = 512,
 ) -> dict:
     """Pick (bits_per_band, n_bands, rb) from a cheap corpus census so
-    expected bucket density stays BELOW the cap (no splits, so the clamp
-    regime is unreachable in expectation) while expected recall for a
-    pair AT ``sim_threshold`` meets ``recall_floor``.
+    that (1) expected bucket density stays BELOW the cap (no reserve
+    splits, so the clamp regime is unreachable in expectation), (2) the
+    expected BACKGROUND candidate rate stays under a stated budget, and
+    (3) expected recall for a pair AT ``sim_threshold`` meets
+    ``recall_floor``.
 
-    The census is just ``n_vectors`` (a parquet-footer row count — no
-    scan). Sizing math, validated against the measured probes (the
-    analytic model reproduces the measured 0.678/0.494 drift of the
-    fixed path within a few points):
+    The census is ``n_vectors`` (a parquet-footer row count — no scan).
+    Sizing math, validated against the measured probes (the analytic
+    model reproduces the measured 0.678/0.494 drift of the fixed path
+    within a few points):
 
-    - collision prob per plane  p = 1 - theta/pi,  theta = acos(sim)
-    - bits_per_band b: smallest with expected density n/2^b <= cap/2
-      (the /2 is skew headroom; rb reserve bits still back-stop tails)
+    - per-plane collision prob of a threshold pair
+      p = 1 - theta/pi, theta = acos(sim_threshold); of a background
+      (near-orthogonal) pair q ~= ``background_q`` (0.5 for random
+      directions)
+    - bits_per_band b must satisfy BOTH n/2^b <= cap/2 (density; /2 is
+      skew headroom, rb reserve bits still back-stop tails) AND
+      n * L * q^b <= max_candidates_per_vec (selectivity — without this
+      term a dense corpus admits a constant FRACTION of all pairs as
+      candidates: the first cut of this helper sized b from density
+      alone, and at 30x corpus the banded join emitted ~25% of all
+      n^2/2 pairs and spilled past local disk)
     - bands L: smallest with 1 - (1 - p^b)^L >= recall_floor
 
-    Never silently capped: if ``max_bands`` binds, the returned
-    ``expected_recall`` honestly reports the shortfall and a warning
-    fires."""
+    The smallest-cost (b, L) meeting all three is returned; if no
+    configuration inside (max_bits_per_band, max_bands) meets the floor
+    within the candidate budget, the best-achievable-recall one is
+    returned with ``clamped=True`` and a warning — never a silent cap.
+    This is LSH's rho-exponent reality surfacing: candidate work per
+    vector grows ~n^rho with rho = ln(1/p)/ln(1/q), so at LOW
+    thresholds (0.4) and large n the floor is honestly unaffordable,
+    while near-dup thresholds (0.8+) stay cheap to very large n."""
     import math
 
     n = max(1, int(n_vectors))
     p = 1.0 - math.acos(min(1.0, max(-1.0, sim_threshold))) / math.pi
-    b = 2
+    q = min(max(background_q, 1e-6), 0.999999)
+    b_min = 2
     if n > bucket_cap:
-        b = max(2, math.ceil(math.log2(2.0 * n / bucket_cap)))
-    b = min(b, max_bits_per_band)
-    pb = p**b
-    if pb >= 1.0:
-        n_bands = 1
-    else:
-        n_bands = max(1, math.ceil(math.log(1.0 - recall_floor) / math.log(1.0 - pb)))
-    band_clamped = n_bands > max_bands
-    if band_clamped:
+        b_min = max(2, math.ceil(math.log2(2.0 * n / bucket_cap)))
+    b_min = min(b_min, max_bits_per_band)
+
+    def bands_for_floor(pb: float) -> int:
+        if pb >= 1.0:
+            return 1
+        return max(
+            1, math.ceil(math.log(1.0 - recall_floor) / math.log(1.0 - pb))
+        )
+
+    best = None  # (meets_floor, recall, -planes) maximized
+    chosen = None
+    for b in range(b_min, max_bits_per_band + 1):
+        pb = p**b
+        L = min(max_bands, bands_for_floor(pb))
+        # background candidates per vector this config admits
+        while L >= 1 and n * L * (q**b) > max_candidates_per_vec:
+            L -= 1
+        if L < 1:
+            continue
+        recall = 1.0 - (1.0 - pb) ** L
+        meets = recall >= recall_floor
+        key = (meets, recall if not meets else -b * L, -b * L)
+        # prefer: any floor-meeting config at minimal plane cost; else
+        # the maximum-recall config
+        if best is None or key > best:
+            best = key
+            chosen = (b, L, recall, meets)
+    if chosen is None:  # budget excludes everything: maximally selective
+        b = max_bits_per_band
+        chosen = (b, 1, p**b, False)
+    b, n_bands, recall, meets = chosen
+    if not meets:
         import warnings
 
-        n_bands = max_bands
         warnings.warn(
-            f"lsh_auto_size: max_bands={max_bands} binds at n={n} "
-            f"(recall floor {recall_floor} needs more bands at "
-            f"sim_threshold={sim_threshold}); expected_recall is the "
-            "honest achievable value"
+            f"lsh_auto_size: recall floor {recall_floor} is unaffordable "
+            f"at n={n}, sim_threshold={sim_threshold} within "
+            f"max_bands={max_bands} and max_candidates_per_vec="
+            f"{max_candidates_per_vec}; best achievable expected_recall "
+            f"is {recall:.3f} (raise the threshold or the budgets)"
         )
     return {
         "n_vectors": n,
@@ -910,8 +952,9 @@ def lsh_auto_size(
         "rb": rb,
         "design_p": p,
         "expected_density": n / float(1 << b),
-        "expected_recall": 1.0 - (1.0 - pb) ** n_bands,
-        "band_clamped": band_clamped,
+        "expected_cand_per_vec": n * n_bands * (q**b),
+        "expected_recall": recall,
+        "band_clamped": not meets,
     }
 
 

@@ -117,6 +117,7 @@ def cosine_edges(
         norm,
     )
 
+    bounded_emb = False
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
     )
@@ -168,12 +169,26 @@ def cosine_edges(
             candidates = lsh_candidate_pairs(
                 load_table(spark, sf_dir, "embeddings"), dim, sizing=sizing
             )
+            # The auto-sized candidate stream is huge relative to the
+            # corpus (budget: up to ~max_candidates_per_vec per vector).
+            # Letting it SHUFFLE into sort-merge verification joins
+            # sorts candidate rows widened by embedding arrays — the
+            # 30x probe measured that spill exceeding local disk. Under
+            # the same bounded gate as first-collision dedup, pin the
+            # embedding sides broadcast so the stream verifies fully
+            # inside one codegen stage and never shuffles.
+            from tutorial_iceberg_spark.functions.vector import (
+                _FIRST_COLLISION_BROADCAST_MAX,
+            )
+
+            bounded_emb = n <= _FIRST_COLLISION_BROADCAST_MAX
         else:
             raise ValueError(f"unknown candidate source: {candidates!r}")
 
     # candidate-fed path: equi-join the pair list back to the embeddings
-    # (both joins are key-partitioned shuffles — broadcast is AQE's call),
-    # then the same exact verification predicate as the baseline
+    # (both joins are key-partitioned shuffles — broadcast is AQE's call
+    # unless the gated lsh_auto branch pinned the sides above), then the
+    # same exact verification predicate as the baseline
     left = emb.select(
         F.col("vec_id").alias("left_id"),
         F.col("embedding").alias("l_emb"),
@@ -184,6 +199,8 @@ def cosine_edges(
         F.col("embedding").alias("r_emb"),
         F.col("nrm").alias("r_nrm"),
     )
+    if bounded_emb:
+        left, right = F.broadcast(left), F.broadcast(right)
     cos = dot(F.col("l_emb"), F.col("r_emb")) / (F.col("l_nrm") * F.col("r_nrm"))
     return (
         candidates.join(left, "left_id")
