@@ -1280,3 +1280,23 @@ def test_changelog_across_expired_boundary_fails_loudly(cat, spark):
     # live boundary still works
     live = t.meta.snapshots[0].snapshot_id
     assert t.incremental_read(live).count() == 1
+
+
+def test_empty_part_files_stay_out_of_manifest(cat, spark):
+    """A write task with no rows makes Spark emit an empty schema-carrier
+    part file; zero-row files carry no column stats so they can never be
+    pruned — the 100x narrow-merge probe measured one being rewritten by
+    every later merge. They must not enter the manifest (reads lose
+    nothing: they hold no rows)."""
+    t = cat.create_table("db.emptyparts", ORDERS_DDL)
+    # 3 rows over 8 partitions -> at least 5 empty write tasks
+    t.append(seed_df(spark, rows=ROWS[:3]).repartition(8))
+    snap = t.meta.snapshot()
+    assert snap.files, "non-empty append must produce files"
+    assert all(f.rows > 0 for f in snap.files), [
+        (f.path, f.rows) for f in snap.files
+    ]
+    assert t.read().count() == 3
+    # every manifest entry carries key stats -> the merge planner can
+    # bound-check ALL files (no permanent unknown-stats candidates)
+    assert all("order_id" in f.stats for f in snap.files)

@@ -213,6 +213,15 @@ class LakeTable:
                     # carry no column stats — the file is still fully
                     # readable, it just never prunes
                     nrows = self.spark.read.parquet(fpath).count()
+                if nrows == 0:
+                    # Spark emits an empty schema-carrier part file when a
+                    # write task has no rows. A zero-row file carries NO
+                    # column stats, so it can never be pruned — the 100x
+                    # narrow-merge probe measured one such file per append
+                    # being rewritten by EVERY later merge (108 rewrites
+                    # for a 9-file true overlap). It contributes nothing
+                    # to reads; keep it out of the manifest.
+                    continue
                 files.append(
                     M.DataFile(
                         path=rel,
