@@ -294,6 +294,32 @@ def test_drop_column_multi_and_malformed(lsql):
     assert lsql.sql("SELECT * FROM demo.db.t").columns == ["id", "c"]
 
 
+def test_drop_columns_is_atomic(lsql):
+    """ADVICE r11 low: a multi-column DROP where a LATER name is refused
+    must leave the schema untouched — validation happens up front and
+    the evolution is one commit, not one commit per column."""
+    lsql.sql(
+        "CREATE TABLE demo.db.at (id BIGINT, a BIGINT, b BIGINT) "
+        "USING iceberg"
+    )
+    lsql.sql("INSERT INTO demo.db.at VALUES (1, 10, 20)")
+    t = lsql.catalog.load_table("db.at")
+    n_schemas = len(t.meta.schemas)
+    # 'a' is droppable, 'ghost' is not -> NOTHING may be dropped
+    with pytest.raises(ValueError, match="no column ghost"):
+        lsql.sql("ALTER TABLE demo.db.at DROP COLUMNS (a, ghost)")
+    assert lsql.sql("SELECT * FROM demo.db.at").columns == ["id", "a", "b"]
+    assert len(t.meta.schemas) == n_schemas  # zero commits happened
+    with pytest.raises(ValueError, match="duplicate"):
+        lsql.sql("ALTER TABLE demo.db.at DROP COLUMNS (a, a)")
+    with pytest.raises(ValueError, match="every column"):
+        lsql.sql("ALTER TABLE demo.db.at DROP COLUMNS (id, a, b)")
+    # the happy path is still one commit for N columns
+    lsql.sql("ALTER TABLE demo.db.at DROP COLUMNS (a, b)")
+    assert lsql.sql("SELECT * FROM demo.db.at").columns == ["id"]
+    assert len(t.meta.schemas) == n_schemas + 1
+
+
 def test_alter_column_type_promotion(lsql):
     """Iceberg's ALTER COLUMN ... TYPE verb through the router."""
     lsql.sql("CREATE TABLE demo.db.p (id INT, price FLOAT) USING iceberg")

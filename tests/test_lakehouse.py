@@ -1257,6 +1257,46 @@ def test_promote_column_semantics(cat, spark):
         t.promote_column("ghost", "bigint")
 
 
+def test_promote_bucket_source_keeps_prepromotion_rows(cat, spark):
+    """ADVICE r11 (high): promoting an int bucket[N]-source column to
+    bigint must NOT flip bucket pruning onto pre-promotion files — the
+    writer hashed them with Spark's int32 xxhash64 encoding, which
+    differs from hashLong, so a planner using the CURRENT type would
+    compute the wrong bucket and silently prune matching files. The gate
+    has to key on each file's WRITTEN-time type (md.schema(f.schema_id)),
+    making the promotion safe for reads AND for the DML paths that ride
+    _candidates (delete/update)."""
+    t = cat.create_table(
+        "db.promobucket", "k int, v string", partition_by=["bucket(4, k)"]
+    )
+    keys = list(range(1, 17))
+    t.append(
+        spark.createDataFrame([(k, f"v{k}") for k in keys], "k int, v string")
+    )
+    n_files = len(t.meta.snapshot().files)
+    assert n_files >= 2  # rows spread across buckets
+    t.promote_column("k", "bigint")
+    # every pre-promotion row must still be reachable by equality scan
+    for k in keys:
+        got = t.scan(f"k = {k}").collect()
+        assert [r["v"] for r in got] == [f"v{k}"], f"k={k} vanished"
+    # post-promotion files ARE written under bigint and must still prune
+    t.append(
+        spark.createDataFrame([(100 + k, f"w{k}") for k in keys], "k bigint, v string")
+    )
+    md = t.meta
+    snap = md.snapshot()
+    new_files = [f for f in snap.files if f.schema_id == md.current_schema_id]
+    assert new_files, "expected post-promotion files under the new schema"
+    cands = t._candidates(md, snap, "k = 101")
+    assert len(cands) < len(snap.files)  # bucket pruning live for new files
+    assert [r["v"] for r in t.scan("k = 101").collect()] == ["w1"]
+    # DML through _candidates stays row-exact across the boundary
+    t.delete("k = 3")
+    assert t.scan("k = 3").count() == 0
+    assert t.read().count() == 2 * len(keys) - 1
+
+
 def test_changelog_across_expired_boundary_fails_loudly(cat, spark):
     """CDC failure honesty (r10 verdict Next #8): a consumer resuming
     from an EXPIRED snapshot must get a loud error from every changelog

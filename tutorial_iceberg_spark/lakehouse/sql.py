@@ -223,8 +223,10 @@ class LakeSQL:
             return None
         if m := _DROP_COLUMN.match(s):
             tbl = self.catalog.load_table(self._resolve(m["ident"]))
-            for name in re.split(r"\s*,\s*", m["plist"] or m["list"]):
-                tbl.drop_column(name)
+            # one atomic schema commit — a refusal on ANY name leaves the
+            # schema untouched (ADVICE r11: sequential drops were
+            # partially applied on failure)
+            tbl.drop_columns(re.split(r"\s*,\s*", m["plist"] or m["list"]))
             return None
         if _DROP_PREFIX.match(s):
             raise ValueError(

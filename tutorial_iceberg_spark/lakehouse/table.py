@@ -670,6 +670,24 @@ class LakeTable:
         return touched, len(groups)
 
     @staticmethod
+    def _written_source_types(
+        md: M.TableMetadata, spec: M.PartitionSpec, schema_id: int
+    ) -> dict[str, str]:
+        """Partition-source name -> the type the FILE's writer saw, resolved
+        by field id against the file's written schema. partition_may_match's
+        bucket gate must key on this, never the current schema: after
+        ``promote_column(int -> bigint)`` the current type says hashLong,
+        but pre-promotion files' partition values were computed with
+        Spark's int32 xxhash64 encoding — pruning them with the long hash
+        silently drops matching files (ADVICE r11 high)."""
+        by_id = {fl.id: fl for fl in md.schema(schema_id).fields}
+        return {
+            pf.source: by_id[pf.source_id].type
+            for pf in spec.fields
+            if pf.source_id in by_id
+        }
+
+    @staticmethod
     def _manifest_may_match(md, group, conjuncts) -> bool:
         """Aggregate (manifest-level) pruning check: a manifest whose
         per-column aggregate min/max and partition-value summary exclude a
@@ -715,9 +733,16 @@ class LakeTable:
                         ]
                     except TypeError:  # mixed key types across files
                         complete[cur] = False
-        # partition summary: distinct (spec, partition-tuple) combos
+        # partition summary: distinct (spec, written-schema, partition-tuple)
+        # combos — schema_id rides along so the bucket gate sees the type
+        # the writer hashed under, not the (possibly promoted) current one
         combos = {
-            (f.spec_id, tuple(sorted(f.partition.items()))) for f in group
+            (f.spec_id, f.schema_id, tuple(sorted(f.partition.items())))
+            for f in group
+        }
+        wtypes = {
+            (sid, schid): LakeTable._written_source_types(md, md.spec(sid), schid)
+            for sid, schid, _ in combos
         }
         for col, op, val in conjuncts:
             if complete.get(col) and not T.stats_may_match(agg[col], op, val):
@@ -725,9 +750,10 @@ class LakeTable:
             # the manifest matches only if SOME member partition may match
             if not any(
                 T.partition_may_match(
-                    md.spec(sid).fields, dict(pv), col, op, val, source_types
+                    md.spec(sid).fields, dict(pv), col, op, val,
+                    wtypes[(sid, schid)],
                 )
-                for sid, pv in combos
+                for sid, schid, pv in combos
             ):
                 return False
         return True
@@ -754,7 +780,9 @@ class LakeTable:
             scan_files = list(snap.files)
         # predicate references current names; map back to write-time names
         current_by_name = {f.name: f.id for f in md.schema().fields}
-        source_types = {f.name: f.type for f in md.schema().fields}
+        # written-time partition-source types per (spec, schema) generation —
+        # memoized because files cluster into few generations
+        wtypes_cache: dict[tuple[int, int], dict[str, str]] = {}
         out = []
         for f in scan_files:
             written = md.schema(f.schema_id).by_id()
@@ -763,6 +791,13 @@ class LakeTable:
                 fid = current_by_name.get(col)
                 wname = written[fid].name if fid in written else None
                 spec = md.spec(f.spec_id)
+                gen = (f.spec_id, f.schema_id)
+                source_types = wtypes_cache.get(gen)
+                if source_types is None:
+                    source_types = self._written_source_types(
+                        md, spec, f.schema_id
+                    )
+                    wtypes_cache[gen] = source_types
                 if not T.partition_may_match(
                     spec.fields, f.partition, col, op, val, source_types
                 ):
@@ -1278,27 +1313,46 @@ class LakeTable:
         or one any live equality-delete file keys on (the MoR read
         applies equality deletes by joining the projected frame on those
         names)."""
+        self.drop_columns([name])
+
+    def drop_columns(self, names: list[str]) -> None:
+        """Multi-column DROP as ONE schema commit (ADVICE r11: the SQL
+        layer used to apply drop_column sequentially — a refusal on the
+        third name left the first two already committed, a partially-
+        applied ALTER TABLE). Every name is validated up front against
+        drop_column's full refusal set; only then does a single
+        ``_evolve_schema`` commit remove them all — atomic by the same
+        CAS that guards every other commit."""
         md = self.meta
         by_name = {f.name: f for f in md.schema().fields}
-        if name not in by_name:
-            raise ValueError(f"no column {name}")
-        if len(by_name) == 1:
-            raise ValueError("cannot drop the only column")
-        fid = by_name[name].id
-        if any(pf.source_id == fid for pf in md.spec().fields):
-            raise ValueError(
-                f"column {name} is a partition source in the current "
-                "spec; evolve the spec first"
-            )
-        for s in md.snapshots:
-            for d in s.delete_files:
-                if name in d.equality_columns:
-                    raise ValueError(
-                        f"column {name} is keyed by a live equality-"
-                        "delete file; rewrite or expire those snapshots "
-                        "first"
-                    )
-        self._evolve_schema([f for f in md.schema().fields if f.id != fid])
+        seen: set[str] = set()
+        for name in names:
+            if name in seen:
+                raise ValueError(f"duplicate column {name} in DROP list")
+            seen.add(name)
+            if name not in by_name:
+                raise ValueError(f"no column {name}")
+        if len(by_name) == len(seen):
+            raise ValueError("cannot drop every column")
+        drop_ids = {by_name[n].id for n in seen}
+        for name in seen:
+            fid = by_name[name].id
+            if any(pf.source_id == fid for pf in md.spec().fields):
+                raise ValueError(
+                    f"column {name} is a partition source in the current "
+                    "spec; evolve the spec first"
+                )
+            for s in md.snapshots:
+                for d in s.delete_files:
+                    if name in d.equality_columns:
+                        raise ValueError(
+                            f"column {name} is keyed by a live equality-"
+                            "delete file; rewrite or expire those snapshots "
+                            "first"
+                        )
+        self._evolve_schema(
+            [f for f in md.schema().fields if f.id not in drop_ids]
+        )
 
     # type-promotion lattice (Iceberg spec "Schema Evolution": int -> long,
     # float -> double, decimal(P,S) -> decimal(P',S) with P' > P; widening
