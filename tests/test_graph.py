@@ -148,6 +148,30 @@ def test_auto_picks_all_pairs_below_cutoff(spark, sf_dir):
     assert sorted(map(tuple, auto)) == sorted(map(tuple, exact))
 
 
+def test_auto_picks_lsh_auto_above_cutoff(spark, sf_dir, monkeypatch):
+    """r11 verdict Next #1: above ALL_PAIRS_MAX_ROWS the deployment
+    default is the AUTO-SIZED generator (recall measured flat across
+    density), not the fixed-constant one. Forced here by dropping the
+    cutoff under the fixture's row count: the auto route must produce a
+    verified SUBSET of the truth with the sized path's recall."""
+    monkeypatch.setattr(G, "ALL_PAIRS_MAX_ROWS", 1)
+    truth = {
+        (r.left_id, r.right_id)
+        for r in G.cosine_edges(spark, sf_dir, candidates="all_pairs").collect()
+    }
+    routed = {
+        (r.left_id, r.right_id)
+        for r in G.cosine_edges(spark, sf_dir).collect()
+    }
+    sized = {
+        (r.left_id, r.right_id)
+        for r in G.cosine_edges(spark, sf_dir, candidates="lsh_auto").collect()
+    }
+    assert routed == sized  # the route IS the auto-sized generator
+    assert routed <= truth
+    assert truth and len(routed) / len(truth) >= 0.70
+
+
 def test_pagerank_mass_and_uniform_fixpoint(spark):
     """Rank mass must stay 1 after any number of rounds, and a k-regular
     graph's fixpoint is exactly uniform (ring of 6, each node degree 2)."""

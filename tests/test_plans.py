@@ -59,8 +59,8 @@ ALLOWED = {
         r"tot\b",  # 1-row (total, n_classes) aggregate (x_class_weights)
         r"probes\b",  # query->cell probe pairs: n_queries x n_probe
         r"b$",  # kNN-LOO all-pairs baseline, gated to ALL_PAIRS_MAX_ROWS
-        # first-collision dedup key table: caller-gated to
-        # _FIRST_COLLISION_BROADCAST_MAX rows (distinct() fallback above)
+        # first-collision dedup key table: caller-gated to the
+        # _BROADCAST_EST_MAX_BYTES budget (distinct() fallback above)
         r"keys_by_vec\.select\(",
     ],
     "functions/text.py": [
@@ -89,8 +89,8 @@ ALLOWED = {
     "operators/graph.py": [
         r"b$",  # all-pairs oracle baseline, gated to small inputs only
         r"dangling\b",  # 1-row dangling-mass aggregate (pagerank)
-        # lsh_auto verification sides: gated to
-        # _FIRST_COLLISION_BROADCAST_MAX vectors (AQE fallback above)
+        # lsh_auto verification sides: gated to the
+        # _BROADCAST_EST_MAX_BYTES budget (AQE fallback above)
         r"left$",
         r"right$",
     ],

@@ -512,6 +512,74 @@ def test_lsh_sized_path_equals_fixed_when_config_matches(spark, sf_dir):
     assert bands.count() == 16 * n
 
 
+def test_broadcast_gates_are_bytes_based():
+    """r11 verdict Next #3 + ADVICE medium/low: the pinned-broadcast
+    fast paths gate on estimated BYTES, not a row cap — a row constant
+    sized for ~600 B key rows admitted dim/L shapes that are gigabytes —
+    and a sizing dict missing its census keys fails CLOSED instead of
+    defaulting n to 0 and broadcasting an unbounded corpus."""
+    # the measured probe regimes keep their fast path: 60k vectors
+    # (the r11 30x probe, L=476 -> ~230 MB) and the near-dup threshold
+    # at the old 500k row boundary (L~75 -> ~330 MB)
+    for n, thr in ((60_000, 0.40), (60_000, 0.60), (500_000, 0.85)):
+        s = V.lsh_auto_size(n, sim_threshold=thr)
+        assert V.first_collision_affordable(s), (n, thr, s["n_bands"])
+        est = n * (8 * s["n_bands"] + V._BROADCAST_ROW_OVERHEAD)
+        assert est <= V._BROADCAST_EST_MAX_BYTES
+    # ...while the band-heavy low-threshold shapes at 500k (0.60 ->
+    # L=254 ~1.05 GB; 0.40 clamps at L=512 ~2.1 GB) are EXACTLY what
+    # the old row cap wrongly pinned broadcast: the bytes gate refuses
+    import warnings
+
+    for thr in (0.40, 0.60):
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            low = V.lsh_auto_size(500_000, sim_threshold=thr)
+        assert low["n_bands"] * 8 * 500_000 > V._BROADCAST_EST_MAX_BYTES
+        assert not V.first_collision_affordable(low)
+    # fail CLOSED: missing/hand-built sizing never broadcasts
+    assert not V.first_collision_affordable(None)
+    assert not V.first_collision_affordable({})
+    assert not V.first_collision_affordable(
+        {"bits_per_band": 2, "n_bands": 16, "rb": 6}  # the hand-built shape
+    )
+    assert not V.first_collision_affordable({"n_vectors": 100})  # no n_bands
+    # a shape the old row cap ADMITTED but the bytes budget refuses:
+    # 500k vectors x 512-band keys is ~2 GB of broadcast key table
+    assert not V.first_collision_affordable(
+        {"n_vectors": 500_000, "n_bands": 512}
+    )
+    # embedding verification sides (graph.py's lsh_auto pin): row bytes
+    # are dim-dependent — 64-dim at 500k fits, 768-dim (~1.5 GB) must
+    # fall back to AQE shuffle planning
+    assert V.embedding_broadcast_affordable(500_000, 64)
+    assert not V.embedding_broadcast_affordable(500_000, 768)
+    assert V.embedding_broadcast_affordable(2_000, 768)  # small corpus ok
+
+
+def test_lsh_sized_distinct_fallback_same_pair_set(spark, sf_dir):
+    """Above the broadcast budget the sized path falls back to the
+    global distinct() (the shuffle route a real cluster's spill disks
+    absorb): same pair SET as the first-collision fast path, pairs
+    unique either way."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = emb.select(F.size("embedding")).first()[0]
+    sizing = V.lsh_auto_size(emb.count())
+    assert V.first_collision_affordable(sizing)
+    fast = {
+        (r.left_id, r.right_id)
+        for r in V.lsh_candidate_pairs(emb, dim, sizing=sizing).collect()
+    }
+    # same band constants, census count inflated past the budget: the
+    # gate must shut and route through distinct()
+    over = dict(sizing, n_vectors=10**9)
+    assert not V.first_collision_affordable(over)
+    rows = V.lsh_candidate_pairs(emb, dim, sizing=over).collect()
+    slow = [(r.left_id, r.right_id) for r in rows]
+    assert len(slow) == len(set(slow))
+    assert set(slow) == fast
+
+
 def test_first_collision_dedup_equals_distinct(spark, sf_dir):
     """The sized path dedups candidates by first-colliding band (no
     global distinct shuffle); the pair SET must be exactly the

@@ -1104,22 +1104,50 @@ def lsh_candidate_pairs(
         F.col("y.vec_id").alias("right_id"),
         F.col("x.band").alias("band"),
     )
-    if (
-        sizing is not None
-        and sizing.get("n_vectors", 0) <= _FIRST_COLLISION_BROADCAST_MAX
-    ):
+    if first_collision_affordable(sizing):
         return _first_collision_dedup(pairs, bands)
     return pairs.drop("band").distinct()
 
 
-# First-collision dedup is a broadcast-side pattern: the per-vector key
-# table is n rows x ~8*L bytes, so it stays broadcastable to roughly
-# this many vectors (~0.5M x 600 B = ~300 MB, well under the driver and
-# Spark's 8 GB broadcast ceiling). Beyond it, the sized path falls back
-# to the global distinct — which shuffles the full duplicated candidate
-# stream and needs executor spill disks sized for it (a real cluster
-# has them; a single dev box may not).
-_FIRST_COLLISION_BROADCAST_MAX = 500_000
+# Broadcast budget for the pinned-broadcast fast paths (first-collision
+# key table here; lsh_auto verification sides in operators/graph.py):
+# ESTIMATED BYTES, not a row cap. The 500k-row constant it replaces was
+# sized for one shape — ~75-band key rows at ~600 B — and scaled wrong
+# for every other: a higher recall floor doubles L (and the key bytes),
+# and graph.py reused the same row cap for embedding frames whose rows
+# are dim-dependent (768-dim float ~3 KB/row -> ~1.5 GB per pinned side,
+# resident on every executor AND the driver — ADVICE r11 medium). 512 MB
+# estimated keeps the measured-good regime (500k x 75 bands ~= 330 MB)
+# while routing dim/L shapes the row cap would have OOMed to the
+# shuffle/AQE fallbacks.
+_BROADCAST_EST_MAX_BYTES = 512 << 20
+_BROADCAST_ROW_OVERHEAD = 64  # UnsafeRow header + hash-relation slot
+
+
+def first_collision_affordable(sizing: dict | None) -> bool:
+    """True when the per-vector band-key table a sizing dict implies
+    (n rows x (8*L + overhead) bytes) fits the broadcast budget.
+
+    Fails CLOSED on a dict missing its census keys: ``n_vectors``
+    defaulting to 0 used to route arbitrarily large corpora into the
+    broadcast path whenever a caller built the sizing by hand (ADVICE
+    r11 low — ``lsh_candidate_pairs``'s sizing is a public kwarg and
+    tests do exactly that)."""
+    if not sizing:
+        return False
+    n, bands = sizing.get("n_vectors"), sizing.get("n_bands")
+    if n is None or bands is None:
+        return False
+    return int(n) * (8 * int(bands) + _BROADCAST_ROW_OVERHEAD) <= _BROADCAST_EST_MAX_BYTES
+
+
+def embedding_broadcast_affordable(n: int, dim: int) -> bool:
+    """True when one side of the embedding frame (vec_id + float array +
+    norm: ~4*dim + overhead bytes/row) fits the broadcast budget — the
+    gate graph.py's lsh_auto branch pins its verification joins under.
+    Bytes-based so a wide-dim corpus falls back to AQE's shuffle planning
+    instead of OOMing a row-count gate sized for narrow key rows."""
+    return int(n) * (4 * int(dim) + _BROADCAST_ROW_OVERHEAD) <= _BROADCAST_EST_MAX_BYTES
 
 
 def _first_collision_dedup(pairs: DataFrame, bands: DataFrame) -> DataFrame:

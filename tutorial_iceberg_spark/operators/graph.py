@@ -107,7 +107,12 @@ def cosine_edges(
       lsh_auto_size (footer-count census; recall held roughly flat as
       density grows instead of drifting with the fixed 63-plane budget).
     - ``"auto"`` (default) — all-pairs when the table is under
-      ALL_PAIRS_MAX_ROWS (a parquet-metadata count, no scan), else LSH.
+      ALL_PAIRS_MAX_ROWS (a parquet-metadata count, no scan), else the
+      auto-sized LSH (``"lsh_auto"``): the deployment default is the
+      configuration whose recall is measured FLAT across density
+      (0.891/0.880/0.891 at 1x/10x/30x, probes/r11), not the fixed
+      budget measured drifting to 0.494. ``"lsh"`` is the explicit
+      fixed-constant opt-out.
     - a DataFrame of (left_id, right_id) — caller-supplied pairs (e.g. the
       IVF prober in functions/vector.py); verified the same way.
     """
@@ -128,7 +133,11 @@ def cosine_edges(
 
         # parquet footer row count: driver-side metadata read, no Spark job
         n = footer_row_count(sf_dir, "embeddings")
-        candidates = "all_pairs" if n <= ALL_PAIRS_MAX_ROWS else "lsh"
+        # the scale default is the AUTO-SIZED generator (r11 verdict
+        # Next #1): its recall is measured flat (0.891/0.880/0.891 at
+        # 1x/10x/30x density) where the fixed 63-plane budget drifts
+        # 0.998 -> 0.678 -> 0.494; "lsh" remains the explicit opt-out
+        candidates = "all_pairs" if n <= ALL_PAIRS_MAX_ROWS else "lsh_auto"
 
     if isinstance(candidates, str):
         if candidates == "all_pairs":
@@ -173,15 +182,19 @@ def cosine_edges(
             # corpus (budget: up to ~max_candidates_per_vec per vector).
             # Letting it SHUFFLE into sort-merge verification joins
             # sorts candidate rows widened by embedding arrays — the
-            # 30x probe measured that spill exceeding local disk. Under
-            # the same bounded gate as first-collision dedup, pin the
-            # embedding sides broadcast so the stream verifies fully
-            # inside one codegen stage and never shuffles.
+            # 30x probe measured that spill exceeding local disk. Pin
+            # the embedding sides broadcast so the stream verifies fully
+            # inside one codegen stage and never shuffles — gated on
+            # ESTIMATED BYTES (n x ~4*dim), not the key-table row cap
+            # this branch used to reuse: embedding rows are
+            # dim-dependent, and 500k x 768-dim float is ~1.5 GB per
+            # pinned side (ADVICE r11 medium). Above the budget the
+            # joins are left to AQE's shuffle planning.
             from tutorial_iceberg_spark.functions.vector import (
-                _FIRST_COLLISION_BROADCAST_MAX,
+                embedding_broadcast_affordable,
             )
 
-            bounded_emb = n <= _FIRST_COLLISION_BROADCAST_MAX
+            bounded_emb = embedding_broadcast_affordable(n, dim)
         else:
             raise ValueError(f"unknown candidate source: {candidates!r}")
 
