@@ -1,0 +1,207 @@
+"""Multi-table atomic transaction invariants (r11 verdict Next #8).
+
+The property under test everywhere: N tables commit TOGETHER or NOT AT
+ALL — no interleaving of phases, conflicts, decision races, or crash
+windows may ever expose table A's new state alongside table B's old one.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+
+from tutorial_iceberg_spark.lakehouse import metadata as M
+from tutorial_iceberg_spark.lakehouse.catalog import LakeCatalog
+from tutorial_iceberg_spark.lakehouse.transaction import (
+    LakeTransaction,
+    TransactionAborted,
+)
+
+
+@pytest.fixture()
+def cat(spark):
+    with tempfile.TemporaryDirectory() as wh:
+        yield LakeCatalog(spark, wh)
+
+
+def _mk(cat, spark):
+    a = cat.create_table("db.txa", "k bigint, v string")
+    b = cat.create_table("db.txb", "k bigint, n bigint")
+    a.append(spark.createDataFrame([(1, "x")], "k bigint, v string"))
+    b.append(spark.createDataFrame([(1, 10)], "k bigint, n bigint"))
+    return a, b
+
+
+def test_txn_commits_both_or_neither_happy_path(cat, spark):
+    a, b = _mk(cat, spark)
+    with cat.transaction() as txn:
+        txn.append("db.txa", spark.createDataFrame([(2, "y")], "k bigint, v string"))
+        txn.append("db.txb", spark.createDataFrame([(2, 20)], "k bigint, n bigint"))
+        # inside the block nothing is visible yet (not even prepared)
+        assert a.read().count() == 1 and b.read().count() == 1
+    assert sorted(r["k"] for r in a.read().collect()) == [1, 2]
+    assert sorted(r["k"] for r in b.read().collect()) == [1, 2]
+    # finalize happened: no pending markers, hints current, record gone
+    for t in (a, b):
+        md = t.meta
+        assert md.pending_txn is None
+        assert md.snapshot().summary.get("txn")
+    assert not os.listdir(os.path.join(cat.warehouse, "_txns"))
+
+
+def test_txn_prepared_window_is_invisible_until_decision(cat, spark):
+    """Step through the phases: after PREPARE both tables still read
+    their old state; the instant the decision record says committed,
+    both flip — that single link() is the atomic commit point."""
+    a, b = _mk(cat, spark)
+    txn = cat.transaction()
+    txn.append("db.txa", spark.createDataFrame([(2, "y")], "k bigint, v string"))
+    txn.append("db.txb", spark.createDataFrame([(2, 20)], "k bigint, n bigint"))
+    claimed = txn._prepare_once()
+    assert len(claimed) == 2
+    # prepared versions exist on disk but resolve invisible
+    for loc, v in claimed:
+        assert os.path.exists(
+            os.path.join(M.metadata_dir(loc), f"v{v}.metadata.json")
+        )
+        assert M.current_version(loc) == v - 1
+    assert a.read().count() == 1 and b.read().count() == 1
+    # a concurrent writer conflicts on the claimed slot, no clobber
+    with pytest.raises(M.CommitConflictError):
+        md = M.read_metadata(a.location)
+        M.commit_metadata(a.location, md)
+    # DECIDE: one atomic create flips both tables at once
+    assert M.record_txn_decision(txn.decision_path, "committed") == "committed"
+    assert a.read().count() == 2 and b.read().count() == 2
+    txn._finalize(claimed)
+    assert a.meta.pending_txn is None and b.meta.pending_txn is None
+    assert a.read().count() == 2 and b.read().count() == 2
+
+
+def test_txn_conflict_aborts_with_no_partial_application(cat, spark):
+    """A conflicting single-table commit during PREPARE (after table A's
+    slot is claimed, on table B's slot) must leave BOTH tables untouched
+    by the txn once retries are exhausted — the claimed A slot is
+    released, not left to half-apply."""
+    a, b = _mk(cat, spark)
+    txn = cat.transaction()
+    txn.PREPARE_RETRIES = 1
+    txn.append("db.txa", spark.createDataFrame([(2, "y")], "k bigint, v string"))
+    txn.append("db.txb", spark.createDataFrame([(2, 20)], "k bigint, n bigint"))
+
+    # sabotage: every prepare attempt loses table B's slot to a rival
+    orig = M.commit_metadata
+
+    def rival_wins_b(location, md, pending_txn=None):
+        if location == b.location:
+            rival = M.read_metadata(b.location)
+            orig(b.location, rival)  # rival claims the slot first
+        return orig(location, md, pending_txn=pending_txn)
+
+    M.commit_metadata = rival_wins_b
+    try:
+        with pytest.raises(TransactionAborted):
+            txn.commit()
+    finally:
+        M.commit_metadata = orig
+    assert M.txn_decision(txn.decision_path) == "aborted"
+    # A shows no txn rows and its claimed slot was released
+    assert sorted(r["k"] for r in a.read().collect()) == [1]
+    assert a.meta.pending_txn is None
+    # B shows only the rival's (empty) commits, no txn rows
+    assert sorted(r["k"] for r in b.read().collect()) == [1]
+    # released slots are reusable: a normal append works afterwards
+    a.append(spark.createDataFrame([(3, "z")], "k bigint, v string"))
+    assert sorted(r["k"] for r in a.read().collect()) == [1, 3]
+
+
+def test_txn_decision_race_abort_wins_cleanly(cat, spark):
+    """If a resolver records ABORT between prepare and the committer's
+    decide (the expired-txn reaping race), the committer must observe the
+    loss, release its claims, and raise — never half-commit."""
+    a, b = _mk(cat, spark)
+    txn = cat.transaction()
+    txn.append("db.txa", spark.createDataFrame([(2, "y")], "k bigint, v string"))
+    txn.append("db.txb", spark.createDataFrame([(2, 20)], "k bigint, n bigint"))
+    claimed = txn._prepare_once()
+    assert M.record_txn_decision(txn.decision_path, "aborted") == "aborted"
+    txn._done = False  # drive commit()'s decide path directly
+    txn._prepare_once = lambda: claimed  # reuse the real claims
+    with pytest.raises(TransactionAborted, match="aborted"):
+        txn.commit()
+    assert a.read().count() == 1 and b.read().count() == 1
+    for loc, v in claimed:  # slots released
+        assert not os.path.exists(
+            os.path.join(M.metadata_dir(loc), f"v{v}.metadata.json")
+        )
+
+
+def test_txn_resolve_expired_aborts_stale_but_never_committed(cat, spark):
+    a, b = _mk(cat, spark)
+    # txn 1: prepared then crashed (no decision, process gone)
+    t1 = cat.transaction()
+    t1.append("db.txa", spark.createDataFrame([(2, "y")], "k bigint, v string"))
+    c1 = t1._prepare_once()
+    # make the prepared file look old
+    for loc, v in c1:
+        p = os.path.join(M.metadata_dir(loc), f"v{v}.metadata.json")
+        os.utime(p, (1, 1))
+    # txn 2: freshly prepared, still live -> must NOT be resolved
+    t2 = cat.transaction()
+    t2.append("db.txb", spark.createDataFrame([(2, 20)], "k bigint, n bigint"))
+    t2._prepare_once()
+    resolved = LakeTransaction.resolve_expired(cat.warehouse, grace_sec=60)
+    assert resolved == [os.path.basename(t1.decision_path)]
+    assert M.txn_decision(t1.decision_path) == "aborted"
+    assert M.txn_decision(t2.decision_path) is None
+    # the aborted prepare is gone (slot released: table writable again)
+    assert a.read().count() == 1
+    a.append(spark.createDataFrame([(5, "w")], "k bigint, v string"))
+    assert sorted(r["k"] for r in a.read().collect()) == [1, 5]
+    # ...and the live txn can still commit
+    assert M.record_txn_decision(t2.decision_path, "committed") == "committed"
+    assert b.read().count() == 2
+    # resolve can never un-commit: committed decision stands
+    assert LakeTransaction.resolve_expired(cat.warehouse, grace_sec=0) == []
+
+
+def test_txn_one_op_per_table_and_empty_txn(cat, spark):
+    _mk(cat, spark)
+    txn = cat.transaction()
+    txn.append("db.txa", spark.createDataFrame([(2, "y")], "k bigint, v string"))
+    with pytest.raises(ValueError, match="one per table"):
+        txn.append("db.txa", spark.createDataFrame([(3, "z")], "k bigint, v string"))
+    txn.abort()
+    before = set(os.listdir(os.path.join(cat.warehouse, "_txns")))
+    with cat.transaction():
+        pass  # empty txn is a no-op: no decision litter, no commits
+    assert set(os.listdir(os.path.join(cat.warehouse, "_txns"))) == before
+
+
+def test_txn_exception_in_block_aborts(cat, spark):
+    a, b = _mk(cat, spark)
+    with pytest.raises(RuntimeError, match="boom"):
+        with cat.transaction() as txn:
+            txn.append(
+                "db.txa", spark.createDataFrame([(2, "y")], "k bigint, v string")
+            )
+            raise RuntimeError("boom")
+    assert a.read().count() == 1 and b.read().count() == 1
+    assert M.txn_decision(txn.decision_path) == "aborted"
+
+
+def test_txn_properties_ride_the_atomic_commit(cat, spark):
+    """The exactly-once sink primitive generalizes: per-table properties
+    merge in the SAME decision-gated commit as the data."""
+    a, b = _mk(cat, spark)
+    with cat.transaction() as txn:
+        txn.append(
+            "db.txa",
+            spark.createDataFrame([(2, "y")], "k bigint, v string"),
+            properties={"ingest.batch": "42"},
+        )
+        txn.append("db.txb", spark.createDataFrame([(2, 20)], "k bigint, n bigint"))
+    assert a.meta.properties["ingest.batch"] == "42"
+    assert a.read().count() == 2 and b.read().count() == 2

@@ -325,6 +325,14 @@ def _probe_callables(specs):
     rows["cosine_edges[lsh_auto]"] = lambda s, d: cosine_edges(
         s, d, candidates="lsh_auto"
     )
+    # the near-dup threshold twin: the rho-exponent makes the 0.40 floor
+    # honestly unaffordable at ~200k vectors (the sizer warns and clamps
+    # to recall ~0.57), so the 100x embeddings probe measures the sized
+    # path at 0.60 — the cheapest threshold the cost-vs-threshold law
+    # (probes/r11/threshold_sweep) shows staying affordable at that n
+    rows["cosine_edges[lsh_auto@0.60]"] = lambda s, d: cosine_edges(
+        s, d, threshold=0.60, candidates="lsh_auto"
+    )
     rows["x_knn_classify_loo[lsh]"] = lambda s, d: x_knn_classify_loo(
         s, d, candidates="lsh"
     )
@@ -527,11 +535,19 @@ def main() -> None:
         # base edges| (the cross-copy noise edges the threshold also
         # admits are excluded — they are data, not structure).
         recall = None
-        if n in ("cosine_edges[lsh]", "cosine_edges[lsh_auto]"):
-            from tutorial_iceberg_spark.operators.graph import cosine_edges
+        if n.startswith("cosine_edges[lsh"):
+            from tutorial_iceberg_spark.operators.graph import (
+                COSINE_EDGE_THRESHOLD,
+                cosine_edges,
+            )
 
+            thr = (
+                float(n.split("@")[1].rstrip("]"))
+                if "@" in n
+                else COSINE_EDGE_THRESHOLD
+            )
             exact_base = cosine_edges(
-                spark, base_dir, candidates="all_pairs"
+                spark, base_dir, threshold=thr, candidates="all_pairs"
             ).count()
             within = (
                 df_big.filter(

@@ -36,6 +36,14 @@ class LakeCatalog:
     def load_table(self, identifier: str) -> LakeTable:
         return LakeTable.load(self.spark, self._loc(identifier))
 
+    def transaction(self):
+        """Multi-table atomic transaction (2PC, single atomic decision
+        record): ``with cat.transaction() as txn: txn.append(...)`` —
+        see lakehouse/transaction.py for the protocol."""
+        from tutorial_iceberg_spark.lakehouse.transaction import LakeTransaction
+
+        return LakeTransaction(self)
+
     def drop_table(self, identifier: str) -> None:
         import shutil
 

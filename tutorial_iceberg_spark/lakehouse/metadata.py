@@ -151,6 +151,12 @@ class TableMetadata:
     # Monotone manifest-id counter (see DataFile.manifest_id). Default 0
     # keeps every pre-manifest metadata file readable.
     last_manifest_id: int = 0
+    # Multi-table transaction gate: when set, this version file is a
+    # PREPARED (2PC phase-1) commit and is visible only once the decision
+    # record at this path says "committed" — see txn_decision /
+    # _version_visible. None (the default, and every pre-txn metadata
+    # file) means an ordinary immediately-visible commit.
+    pending_txn: str | None = None
 
     # -- convenience -------------------------------------------------
     def schema(self, schema_id: int | None = None) -> Schema:
@@ -217,20 +223,70 @@ def _hint_path(location: str) -> str:
     return os.path.join(metadata_dir(location), "version-hint.text")
 
 
+def txn_decision(decision_path: str) -> str | None:
+    """The recorded outcome of a multi-table transaction: "committed",
+    "aborted", or None while undecided. The record is a file whose FIRST
+    creator wins (atomic link, see record_txn_decision) — commit and
+    abort race to one name, so exactly one outcome ever exists."""
+    try:
+        with open(decision_path) as f:
+            return f.read().strip()
+    except FileNotFoundError:
+        return None
+
+
+def record_txn_decision(decision_path: str, decision: str) -> str:
+    """Atomically record a transaction outcome; returns the WINNING
+    decision (which may be the other one, if a racer got there first).
+    Same link-of-fully-written-temp protocol as commit_metadata, so the
+    record is never torn and create-if-absent is the race arbiter."""
+    os.makedirs(os.path.dirname(decision_path), exist_ok=True)
+    tmp = decision_path + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        f.write(decision)
+    try:
+        os.link(tmp, decision_path)
+        return decision
+    except FileExistsError:
+        return txn_decision(decision_path)  # the racer's outcome stands
+    finally:
+        os.unlink(tmp)
+
+
+def _version_visible(vpath: str) -> bool:
+    """A version file is the table state only if it is an ordinary commit
+    or a PREPARED txn commit whose decision record says committed. An
+    undecided or aborted prepare is invisible — readers stay on the
+    previous version, exactly as if the prepare never happened."""
+    with open(vpath) as f:
+        pending = json.loads(f.read()).get("pending_txn")
+    return pending is None or txn_decision(pending) == "committed"
+
+
 def current_version(location: str) -> int:
     """Resolve the current metadata version. The hint file is advisory
     (Iceberg HadoopTableOperations semantics): the version FILE is the
     durable commit, so we probe upward from the hint for version files a
     crashed writer committed without flipping the hint. Version files are
     always complete (created by atomic link of a fully-written temp file,
-    see commit_metadata), so the highest one present is the table state."""
+    see commit_metadata), so the highest one present is the table state —
+    unless it is a PREPARED multi-table txn version whose decision is not
+    "committed" yet (see _version_visible): probing stops below it, and
+    the hint invariant (a hint only ever names a visible version; txn
+    prepares don't flip it) keeps the starting point sound."""
     try:
         with open(_hint_path(location)) as f:
             v = int(f.read().strip())
     except FileNotFoundError:
         v = 0
     mdir = metadata_dir(location)
-    while os.path.exists(os.path.join(mdir, f"v{v + 1}.metadata.json")):
+    while True:
+        nxt = os.path.join(mdir, f"v{v + 1}.metadata.json")
+        try:
+            if not _version_visible(nxt):
+                break
+        except FileNotFoundError:
+            break
         v += 1
     return v
 
@@ -251,7 +307,9 @@ class CommitConflictError(Exception):
     Iceberg's optimistic-concurrency protocol."""
 
 
-def commit_metadata(location: str, md: TableMetadata) -> int:
+def commit_metadata(
+    location: str, md: TableMetadata, pending_txn: str | None = None
+) -> int:
     """Optimistic atomic commit, crash-safe at every step (Iceberg's
     HadoopTableOperations rename-commit protocol):
 
@@ -266,12 +324,20 @@ def commit_metadata(location: str, md: TableMetadata) -> int:
        v+1 rather than retrying v forever.
 
     The version derives from ``md.loaded_version`` — the state this writer
-    actually READ — so a stale writer conflicts instead of clobbering."""
+    actually READ — so a stale writer conflicts instead of clobbering.
+
+    ``pending_txn`` (a decision-record path) turns the commit into a 2PC
+    PREPARE: the version slot is CAS-claimed exactly as above, but the
+    metadata carries the pending marker and the hint is NOT flipped —
+    readers keep resolving the previous version until the decision record
+    says committed (see _version_visible), and concurrent writers conflict
+    on the claimed slot for the (bounded) life of the transaction."""
     mdir = metadata_dir(location)
     os.makedirs(mdir, exist_ok=True)
     v = md.loaded_version + 1
     vpath = os.path.join(mdir, f"v{v}.metadata.json")
     tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}.json")
+    md.pending_txn = pending_txn
     with open(tmp, "w") as f:
         f.write(_to_json(md))
     try:
@@ -282,10 +348,11 @@ def commit_metadata(location: str, md: TableMetadata) -> int:
         ) from e
     finally:
         os.unlink(tmp)
-    hint_tmp = _hint_path(location) + ".tmp"
-    with open(hint_tmp, "w") as f:
-        f.write(str(v))
-    os.replace(hint_tmp, _hint_path(location))
+    if pending_txn is None:
+        hint_tmp = _hint_path(location) + ".tmp"
+        with open(hint_tmp, "w") as f:
+            f.write(str(v))
+        os.replace(hint_tmp, _hint_path(location))
     md.loaded_version = v
     return v
 

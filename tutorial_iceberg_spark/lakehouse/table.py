@@ -243,10 +243,14 @@ class LakeTable:
         delete_files: list[M.DeleteFile] | None = None,
         summary: dict | None = None,
         ref: str | None = None,
+        commit: bool = True,
     ) -> None:
         """Commit a snapshot. ``ref=None`` advances main; a branch name
         advances only that ref (main's pointer is untouched — the isolation
-        property write-audit-publish relies on)."""
+        property write-audit-publish relies on). ``commit=False`` stages
+        the snapshot on ``md`` without committing — the multi-table
+        transaction path commits all its tables' staged metadata itself
+        (lakehouse/transaction.py)."""
         md.last_snapshot_id += 1
         # Manifest bookkeeping (Iceberg shape): entries carried over from
         # prior snapshots keep their manifest id (their manifest file is
@@ -274,7 +278,8 @@ class LakeTable:
             md.refs[ref] = snap.snapshot_id
         else:
             md.current_snapshot_id = snap.snapshot_id
-        self._commit(md)
+        if commit:
+            self._commit(md)
 
     # -- D16 INSERT / append ---------------------------------------------
     # With W concurrent writers, one commit round has one winner, so a
@@ -1333,7 +1338,11 @@ class LakeTable:
             if name not in by_name:
                 raise ValueError(f"no column {name}")
         if len(by_name) == len(seen):
-            raise ValueError("cannot drop every column")
+            raise ValueError(
+                "cannot drop the only column"
+                if len(seen) == 1
+                else "cannot drop every column"
+            )
         drop_ids = {by_name[n].id for n in seen}
         for name in seen:
             fid = by_name[name].id
