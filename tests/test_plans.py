@@ -34,6 +34,11 @@ PKG = Path(__file__).resolve().parent.parent / "tutorial_iceberg_spark"
 # names; values are regexes the broadcast ARGUMENT must match. Anything
 # else — in these files or any other — fails the sweep.
 ALLOWED = {
+    "lakehouse/queries.py": [
+        # lake_txn_multi_table: a literal 1-row (fact_rows) frame joined
+        # onto the (|priorities|-row) rollup read — both sides bounded
+        r'spark\.createDataFrame\(\[\(n_fact,\)\], "fact_rows bigint"\)',
+    ],
     "operators/relational.py": [
         r'load_table\(spark, sf_dir, "(nation|region)"\)',  # 25 / 5 rows
         r"nation\b",  # nation dim frame
