@@ -261,7 +261,14 @@ class LakeTransaction:
                     continue
                 decision = M.txn_decision(pending)
                 if decision is None:
-                    if now - os.path.getmtime(p) < grace_sec:
+                    try:
+                        age = now - os.path.getmtime(p)
+                    except OSError:
+                        # the owning txn released this claim between our
+                        # open() and here (prepare-conflict _release):
+                        # nothing left to resolve
+                        continue
+                    if age < grace_sec:
                         continue  # live transaction: leave it alone
                     decision = M.record_txn_decision(pending, "aborted")
                     if decision == "aborted":
