@@ -186,9 +186,15 @@ def test_threaded_multi_table_txns_commit_atomically(cat, spark):
     assert tags_a == tags_b, "data rows split a transaction across tables"
     id_by_tx = {v: k for k, v in txids.items()}
     assert tags_a == sorted(f"txn-{id_by_tx[t]}" for t in committed)
-    # no pending markers or decision records survive the storm
+    # no pending markers survive the storm; committed decision records
+    # are gone (finalize), aborted ones persist as the durable outcome
+    # until a resolver sweep collects them
     assert a.meta.pending_txn is None and b.meta.pending_txn is None
-    assert not os.listdir(os.path.join(cat.warehouse, "_txns"))
+    txns_dir = os.path.join(cat.warehouse, "_txns")
+    leftover = {os.path.splitext(n)[0] for n in os.listdir(txns_dir)}
+    assert leftover == aborted, (leftover, aborted)
+    LakeTransaction.resolve_expired(cat.warehouse, grace_sec=0.0)
+    assert not os.listdir(txns_dir)
 
 
 def test_resolver_racing_live_committers_never_splits_a_txn(cat, spark):
@@ -252,6 +258,43 @@ def test_resolver_racing_live_committers_never_splits_a_txn(cat, spark):
     # both tables writable again afterwards (no stuck claimed slots)
     a.append(spark.createDataFrame([(99, "after")], "k bigint, tag string"))
     assert "after" in {r["tag"] for r in a.read().collect()}
+
+
+def test_hint_flip_storm_has_no_shared_temp_collision(cat, spark):
+    """Pure-metadata commit storm: 16 threads x 15 commits on one table,
+    every winner flipping the advisory hint concurrently. The hint flip
+    must use a UNIQUE temp name per call — with a shared temp path,
+    writer B's os.replace consumes the file writer A is about to rename,
+    and A raises FileNotFoundError AFTER its commit durably succeeded
+    (caught live by tools/txn_probe.py at 8 committers). No Spark rows:
+    this storms the metadata layer alone, so collisions are frequent."""
+    t = cat.create_table("db.hint", "k bigint")
+    n_threads, per_thread = 16, 15
+    errors: list[Exception] = []
+
+    def committer() -> None:
+        for _ in range(per_thread):
+            while True:
+                md = M.read_metadata(t.location)
+                try:
+                    M.commit_metadata(t.location, md)
+                    break
+                except M.CommitConflictError:
+                    continue
+                except Exception as e:  # pragma: no cover - failure detail
+                    errors.append(e)
+                    return
+
+    threads = [threading.Thread(target=committer) for _ in range(n_threads)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, f"a successful commit raised: {errors!r}"
+    assert M.current_version(t.location) == 1 + n_threads * per_thread
+    # the hint file itself must be a clean integer (never torn/missing)
+    with open(M._hint_path(t.location)) as f:
+        assert 1 <= int(f.read().strip()) <= 1 + n_threads * per_thread
 
 
 def test_txn_rebases_under_live_single_table_traffic(cat, spark):

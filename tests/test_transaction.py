@@ -205,3 +205,37 @@ def test_txn_properties_ride_the_atomic_commit(cat, spark):
         txn.append("db.txb", spark.createDataFrame([(2, 20)], "k bigint, n bigint"))
     assert a.meta.properties["ingest.batch"] == "42"
     assert a.read().count() == 2 and b.read().count() == 2
+
+def test_aborted_decision_records_are_swept_once_unreferenced(cat, spark):
+    """Aborted decision records persist as the durable outcome (absence
+    means IN-FLIGHT in this protocol), but must not accumulate forever:
+    resolve_expired garbage-collects aborted records past the grace age
+    that no prepared version file references anymore. A record still
+    referenced by a crashed owner's un-released claim survives the first
+    sweep (whose walk releases the claim) and goes on the second."""
+    a, b = _mk(cat, spark)
+    # txn 1: cleanly aborted at exhaustion (no claims left) -> record only
+    t1 = cat.transaction()
+    t1._ops["db.txa"] = None  # non-empty so abort() records a decision
+    t1.abort()
+    assert M.txn_decision(t1.decision_path) == "aborted"
+    # txn 2: prepared, aborted, owner crashed BEFORE releasing its claim
+    t2 = cat.transaction()
+    t2.append("db.txb", spark.createDataFrame([(2, 20)], "k bigint, n bigint"))
+    c2 = t2._prepare_once()
+    M.record_txn_decision(t2.decision_path, "aborted")
+    for loc, v in c2:
+        os.utime(os.path.join(M.metadata_dir(loc), f"v{v}.metadata.json"), (1, 1))
+    os.utime(t1.decision_path, (1, 1))
+    os.utime(t2.decision_path, (1, 1))
+
+    LakeTransaction.resolve_expired(cat.warehouse, grace_sec=60)
+    # t1's unreferenced record swept; t2's was still referenced when the
+    # walk collected references, but its claim is released by that walk
+    assert not os.path.exists(t1.decision_path)
+    assert b.meta.pending_txn is None
+    os.utime(t2.decision_path, (1, 1))
+    LakeTransaction.resolve_expired(cat.warehouse, grace_sec=60)
+    assert not os.path.exists(t2.decision_path)
+    # a committed table state was never touched
+    assert a.read().count() == 1 and b.read().count() == 1

@@ -223,6 +223,21 @@ def _hint_path(location: str) -> str:
     return os.path.join(metadata_dir(location), "version-hint.text")
 
 
+def flip_hint(location: str, v: int) -> None:
+    """Advisory hint update via write-temp + atomic replace. The temp
+    name must be UNIQUE PER CALL: concurrent committers flip the hint
+    concurrently (each after winning its own version slot), and a shared
+    temp name lets writer B's replace() consume the file writer A is
+    about to replace — A's rename then raises FileNotFoundError AFTER
+    its commit durably succeeded (found by tools/txn_probe.py at 8
+    threads). Hint monotonicity doesn't matter for correctness either
+    way: current_version only probes UPWARD from whatever the hint says."""
+    tmp = _hint_path(location) + f".{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as f:
+        f.write(str(v))
+    os.replace(tmp, _hint_path(location))
+
+
 def txn_decision(decision_path: str) -> str | None:
     """The recorded outcome of a multi-table transaction: "committed",
     "aborted", or None while undecided. The record is a file whose FIRST
@@ -349,10 +364,7 @@ def commit_metadata(
     finally:
         os.unlink(tmp)
     if pending_txn is None:
-        hint_tmp = _hint_path(location) + ".tmp"
-        with open(hint_tmp, "w") as f:
-            f.write(str(v))
-        os.replace(hint_tmp, _hint_path(location))
+        flip_hint(location, v)
     md.loaded_version = v
     return v
 

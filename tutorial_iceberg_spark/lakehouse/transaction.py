@@ -49,6 +49,7 @@ on that table.
 from __future__ import annotations
 
 import os
+import random
 import time
 import uuid
 
@@ -173,10 +174,7 @@ class LakeTransaction:
                 os.replace(tmp, vpath)  # same state, marker gone — atomic
             # advisory hint: probing only goes UP from it, so pointing at
             # v is sound even if later versions already exist
-            hint_tmp = M._hint_path(location) + ".tmp"
-            with open(hint_tmp, "w") as f:
-                f.write(str(v))
-            os.replace(hint_tmp, M._hint_path(location))
+            M.flip_hint(location, v)
         try:
             os.unlink(self.decision_path)
         except FileNotFoundError:
@@ -194,12 +192,26 @@ class LakeTransaction:
             return
         claimed: list[tuple] = []
         last_err: Exception | None = None
-        for _ in range(self.PREPARE_RETRIES):
+        for attempt in range(self.PREPARE_RETRIES):
             try:
                 claimed = self._prepare_once()
                 break
             except M.CommitConflictError as e:
                 last_err = e
+                # Jittered exponential backoff before re-preparing.
+                # Unlike a single-slot append (where a conflict proves
+                # another writer COMMITTED — lock-free progress), a
+                # multi-table prepare can conflict against another
+                # txn's since-released claim: two txns claiming the
+                # same tables in opposite orders release and retry in
+                # lockstep, a livelock only timing luck breaks.
+                # Measured by tools/txn_probe.py at a 16-way
+                # simultaneous-commit herd: immediate retries exhausted
+                # for 30/64 txns; randomized waits break the symmetry.
+                time.sleep(
+                    min(0.02 * (2 ** attempt), 0.5)
+                    * (0.5 + random.random())
+                )
         else:
             M.record_txn_decision(self.decision_path, "aborted")
             raise TransactionAborted(
@@ -238,10 +250,20 @@ class LakeTransaction:
         decision lands first stands, so a live slow committer either wins
         the race (this abort loses and resolves nothing) or observes
         "aborted" and rolls back. A COMMITTED decision is never touched —
-        resolve can never un-commit."""
+        resolve can never un-commit.
+
+        Also garbage-collects ABORTED decision records past ``grace_sec``
+        that no prepared version file references anymore. (COMMITTED
+        records are removed by the owner's finalize; aborted ones persist
+        as the durable outcome — in this protocol an ABSENT record means
+        in-flight, not abort, so a record may only go once nothing can
+        consult it again. A record still referenced by a crashed owner's
+        un-released claim survives this sweep; the same walk unlinks that
+        claim, so the NEXT sweep collects the record.)"""
         import json
 
         resolved = []
+        referenced: set[str] = set()
         now = time.time()
         # undecided = no decision file exists; find candidates from
         # prepared version files across the warehouse
@@ -259,6 +281,7 @@ class LakeTransaction:
                     continue
                 if not pending:
                     continue
+                referenced.add(pending)
                 decision = M.txn_decision(pending)
                 if decision is None:
                     try:
@@ -280,6 +303,22 @@ class LakeTransaction:
                         os.unlink(p)
                     except FileNotFoundError:
                         pass
+        txns_dir = os.path.join(warehouse, "_txns")
+        try:
+            records = os.listdir(txns_dir)
+        except FileNotFoundError:
+            records = []
+        for n in records:
+            if not n.endswith(".decision"):
+                continue  # a racing writer's .tmp-* link source: not ours
+            dp = os.path.join(txns_dir, n)
+            if dp in referenced or M.txn_decision(dp) != "aborted":
+                continue
+            try:
+                if now - os.path.getmtime(dp) >= grace_sec:
+                    os.unlink(dp)
+            except OSError:
+                pass  # swept by a racing resolver: same outcome
         return sorted(set(resolved))
 
     # -- context manager -------------------------------------------------
