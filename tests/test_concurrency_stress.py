@@ -344,3 +344,94 @@ def test_txn_rebases_under_live_single_table_traffic(cat, spark):
     assert chain == list(range(1, len(chain) + 1)), (
         f"holes in the shared table's version chain: {chain}"
     )
+
+
+def _rival_on_first_replace(cat, spark, action):
+    """commit_metadata wrapper: the first commit staging a 'replace'
+    snapshot (compact's) first lets a rival writer win the slot."""
+    orig = M.commit_metadata
+    fired = {"done": False}
+
+    def wrapper(location, md, pending_txn=None):
+        snap = md.snapshot()
+        if (
+            not fired["done"]
+            and snap is not None
+            and snap.operation == "replace"
+        ):
+            fired["done"] = True
+            action()
+        return orig(location, md, pending_txn=pending_txn)
+
+    return wrapper, orig
+
+
+def test_compact_rebases_over_concurrent_append(cat, spark):
+    """rewrite_data_files racing ingest — the permanent condition at
+    scale. A conflict whose winner was a PURE APPEND must rebase: the
+    appended file is carried untouched next to the rewrite outputs, and
+    no rows are lost on either side."""
+    t = cat.create_table("db.cmp", "k bigint, tag string")
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, tag string"))
+
+    def rival_append():
+        cat.load_table("db.cmp").append(
+            spark.createDataFrame([(3, "c")], "k bigint, tag string")
+        )
+
+    wrapper, orig = _rival_on_first_replace(cat, spark, rival_append)
+    M.commit_metadata = wrapper
+    try:
+        t.compact(target_files=2, sort_by=["k"])
+    finally:
+        M.commit_metadata = orig
+    rows = sorted((r["k"], r["tag"]) for r in t.read().collect())
+    assert rows == [(1, "a"), (2, "b"), (3, "c")], "a row was lost"
+    snap = t.meta.snapshot()
+    assert snap.summary.get("rebased-over-appends") == 1
+    assert snap.operation == "replace"
+
+
+def test_compact_refuses_rebase_when_inputs_were_rewritten(cat, spark):
+    """If the conflicting winner TOUCHED the rewrite's input files (a
+    CoW delete here), rebasing would clobber its change — compact must
+    raise instead, leaving the winner's state intact."""
+    t = cat.create_table("db.cmp2", "k bigint, tag string")
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, tag string"))
+
+    def rival_cow_delete():
+        cat.load_table("db.cmp2").delete("k = 1")
+
+    wrapper, orig = _rival_on_first_replace(cat, spark, rival_cow_delete)
+    M.commit_metadata = wrapper
+    try:
+        with pytest.raises(M.CommitConflictError):
+            t.compact(target_files=2)
+    finally:
+        M.commit_metadata = orig
+    # the winner's delete stands; nothing of the stale rewrite is visible
+    assert sorted(r["k"] for r in t.read().collect()) == [2]
+
+
+def test_compact_refuses_rebase_over_concurrent_mor_delete(cat, spark):
+    """A concurrent MoR delete adds a delete file whose rows the stale
+    rewrite has already materialized back in — rebasing would resurrect
+    them. Must raise; the delete file keeps applying."""
+    t = cat.create_table(
+        "db.cmp3",
+        "k bigint, tag string",
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, tag string"))
+
+    def rival_mor_delete():
+        cat.load_table("db.cmp3").delete("k = 1")
+
+    wrapper, orig = _rival_on_first_replace(cat, spark, rival_mor_delete)
+    M.commit_metadata = wrapper
+    try:
+        with pytest.raises(M.CommitConflictError):
+            t.compact(target_files=2)
+    finally:
+        M.commit_metadata = orig
+    assert sorted(r["k"] for r in t.read().collect()) == [2]

@@ -1606,7 +1606,18 @@ class LakeTable:
         strategy=>'sort', sort_order=>'zorder(a,b)'): rows cluster along a
         bit-interleaved Z-address, so each file covers a narrow range in
         EVERY listed dimension and range predicates on ANY of them prune —
-        where a lexicographic sort only prunes on its leading column."""
+        where a lexicographic sort only prunes on its leading column.
+
+        Concurrency (Iceberg's rewrite validation): at 100 TB compaction
+        ALWAYS races ingest, so a commit conflict rebases when — and only
+        when — the winner was a pure append: every rewritten input file
+        must still be present (else a concurrent CoW delete/update/compact
+        touched rows this rewrite is about to clobber) and no delete files
+        may exist (this rewrite resolved deletes for its READ-time inputs
+        only). The rebased commit carries the appended files untouched
+        alongside the rewrite outputs; anything else raises
+        CommitConflictError — the caller re-runs compaction on fresh
+        state, never losing data either way."""
         if sort_by and zorder_by:
             raise ValueError("sort_by and zorder_by are mutually exclusive")
         if zorder_by and len(zorder_by) * self.ZORDER_BITS >= 64:
@@ -1635,8 +1646,32 @@ class LakeTable:
             summary["sort-by"] = ",".join(sort_by)
         else:
             df = df.repartition(target_files)
-        files = self._write_files(self._align(df, md.schema()), md)
-        self._new_snapshot(md, "replace", files, [], summary)
+        cur = md.snapshot()
+        inputs = {f.path for f in (cur.files if cur else [])}
+        outputs = self._write_files(self._align(df, md.schema()), md)
+        commit_files = outputs
+        for _ in range(self.APPEND_RETRIES):
+            try:
+                self._new_snapshot(md, "replace", commit_files, [], summary)
+                return
+            except M.CommitConflictError:
+                md = self.meta  # rebase on the winner's metadata
+                snap2 = md.snapshot()
+                cur_paths = {f.path for f in (snap2.files if snap2 else [])}
+                if (
+                    snap2 is None
+                    or not inputs <= cur_paths
+                    or snap2.delete_files
+                ):
+                    raise
+                carried = [f for f in snap2.files if f.path not in inputs]
+                for f in outputs:
+                    f.manifest_id = 0  # restamp under the rebased counter
+                summary["rebased-over-appends"] = len(carried)
+                commit_files = carried + outputs
+        raise M.CommitConflictError(
+            f"compact at {self.location}: rebase exhausted retries"
+        )
 
     def rewrite_manifests(self, target_manifests: int = 1) -> None:
         """CALL rewrite_manifests — the METADATA-side maintenance twin of
