@@ -186,14 +186,27 @@ def test_threaded_multi_table_txns_commit_atomically(cat, spark):
     assert tags_a == tags_b, "data rows split a transaction across tables"
     id_by_tx = {v: k for k, v in txids.items()}
     assert tags_a == sorted(f"txn-{id_by_tx[t]}" for t in committed)
-    # no pending markers survive the storm; committed decision records
-    # are gone (finalize), aborted ones persist as the durable outcome
-    # until a resolver sweep collects them
+    # no pending markers survive the storm; every leftover decision
+    # record is an ABORTED attempt (winning committed records are gone
+    # via finalize; a committed txn may leave aborted records from its
+    # burned intermediate attempts), and every aborted txn left its
+    # durable outcome on disk
     assert a.meta.pending_txn is None and b.meta.pending_txn is None
     txns_dir = os.path.join(cat.warehouse, "_txns")
-    leftover = {os.path.splitext(n)[0] for n in os.listdir(txns_dir)}
-    assert leftover == aborted, (leftover, aborted)
-    LakeTransaction.resolve_expired(cat.warehouse, grace_sec=0.0)
+    leftover = os.listdir(txns_dir)
+    for n in leftover:
+        assert M.txn_decision(os.path.join(txns_dir, n)) == "aborted", n
+    leftover_txids = {n.split(".a")[0] for n in leftover}
+    assert aborted <= leftover_txids, (sorted(leftover_txids), sorted(aborted))
+    assert leftover_txids <= set(txids.values())
+    # owners settled their burned claims at conflict time, so one sweep
+    # (with the safety floor lowered post-quiescence) collects everything
+    old_floor = LakeTransaction.GC_MIN_AGE
+    LakeTransaction.GC_MIN_AGE = 0.0
+    try:
+        LakeTransaction.resolve_expired(cat.warehouse, grace_sec=0.0)
+    finally:
+        LakeTransaction.GC_MIN_AGE = old_floor
     assert not os.listdir(txns_dir)
 
 
@@ -225,8 +238,8 @@ def test_resolver_racing_live_committers_never_splits_a_txn(cat, spark):
     reaper_errors: list[Exception] = []
 
     def reaper() -> None:
-        # resolve_expired must survive claims vanishing mid-scan (a live
-        # committer's prepare-conflict _release races our getmtime)
+        # resolve_expired must survive claims being settled/finalized
+        # mid-scan by their live owners (content changes under the walk)
         while not done.is_set():
             try:
                 LakeTransaction.resolve_expired(cat.warehouse, grace_sec=0.0)

