@@ -448,3 +448,123 @@ def test_compact_refuses_rebase_over_concurrent_mor_delete(cat, spark):
     finally:
         M.commit_metadata = orig
     assert sorted(r["k"] for r in t.read().collect()) == [2]
+
+
+def test_compact_refuses_rebase_over_concurrent_schema_change(cat, spark):
+    """A metadata-only winner (ADD COLUMN) must also abort the rewrite:
+    the outputs were written/aligned under the read-time schema, and a
+    rebased 'replace' snapshot would stamp them with the winner's new
+    schema_id. Must raise; the caller re-runs compaction on fresh state."""
+    t = cat.create_table("db.cmp4", "k bigint, tag string")
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, tag string"))
+
+    def rival_add_column():
+        cat.load_table("db.cmp4").add_column("extra", "bigint")
+
+    wrapper, orig = _rival_on_first_replace(cat, spark, rival_add_column)
+    M.commit_metadata = wrapper
+    try:
+        with pytest.raises(M.CommitConflictError):
+            t.compact(target_files=2)
+    finally:
+        M.commit_metadata = orig
+    # the winner's schema stands and the data is untouched
+    md = t.meta
+    assert "extra" in md.schema().names()
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 2]
+
+
+def test_compact_never_duplicates_rows_against_racing_appends(cat, spark):
+    """Compaction looping against live appenders — the r13 ADVICE race:
+    compact() used to read table state TWICE (one load for `inputs`, a
+    second via read()), so an append landing between the loads put its
+    files in the rewrite output AND outside `inputs`, and the rebase then
+    carried them a second time — silent row duplication. With the
+    single-load fix, every row lands exactly once no matter how the
+    interleavings fall."""
+    t = cat.create_table("db.cmpdup", "k bigint, tag string")
+    t.append(spark.createDataFrame([(0, "seed")], "k bigint, tag string"))
+    n_appenders, per_thread = 3, 4
+    errors: list[Exception] = []
+
+    def appender(i: int) -> None:
+        h = cat.load_table("db.cmpdup")
+        for j in range(per_thread):
+            try:
+                h.append(
+                    spark.createDataFrame(
+                        [(i * 100 + j, f"a{i}-{j}")], "k bigint, tag string"
+                    )
+                )
+            except Exception as e:  # pragma: no cover - failure detail
+                errors.append(e)
+
+    def compactor() -> None:
+        h = cat.load_table("db.cmpdup")
+        for _ in range(4):
+            try:
+                h.compact(target_files=2)
+            except M.CommitConflictError:
+                pass  # non-append winner or exhaustion: honest refusal
+
+    ths = [
+        threading.Thread(target=appender, args=(i,)) for i in range(n_appenders)
+    ] + [threading.Thread(target=compactor)]
+    for th in ths:
+        th.start()
+    for th in ths:
+        th.join()
+    assert not errors, f"appends failed: {errors!r}"
+
+    tags = [r["tag"] for r in t.read().collect()]
+    expected = sorted(
+        [f"a{i}-{j}" for i in range(n_appenders) for j in range(per_thread)]
+        + ["seed"]
+    )
+    assert sorted(tags) == expected, (
+        "compaction duplicated or lost rows against racing appends: "
+        f"got {len(tags)} rows, expected {len(expected)}"
+    )
+
+
+def test_lakesql_call_rewrite_racing_insert(cat, spark):
+    """Verdict r12 Next #7: drive the operational pair end-to-end through
+    the SQL router — CALL rewrite_data_files racing INSERT INTO — so the
+    rebase path is exercised at the surface users actually hit, not just
+    the Python API."""
+    from tutorial_iceberg_spark.lakehouse.sql import LakeSQL
+
+    lsql = LakeSQL(spark, cat)
+    lsql.sql("CREATE TABLE demo.db.ops (k BIGINT, tag STRING) USING iceberg")
+    lsql.sql("INSERT INTO demo.db.ops VALUES (0, 'seed')")
+    errors: list[Exception] = []
+
+    def inserter(i: int) -> None:
+        for j in range(3):
+            try:
+                lsql.sql(
+                    f"INSERT INTO demo.db.ops VALUES ({i * 10 + j}, 's{i}-{j}')"
+                )
+            except Exception as e:  # pragma: no cover - failure detail
+                errors.append(e)
+
+    def maintainer() -> None:
+        for _ in range(3):
+            try:
+                lsql.sql(
+                    "CALL demo.system.rewrite_data_files('db.ops', 'sort', 'k')"
+                )
+            except M.CommitConflictError:
+                pass  # honest refusal; operator re-runs on fresh state
+
+    ths = [threading.Thread(target=inserter, args=(i,)) for i in range(2)] + [
+        threading.Thread(target=maintainer)
+    ]
+    for th in ths:
+        th.start()
+    for th in ths:
+        th.join()
+    assert not errors, f"SQL inserts failed under maintenance: {errors!r}"
+    rows = lsql.sql("SELECT tag FROM demo.db.ops").collect()
+    expected = sorted([f"s{i}-{j}" for i in range(2) for j in range(3)] + ["seed"])
+    assert sorted(r["tag"] for r in rows) == expected

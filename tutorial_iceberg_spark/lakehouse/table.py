@@ -1628,8 +1628,20 @@ class LakeTable:
                 f"({self.ZORDER_BITS} bits each in a 63-bit z-address); "
                 f"got {len(zorder_by)}"
             )
+        # ONE metadata load drives both the rewrite read and the rebase
+        # baseline: self.meta re-reads from disk on every access, so a
+        # second load (e.g. via self.read()) could see a concurrent
+        # append's files — they would land in the rewrite output AND
+        # outside `inputs`, and the rebase below would then carry them a
+        # second time (silent row duplication in exactly the
+        # compaction-races-ingest case this path exists for).
         md = self.meta
-        df = self.read()
+        snap = md.snapshot()
+        df = (
+            self._read_snapshot(md, snap, snap.files)
+            if snap is not None
+            else self._empty_df(md.schema())
+        )
         summary: dict = {"op": "compact"}
         if zorder_by:
             z = self._zvalue(df, zorder_by).alias("__z")
@@ -1646,8 +1658,9 @@ class LakeTable:
             summary["sort-by"] = ",".join(sort_by)
         else:
             df = df.repartition(target_files)
-        cur = md.snapshot()
-        inputs = {f.path for f in (cur.files if cur else [])}
+        inputs = {f.path for f in (snap.files if snap else [])}
+        read_schema_id = md.current_schema_id
+        read_spec_id = md.current_spec_id
         outputs = self._write_files(self._align(df, md.schema()), md)
         commit_files = outputs
         for _ in range(self.APPEND_RETRIES):
@@ -1662,6 +1675,12 @@ class LakeTable:
                     snap2 is None
                     or not inputs <= cur_paths
                     or snap2.delete_files
+                    # a metadata-only winner (schema/partition evolution)
+                    # also invalidates the rewrite: the outputs were
+                    # written and aligned under the READ-time schema, and
+                    # a rebased snapshot would stamp them with the new ids
+                    or md.current_schema_id != read_schema_id
+                    or md.current_spec_id != read_spec_id
                 ):
                     raise
                 carried = [f for f in snap2.files if f.path not in inputs]
