@@ -194,6 +194,45 @@ def test_compaction_preserves_content(cat, spark):
     assert len(t.meta.snapshot().files) < nfiles_before
 
 
+def test_expire_rebases_over_concurrent_rollback_without_data_loss(cat, spark):
+    """r13 unlink-TOCTOU audit: expire_snapshots must commit its metadata
+    BEFORE deleting files. Pre-fix, a rollback_to an about-to-expire
+    snapshot racing the expiry lost data: files were unlinked first, then
+    the CAS conflict aborted the expiry — leaving the rolled-back current
+    state pointing at deleted files. Post-fix the expiry rebases onto the
+    winner's metadata, the rolled-back snapshot is current (pinned), and
+    its files survive."""
+    from tutorial_iceberg_spark.lakehouse import metadata as M
+
+    t = cat.create_table("db.orders", ORDERS_DDL)
+    t.append(seed_df(spark, ROWS[:1]))
+    first_snap = t.meta.current_snapshot_id
+    t.append(seed_df(spark, ROWS[1:2]))
+    t.append(seed_df(spark, ROWS[2:3]))
+
+    orig = M.commit_metadata
+    fired = {"done": False}
+
+    def rival_rolls_back(location, md, pending_txn=None):
+        # fire once, on expire's own commit (it SHRINKS the snapshot list)
+        if not fired["done"] and len(md.snapshots) < len(t.meta.snapshots):
+            fired["done"] = True
+            cat.load_table("db.orders").rollback_to(first_snap)
+        return orig(location, md, pending_txn=pending_txn)
+
+    M.commit_metadata = rival_rolls_back
+    try:
+        t.expire_snapshots(keep_last=1)
+    finally:
+        M.commit_metadata = orig
+    assert fired["done"], "the interleaving never fired"
+    # the rolled-back state is current and fully readable: no file it
+    # references was deleted by the losing expiry attempt
+    assert t.meta.current_snapshot_id == first_snap
+    assert t.read().count() == 1
+    assert all(os.path.exists(t._abs(f.path)) for f in t.meta.snapshot().files)
+
+
 def test_expire_snapshots_and_orphans(cat, spark):
     t = cat.create_table("db.orders", ORDERS_DDL)
     t.append(seed_df(spark, ROWS[:1]))
@@ -215,6 +254,16 @@ def test_expire_snapshots_and_orphans(cat, spark):
         ),
         orphan,
     )
+    # a FRESH unreferenced parquet is protected by the grace window —
+    # it may be a live writer's staged batch whose commit is in flight
+    removed = t.remove_orphan_files()
+    assert not any("orphan.parquet" in p for p in removed)
+    assert os.path.exists(orphan)
+    # past the grace window it is a true orphan and gets swept
+    import time as _time
+
+    old = _time.time() - 7200
+    os.utime(orphan, (old, old))
     removed = t.remove_orphan_files()
     assert any("orphan.parquet" in p for p in removed)
     assert t.read().count() == 1

@@ -609,3 +609,27 @@ def test_first_collision_dedup_equals_distinct(spark, sf_dir):
     ]
     assert len(fc_rows) == len(set(fc_rows)), "pairs must be unique rows"
     assert set(fc_rows) == via_distinct
+
+
+def test_knn_loo_auto_routes_to_lsh_auto_above_cutoff(spark, sf_dir, monkeypatch):
+    """r12 verdict Next #3: x_knn_classify_loo carried its own routing
+    switch and missed the r12 lsh_auto default flip — above
+    ALL_PAIRS_MAX_ROWS its 'auto' must pick the AUTO-SIZED generator
+    (recall flat across density), not the fixed-constant one. Forced by
+    dropping the cutoff under the fixture's row count; the routed result
+    must be exactly the lsh_auto result and the audit signal must stay
+    within the same bounded-degradation envelope as the exact path."""
+    from tutorial_iceberg_spark.functions.vector import x_knn_classify_loo
+    from tutorial_iceberg_spark.io import load_table
+    from tutorial_iceberg_spark.operators import graph as G
+
+    monkeypatch.setattr(G, "ALL_PAIRS_MAX_ROWS", 1)
+    n_vec = load_table(spark, sf_dir, "embeddings").count()
+    routed = x_knn_classify_loo(spark, sf_dir).collect()
+    sized = x_knn_classify_loo(spark, sf_dir, candidates="lsh_auto").collect()
+    assert sorted(map(tuple, routed)) == sorted(map(tuple, sized))
+    assert sum(r["n"] for r in routed) == n_vec  # every vector classified
+    exact = x_knn_classify_loo(spark, sf_dir, candidates="all_pairs").collect()
+    acc_exact = sum(r["n_correct"] for r in exact) / n_vec
+    acc_routed = sum(r["n_correct"] for r in routed) / n_vec
+    assert acc_routed >= acc_exact - 0.25

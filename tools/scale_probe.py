@@ -336,6 +336,13 @@ def _probe_callables(specs):
     rows["x_knn_classify_loo[lsh]"] = lambda s, d: x_knn_classify_loo(
         s, d, candidates="lsh"
     )
+    # the deployment-default twin (r12 verdict Next #3: this op's own
+    # "auto" switch missed the lsh_auto flip): census-sized constants at
+    # BOTH sizes, so the audit's accuracy should hold where fixed-LSH
+    # recall drifts with density
+    rows["x_knn_classify_loo[lsh_auto]"] = lambda s, d: x_knn_classify_loo(
+        s, d, candidates="lsh_auto"
+    )
     return rows
 
 

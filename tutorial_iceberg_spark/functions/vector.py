@@ -1635,10 +1635,11 @@ KNN_CLS_K = 5  # neighbourhood size for the leave-one-out classifier
     "over the embeddings table, reported as per-label accuracy — the "
     "label-quality audit a training pipeline runs to find mislabeled or "
     "boundary examples. Pair source follows the graph.py contract: exact "
-    "all-pairs under ALL_PAIRS_MAX_ROWS (the oracle-checkable form), LSH "
-    "band-bucket candidates above it (equi-joins only, recall gated in "
-    "pytest). Votes/top-k are totally ordered (score desc, id; count "
-    "desc, label) so the result is deterministic at any parallelism",
+    "all-pairs under ALL_PAIRS_MAX_ROWS (the oracle-checkable form), "
+    "AUTO-SIZED LSH band-bucket candidates above it (equi-joins only, "
+    "recall gated in pytest; census-sized so recall holds flat as corpus "
+    "density grows). Votes/top-k are totally ordered (score desc, id; "
+    "count desc, label) so the result is deterministic at any parallelism",
     tags=("vector", "extension"),
 )
 def x_knn_classify_loo(
@@ -1655,8 +1656,13 @@ def x_knn_classify_loo(
         )
 
         # parquet footer row count: driver-side metadata read, no Spark job
+        # Deployment default above the cutoff is the AUTO-SIZED generator
+        # (r12 verdict Next #3): the fixed-constant path's recall drifts
+        # with corpus density (measured 0.998 -> 0.678 -> 0.494 across
+        # 1x/10x/30x), which would silently degrade this label audit at
+        # scale; lsh_auto holds it roughly flat from a footer-count census.
         n = footer_row_count(sf_dir, "embeddings")
-        candidates = "all_pairs" if n <= ALL_PAIRS_MAX_ROWS else "lsh"
+        candidates = "all_pairs" if n <= ALL_PAIRS_MAX_ROWS else "lsh_auto"
     if candidates == "all_pairs":
         b = emb.select(
             F.col("vec_id").alias("nb_id"),
@@ -1670,10 +1676,19 @@ def x_knn_classify_loo(
     else:
         # scale path: LSH candidates (left<right) symmetrized to both
         # directions, then two key-partitioned equi-joins — no corpus
-        # broadcast, no nested loop
+        # broadcast, no nested loop. "lsh_auto" (the deployment default)
+        # sizes band constants from the corpus census; "lsh" keeps the
+        # fixed constants for the recall-drift comparison in pytest.
+        sizing = None
+        if candidates == "lsh_auto":
+            from tutorial_iceberg_spark.sources.parquet_meta import (
+                footer_row_count,
+            )
+
+            sizing = lsh_auto_size(footer_row_count(sf_dir, "embeddings"))
         dim = emb.select(F.size("embedding")).first()[0]
         cand = lsh_candidate_pairs(
-            load_table(spark, sf_dir, "embeddings"), dim
+            load_table(spark, sf_dir, "embeddings"), dim, sizing=sizing
         )
         cand = cand.unionByName(
             cand.select(

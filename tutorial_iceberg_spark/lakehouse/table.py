@@ -1755,37 +1755,72 @@ class LakeTable:
     # -- D13/D14 maintenance ---------------------------------------------------------
     def expire_snapshots(self, older_than_ms: int | None = None, keep_last: int = 1) -> list[str]:
         """D13 CALL expire_snapshots — README.md:1025. Removes expired
-        snapshot entries and deletes files referenced only by them."""
-        md = self.meta
-        ordered = sorted(md.snapshots, key=lambda s: s.timestamp_ms)
-        keep: set[int] = {md.current_snapshot_id}
-        # branch heads and tags pin their snapshots: a ref must never dangle
-        keep.update(md.refs.values())
-        keep.update(md.tags.values())
-        keep.update(s.snapshot_id for s in ordered[-keep_last:])
-        if older_than_ms is not None:
-            keep.update(s.snapshot_id for s in ordered if s.timestamp_ms >= older_than_ms)
-        kept = [s for s in md.snapshots if s.snapshot_id in keep]
-        removed = [s for s in md.snapshots if s.snapshot_id not in keep]
-        still_referenced = {
-            f.path for s in kept for f in s.files
-        } | {d.path for s in kept for d in s.delete_files}
-        deleted: list[str] = []
-        for s in removed:
-            for f in list(s.files) + list(s.delete_files):
-                if f.path not in still_referenced and os.path.exists(self._abs(f.path)):
-                    os.remove(self._abs(f.path))
-                    deleted.append(f.path)
-        md.snapshots = kept
-        self._commit(md)
-        return deleted
+        snapshot entries and deletes files referenced only by them.
 
-    def remove_orphan_files(self, tmp_grace_s: float = 3600.0) -> list[str]:
+        Ordering is the safety property (r13 unlink-TOCTOU audit): the
+        metadata commit lands FIRST, physical deletes happen only after
+        it succeeds. The pre-fix order (delete, then commit) could lose
+        data: with files already unlinked, a CAS conflict aborts the
+        expiry while a concurrent winner (e.g. a rollback_to re-pointing
+        current at an expired snapshot) still references them. On a
+        conflict the whole computation rebases onto the winner's
+        metadata, so the keep-set always derives from the state the
+        commit actually extends."""
+        deleted: list[str] = []
+        last_err: Exception | None = None
+        for _ in range(self.APPEND_RETRIES):
+            md = self.meta
+            ordered = sorted(md.snapshots, key=lambda s: s.timestamp_ms)
+            keep: set[int] = {md.current_snapshot_id}
+            # branch heads and tags pin their snapshots: a ref must never dangle
+            keep.update(md.refs.values())
+            keep.update(md.tags.values())
+            keep.update(s.snapshot_id for s in ordered[-keep_last:])
+            if older_than_ms is not None:
+                keep.update(s.snapshot_id for s in ordered if s.timestamp_ms >= older_than_ms)
+            kept = [s for s in md.snapshots if s.snapshot_id in keep]
+            removed = [s for s in md.snapshots if s.snapshot_id not in keep]
+            still_referenced = {
+                f.path for s in kept for f in s.files
+            } | {d.path for s in kept for d in s.delete_files}
+            md.snapshots = kept
+            try:
+                self._commit(md)
+            except M.CommitConflictError as e:
+                last_err = e
+                continue
+            # commit durable: the removed snapshots are unreachable from
+            # every future read/rollback, so their exclusive files are
+            # safe to unlink (paths are uuid-unique per write batch —
+            # never reclaimed, so no path-identity race is possible)
+            for s in removed:
+                for f in list(s.files) + list(s.delete_files):
+                    if f.path not in still_referenced and os.path.exists(self._abs(f.path)):
+                        try:
+                            os.remove(self._abs(f.path))
+                        except FileNotFoundError:
+                            continue  # a racing expiry got it: same outcome
+                        deleted.append(f.path)
+            return deleted
+        raise M.CommitConflictError(
+            f"expire_snapshots at {self.location}: rebase exhausted retries"
+        ) from last_err
+
+    def remove_orphan_files(self, grace_s: float = 3600.0) -> list[str]:
         """D14 CALL remove_orphan_files — README.md:1028: files on disk not
         referenced by any snapshot manifest, plus stale ``.tmp-*.json``
         metadata temp files stranded by a writer that crashed between the
-        temp write and the ``os.link`` CAS (commit_metadata step 2). The
-        grace window keeps an in-flight concurrent commit's temp file safe."""
+        temp write and the ``os.link`` CAS (commit_metadata step 2).
+
+        The grace window applies to DATA files too, not just metadata
+        temps (r13 unlink-TOCTOU audit): an in-flight append/compaction
+        writes its parquet files BEFORE its metadata commit references
+        them — a zero-grace sweep would delete a live writer's staged
+        batch and its subsequent commit would reference missing files.
+        Iceberg's own remove_orphan_files carries the same older_than
+        guard (default 3 days) for exactly this reason. The window only
+        needs to exceed the write-to-commit gap (seconds), so 1 h is
+        conservative."""
         import time
 
         md = self.meta
@@ -1793,22 +1828,30 @@ class LakeTable:
             f.path for s in md.snapshots for f in s.files
         } | {d.path for s in md.snapshots for d in s.delete_files}
         removed = []
+        now = time.time()
         data_dir = self._abs("data")
         for root, _dirs, names in os.walk(data_dir):
             for n in names:
                 fpath = os.path.join(root, n)
                 rel = os.path.relpath(fpath, self.location)
                 if n.endswith(".parquet") and rel not in referenced:
-                    os.remove(fpath)
+                    try:
+                        if now - os.path.getmtime(fpath) <= grace_s:
+                            continue  # possibly a live writer's staged file
+                        os.remove(fpath)
+                    except OSError:
+                        continue  # vanished mid-walk (racing sweep): same outcome
                     removed.append(rel)
         mdir = M.metadata_dir(self.location)
-        now = time.time()
         for n in os.listdir(mdir):
             if n.startswith(".tmp-") and n.endswith(".json"):
                 fpath = os.path.join(mdir, n)
-                if now - os.path.getmtime(fpath) > tmp_grace_s:
-                    os.remove(fpath)
-                    removed.append(os.path.relpath(fpath, self.location))
+                try:
+                    if now - os.path.getmtime(fpath) > grace_s:
+                        os.remove(fpath)
+                        removed.append(os.path.relpath(fpath, self.location))
+                except OSError:
+                    continue
         return removed
 
     # -- D15 properties ----------------------------------------------------------------
