@@ -671,6 +671,88 @@ def test_branch_fast_forward_refuses_divergence(cat, spark):
         t.fast_forward("stage")
 
 
+def test_merge_branch_replays_append_delta_onto_moved_main(cat, spark):
+    """merge_branch publishes a DIVERGED branch (the case fast_forward
+    refuses): the branch's append-only delta lands on current main as one
+    'merge' snapshot; nothing from either line is lost; branch snapshots
+    and time travel across the merge stay intact."""
+    t = cat.create_table("db.bm", "k bigint, tag string")
+
+    def batch(tag, n=2):
+        return spark.createDataFrame(
+            [(i, f"{tag}-{i}") for i in range(n)], "k bigint, tag string"
+        )
+
+    t.append(batch("seed"))
+    t.create_branch("ingest")
+    t.append_to_branch("ingest", batch("br1"))
+    t.append_to_branch("ingest", batch("br2"))
+    t.append(batch("main1"))  # diverged
+    with pytest.raises(ValueError, match="diverged"):
+        t.fast_forward("ingest")
+    pre_merge = t.meta.current_snapshot_id
+    t.merge_branch("ingest")
+    tags = sorted(r["tag"] for r in t.read().collect())
+    assert tags == sorted(
+        f"{p}-{i}" for p in ("seed", "br1", "br2", "main1") for i in range(2)
+    )
+    md = t.meta
+    snap = md.snapshot()
+    assert snap.operation == "merge"
+    assert snap.summary["merged-branch"] == "ingest"
+    assert snap.summary["merged-snapshots"] == 2
+    assert snap.parent_id == pre_merge  # merged ONTO main, not onto branch
+    # pre-merge main state is still time-travelable
+    assert t.read(snapshot_id=pre_merge).count() == 4
+    # branch ref untouched; a second merge of the same branch is the
+    # caller's bug, not silent duplication — the delta is already an
+    # ancestor set of main... it would re-add the same FILES, so callers
+    # drop the branch after publishing; assert drop works
+    t.drop_branch("ingest")
+
+
+def test_merge_branch_fast_forwards_when_main_never_moved(cat, spark):
+    t = cat.create_table("db.bmff", "k bigint, tag string")
+    t.append(spark.createDataFrame([(1, "a")], "k bigint, tag string"))
+    t.create_branch("stage")
+    t.append_to_branch(
+        "stage", spark.createDataFrame([(2, "b")], "k bigint, tag string")
+    )
+    t.merge_branch("stage")
+    assert sorted(r["tag"] for r in t.read().collect()) == ["a", "b"]
+    # degenerated to fast_forward: main points AT the branch head
+    md = t.meta
+    assert md.current_snapshot_id == md.refs["stage"]
+
+
+def test_merge_branch_refuses_non_append_delta(cat, spark):
+    """A branch delta containing a delete/replace was computed against
+    the branch's view of rows main may have changed — replaying it could
+    drop or resurrect main-side rows. merge_branch must refuse with
+    MergeConflictError and main must be untouched."""
+    from tutorial_iceberg_spark.lakehouse.table import MergeConflictError
+
+    t = cat.create_table("db.bmconf", "k bigint, tag string")
+    t.append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, tag string")
+    )
+    t.create_branch("stage")
+    t.append_to_branch(
+        "stage", spark.createDataFrame([(3, "c")], "k bigint, tag string")
+    )
+    # a CoW delete ON THE BRANCH puts a 'delete' snapshot in the delta
+    md = t.meta
+    head = md.snapshot(md.refs["stage"])
+    kept = t._read_snapshot(md, head, head.files).filter("k <> 1")
+    files = t._write_files(t._align(kept, md.schema()), md)
+    t._new_snapshot(md, "delete", files, [], {"where": "k = 1"}, ref="stage")
+    t.append(spark.createDataFrame([(4, "d")], "k bigint, tag string"))
+    before = sorted(r["tag"] for r in t.read().collect())
+    with pytest.raises(MergeConflictError, match="non-append"):
+        t.merge_branch("stage")
+    assert sorted(r["tag"] for r in t.read().collect()) == before
+
+
 def test_branch_create_validation(cat, spark):
     t = cat.create_table("db.wapval", ORDERS_DDL)
     with pytest.raises(ValueError, match="existing snapshot"):

@@ -85,6 +85,12 @@ def _json_safe(v: Any):
     return str(v)
 
 
+class MergeConflictError(Exception):
+    """A diverged branch's delta cannot be replayed onto current main
+    without risking row-level damage (non-append ops in the delta) —
+    resolve at the row level (e.g. MERGE INTO from read_branch)."""
+
+
 class LakeTable:
     def __init__(self, spark: SparkSession, location: str):
         self.spark = spark
@@ -442,6 +448,81 @@ class LakeTable:
             )
         md.current_snapshot_id = head
         self._commit(md)
+
+    def merge_branch(self, name: str) -> None:
+        """Publish a branch that DIVERGED from a main that moved on — the
+        one branching semantic fast_forward refuses (r12 verdict Next #8).
+        Semantics follow git's rebase-merge restricted to what snapshot
+        algebra can honestly replay: the branch's post-fork delta is
+        re-applied onto current main as ONE new snapshot.
+
+        Conflict detection: every branch snapshot past the fork point
+        must be a pure APPEND. Appends commute with anything main did
+        (their files are new by construction — uuid paths — and carry
+        their own schema/spec ids, so read-time projection handles a
+        main-side schema evolution), so the merge is exactly the commit
+        a rebase-retried multi-file append would have produced. Any
+        non-append branch op (delete/update/replace) was computed
+        against the branch's view of rows main may have since changed —
+        replaying it could silently drop or resurrect main-side rows, so
+        the merge refuses with MergeConflictError and the caller
+        resolves at the row level (e.g. MERGE INTO from read_branch).
+
+        If main never moved, this degrades to fast_forward. The branch
+        ref is left in place (drop_branch publishes the cleanup)."""
+        md = self.meta
+        if name not in md.refs:
+            raise ValueError(f"no branch {name}")
+        head = md.refs[name]
+        if self._is_ancestor(md, md.current_snapshot_id, head):
+            return self.fast_forward(name)
+        # walk the branch back to the fork point (first snapshot that is
+        # an ancestor of main), collecting the branch-side delta
+        delta: list[M.Snapshot] = []
+        cur: int | None = head
+        while cur is not None and not self._is_ancestor(
+            md, cur, md.current_snapshot_id
+        ):
+            snap = md.snapshot(cur)
+            if snap is None:
+                raise ValueError(
+                    f"branch {name} history crosses an expired snapshot — "
+                    "unmergeable"
+                )
+            delta.append(snap)
+            cur = snap.parent_id
+        non_append = [s for s in delta if s.operation != "append"]
+        if non_append:
+            raise MergeConflictError(
+                f"branch {name} diverged with non-append operations "
+                f"({sorted({s.operation for s in non_append})}) — replaying "
+                "them onto a moved main could drop or resurrect rows; "
+                "resolve row-level (e.g. MERGE INTO from read_branch)"
+            )
+        # files each branch append introduced (relative to ITS parent):
+        # new by construction (uuid paths), so the union is duplicate-free
+        added: list[M.DataFile] = []
+        for s in delta:
+            parent = md.snapshot(s.parent_id) if s.parent_id else None
+            parent_paths = {f.path for f in (parent.files if parent else [])}
+            added.extend(f for f in s.files if f.path not in parent_paths)
+        last_err: Exception | None = None
+        for _ in range(self.APPEND_RETRIES):
+            cur_snap = md.snapshot()
+            base = list(cur_snap.files) if cur_snap else []
+            dels = list(cur_snap.delete_files) if cur_snap else []
+            for f in added:
+                f.manifest_id = 0  # restamp under the rebased counter
+            try:
+                self._new_snapshot(
+                    md, "merge", base + added, dels,
+                    {"merged-branch": name, "merged-snapshots": len(delta)},
+                )
+                return
+            except M.CommitConflictError as e:
+                last_err = e
+                md = self.meta  # rebase on the winner's metadata
+        raise last_err  # type: ignore[misc]
 
     # -- read path ---------------------------------------------------------
     def _empty_df(self, schema: M.Schema) -> DataFrame:
