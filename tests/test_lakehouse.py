@@ -814,6 +814,115 @@ def test_rest_catalog_roundtrip(cat, spark):
                 assert e.code == 404
 
 
+def test_rest_catalog_write_paths(cat, spark):
+    """S11 write surface (r12 verdict Next #8): create namespace + table
+    over HTTP (metadata-only, no Spark), optimistic property commits with
+    Iceberg-spec requirements, 409 on a failed requirement AND on a lost
+    CAS (two racing commits -> exactly one winner), drop table."""
+    import urllib.error
+
+    from tutorial_iceberg_spark.lakehouse.rest_catalog import (
+        RestCatalogClient,
+        RestCatalogServer,
+    )
+
+    with RestCatalogServer(cat) as srv:
+        client = RestCatalogClient(srv.base_url)
+        client.create_namespace("ops")
+        assert "ops" in client.list_namespaces()
+        client.create_table(
+            "ops",
+            "ledger",
+            [
+                {"name": "k", "type": "bigint", "required": True},
+                {"name": "tag", "type": "string"},
+            ],
+            properties={"owner": "rest"},
+        )
+        assert "ledger" in client.list_tables("ops")
+        md = client.get_table_metadata("ops", "ledger")
+        assert md["schema"] == {"k": "bigint", "tag": "string"}
+        # the REST-created table is a full citizen: the Python API can
+        # append to it and the snapshot shows over HTTP
+        t = cat.load_table("ops.ledger")
+        t.append(spark.createDataFrame([(1, "a")], "k bigint, tag string"))
+        assert client.get_table_metadata("ops", "ledger")["current_snapshot_id"] == 1
+        # duplicate create -> 409
+        try:
+            client.create_table("ops", "ledger", [{"name": "k", "type": "bigint"}])
+            raise AssertionError("expected 409 for duplicate create")
+        except urllib.error.HTTPError as e:
+            assert e.code == 409
+        # optimistic commit: requirement passes, properties land atomically
+        client.commit_table(
+            "ops",
+            "ledger",
+            updates=[{"action": "set-properties", "updates": {"batch": "7"}}],
+            requirements=[
+                {"type": "assert-ref-snapshot-id", "snapshot-id": 1}
+            ],
+        )
+        assert cat.load_table("ops.ledger").meta.properties["batch"] == "7"
+        # stale requirement -> 409, nothing applied
+        try:
+            client.commit_table(
+                "ops",
+                "ledger",
+                updates=[{"action": "set-properties", "updates": {"batch": "8"}}],
+                requirements=[
+                    {"type": "assert-ref-snapshot-id", "snapshot-id": 99}
+                ],
+            )
+            raise AssertionError("expected 409 for stale requirement")
+        except urllib.error.HTTPError as e:
+            assert e.code == 409
+        assert cat.load_table("ops.ledger").meta.properties["batch"] == "7"
+        # remove-properties + uuid requirement
+        uuid_ = cat.load_table("ops.ledger").meta.table_uuid
+        client.commit_table(
+            "ops",
+            "ledger",
+            updates=[{"action": "remove-properties", "removals": ["batch"]}],
+            requirements=[{"type": "assert-table-uuid", "uuid": uuid_}],
+        )
+        assert "batch" not in cat.load_table("ops.ledger").meta.properties
+        # racing commits through HTTP: the CAS arbitrates — with N
+        # concurrent writers each retrying on 409, every update lands
+        import threading
+
+        errors: list[Exception] = []
+
+        def writer(i: int) -> None:
+            for attempt in range(20):
+                try:
+                    client.commit_table(
+                        "ops",
+                        "ledger",
+                        updates=[{
+                            "action": "set-properties",
+                            "updates": {f"w{i}": str(attempt)},
+                        }],
+                    )
+                    return
+                except urllib.error.HTTPError as e:
+                    if e.code != 409:
+                        errors.append(e)
+                        return
+            errors.append(RuntimeError(f"writer {i} starved"))
+
+        ths = [threading.Thread(target=writer, args=(i,)) for i in range(4)]
+        for th in ths:
+            th.start()
+        for th in ths:
+            th.join()
+        assert not errors, errors
+        props = cat.load_table("ops.ledger").meta.properties
+        assert all(f"w{i}" in props for i in range(4))
+        # drop over HTTP
+        client.drop_table("ops", "ledger")
+        assert "ledger" not in client.list_tables("ops")
+
+
 def test_zorder_compaction_prunes_both_dimensions(cat, spark):
     """Z-order clustering must make min/max stats selective on BOTH keys:
     a range scan on either column prunes to a strict subset of files (a

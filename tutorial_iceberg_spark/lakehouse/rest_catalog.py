@@ -13,11 +13,30 @@ using only the stdlib, plus the matching client:
 - ``GET /v1/namespaces/{ns}/tables``                 -> {"identifiers": [...]}
 - ``GET /v1/namespaces/{ns}/tables/{table}``         -> metadata document
 
+WRITE paths (r12 verdict Next #8 — upgrades S11 from read-only parity to
+the commit surface a real REST catalog's writers use; request/response
+shapes follow the Iceberg REST spec's corresponding operations):
+
+- ``POST /v1/namespaces``                            -> create namespace
+- ``POST /v1/namespaces/{ns}/tables``                -> create table from
+  an Iceberg-style schema document ({"fields": [{name, type, ...}]}) —
+  metadata-only, no Spark session involved, like a real catalog service
+- ``POST /v1/namespaces/{ns}/tables/{table}``        -> commit table
+  updates: {"requirements": [...], "updates": [...]}. Supported
+  requirements: assert-table-uuid, assert-ref-snapshot-id (main).
+  Supported updates: set-properties, remove-properties. A failed
+  requirement or a CAS loss returns **409** (the Iceberg spec's
+  CommitFailedException mapping) and commits NOTHING — the client
+  re-reads and retries, exactly the optimistic protocol every Iceberg
+  writer speaks.
+- ``DELETE /v1/namespaces/{ns}/tables/{table}``      -> drop table
+
 Scale stance: the catalog answers from table METADATA only — no data file
 is ever opened, so every response is O(manifest) like a real Iceberg
 catalog; the server is a thin stateless view over the atomic metadata
 commit protocol (metadata.commit_metadata), so concurrent writers never
-torn-read through it.
+torn-read through it and the HTTP commit path inherits the same CAS —
+two racing POST commits produce exactly one winner and one 409.
 """
 
 from __future__ import annotations
@@ -99,6 +118,118 @@ class _Handler(BaseHTTPRequestHandler):
         except Exception as e:  # pragma: no cover - defensive 500
             self._send(500, {"error": str(e)})
 
+    # -- write paths -----------------------------------------------------
+    def _body(self) -> dict:
+        n = int(self.headers.get("Content-Length", 0))
+        return json.loads(self.rfile.read(n) or b"{}")
+
+    def do_POST(self) -> None:  # noqa: N802 (http.server contract)
+        import os
+
+        from tutorial_iceberg_spark.lakehouse import metadata as M
+
+        cat = self.catalog
+        parts = [p for p in self.path.split("?")[0].split("/") if p]
+        try:
+            body = self._body()
+            if parts == ["v1", "namespaces"]:
+                ns = body.get("namespace", [])
+                if not ns or not all(isinstance(p, str) and p for p in ns):
+                    self._send(400, {"error": "namespace must be a non-empty list"})
+                    return
+                os.makedirs(os.path.join(cat.warehouse, *ns), exist_ok=True)
+                self._send(200, {"namespace": ns, "properties": {}})
+            elif len(parts) == 4 and parts[:2] == ["v1", "namespaces"] and parts[3] == "tables":
+                ns = parts[2]
+                if ns not in _namespaces(cat):
+                    self._send(404, {"error": f"namespace {ns} not found"})
+                    return
+                name = body.get("name")
+                fields = (body.get("schema") or {}).get("fields") or []
+                if not name or not fields:
+                    self._send(400, {"error": "name and schema.fields required"})
+                    return
+                loc = os.path.join(cat.warehouse, ns, name)
+                if os.path.exists(os.path.join(loc, "metadata")):
+                    self._send(409, {"error": f"table {ns}.{name} already exists"})
+                    return
+                # metadata-only create (no Spark session): field ids are
+                # assigned in declaration order, Iceberg-style
+                mfields = [
+                    M.Field(
+                        id=i,
+                        name=f["name"],
+                        type=f["type"],
+                        nullable=not f.get("required", False),
+                    )
+                    for i, f in enumerate(fields, start=1)
+                ]
+                md = M.new_table_metadata(
+                    f"{ns}.{name}", loc, mfields, body.get("properties")
+                )
+                M.commit_metadata(loc, md)
+                self._send(200, cat.table_metadata(f"{ns}.{name}"))
+            elif len(parts) == 5 and parts[:2] == ["v1", "namespaces"] and parts[3] == "tables":
+                ns, tbl = parts[2], parts[4]
+                if tbl not in _tables(cat, ns):
+                    self._send(404, {"error": f"table {ns}.{tbl} not found"})
+                    return
+                loc = os.path.join(cat.warehouse, ns, tbl)
+                md = M.read_metadata(loc)
+                for req in body.get("requirements", []):
+                    rt = req.get("type")
+                    if rt == "assert-table-uuid":
+                        ok = req.get("uuid") == md.table_uuid
+                    elif rt == "assert-ref-snapshot-id":
+                        ok = req.get("snapshot-id") == md.current_snapshot_id
+                    else:
+                        self._send(400, {"error": f"unsupported requirement {rt}"})
+                        return
+                    if not ok:
+                        self._send(409, {"error": f"requirement failed: {rt}"})
+                        return
+                for upd in body.get("updates", []):
+                    action = upd.get("action")
+                    if action == "set-properties":
+                        md.properties.update(upd.get("updates", {}))
+                    elif action == "remove-properties":
+                        for k in upd.get("removals", []):
+                            md.properties.pop(k, None)
+                    else:
+                        self._send(400, {"error": f"unsupported update {action}"})
+                        return
+                try:
+                    M.commit_metadata(loc, md)
+                except M.CommitConflictError as e:
+                    # Iceberg REST: CommitFailedException -> 409; nothing
+                    # was applied, the client re-reads and retries
+                    self._send(409, {"error": str(e)})
+                    return
+                self._send(200, cat.table_metadata(f"{ns}.{tbl}"))
+            else:
+                self._send(404, {"error": f"no route {self.path}"})
+        except (ValueError, KeyError) as e:
+            self._send(400, {"error": str(e)})
+        except Exception as e:  # pragma: no cover - defensive 500
+            self._send(500, {"error": str(e)})
+
+    def do_DELETE(self) -> None:  # noqa: N802 (http.server contract)
+        cat = self.catalog
+        parts = [p for p in self.path.split("?")[0].split("/") if p]
+        try:
+            if len(parts) == 5 and parts[:2] == ["v1", "namespaces"] and parts[3] == "tables":
+                ns, tbl = parts[2], parts[4]
+                if tbl not in _tables(cat, ns):
+                    self._send(404, {"error": f"table {ns}.{tbl} not found"})
+                    return
+                cat.drop_table(f"{ns}.{tbl}")
+                self.send_response(204)  # spec: no content on drop
+                self.end_headers()
+            else:
+                self._send(404, {"error": f"no route {self.path}"})
+        except Exception as e:  # pragma: no cover - defensive 500
+            self._send(500, {"error": str(e)})
+
 
 class RestCatalogServer:
     """Serve a LakeCatalog over the Iceberg REST endpoints on an ephemeral
@@ -140,6 +271,18 @@ class RestCatalogClient:
         with urllib.request.urlopen(f"{self.base_url}{path}") as resp:
             return json.loads(resp.read())
 
+    def _send(self, method: str, path: str, body: dict | None = None) -> dict:
+        data = json.dumps(body or {}).encode()
+        req = urllib.request.Request(
+            f"{self.base_url}{path}",
+            data=data,
+            method=method,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as resp:
+            raw = resp.read()
+            return json.loads(raw) if raw else {}
+
     def config(self) -> dict:
         return self._get("/v1/config")
 
@@ -152,3 +295,49 @@ class RestCatalogClient:
 
     def get_table_metadata(self, namespace: str, table: str) -> dict:
         return self._get(f"/v1/namespaces/{namespace}/tables/{table}")
+
+    # -- write paths (Iceberg REST spec shapes) ---------------------------
+    def create_namespace(self, *namespace: str) -> dict:
+        return self._send(
+            "POST", "/v1/namespaces", {"namespace": list(namespace)}
+        )
+
+    def create_table(
+        self,
+        namespace: str,
+        name: str,
+        fields: list[dict],
+        properties: dict | None = None,
+    ) -> dict:
+        """``fields``: Iceberg-style [{"name", "type", "required"?}, ...]
+        (types are Spark DDL strings in this emulation)."""
+        return self._send(
+            "POST",
+            f"/v1/namespaces/{namespace}/tables",
+            {
+                "name": name,
+                "schema": {"fields": fields},
+                "properties": properties or {},
+            },
+        )
+
+    def commit_table(
+        self,
+        namespace: str,
+        table: str,
+        updates: list[dict],
+        requirements: list[dict] | None = None,
+    ) -> dict:
+        """Optimistic commit: raises urllib.error.HTTPError(409) when a
+        requirement fails or the CAS loses — re-read metadata and retry,
+        the protocol every Iceberg REST writer speaks."""
+        return self._send(
+            "POST",
+            f"/v1/namespaces/{namespace}/tables/{table}",
+            {"requirements": requirements or [], "updates": updates},
+        )
+
+    def drop_table(self, namespace: str, table: str) -> dict:
+        return self._send(
+            "DELETE", f"/v1/namespaces/{namespace}/tables/{table}"
+        )
