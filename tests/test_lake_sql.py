@@ -331,3 +331,35 @@ def test_alter_column_type_promotion(lsql):
     assert got.first()["price"] == 1.5
     with pytest.raises(ValueError, match="promot"):
         lsql.sql("ALTER TABLE demo.db.p ALTER COLUMN id TYPE INT")
+
+
+def test_call_branch_lifecycle_through_router(lsql, spark):
+    """Branch procedures at the SQL surface: CALL create_branch /
+    fast_forward (Iceberg's 3-arg form accepted) / merge_branch /
+    drop_branch, interleaved with INSERTs that diverge main."""
+    lsql.sql("CREATE TABLE demo.db.br (k BIGINT, tag STRING) USING iceberg")
+    lsql.sql("INSERT INTO demo.db.br VALUES (1, 'seed')")
+    lsql.sql("CALL demo.system.create_branch('db.br', 'ingest')")
+    t = lsql.catalog.load_table("db.br")
+    t.append_to_branch(
+        "ingest", spark.createDataFrame([(2, "staged")], "k bigint, tag string")
+    )
+    # no divergence yet: Iceberg's 3-arg fast_forward publishes the branch
+    lsql.sql("CALL demo.system.fast_forward('db.br', 'main', 'ingest')")
+    assert lsql.sql("SELECT COUNT(*) AS n FROM demo.db.br").first()["n"] == 2
+    # diverge: stage on the branch while main takes an INSERT
+    t.append_to_branch(
+        "ingest", spark.createDataFrame([(3, "staged2")], "k bigint, tag string")
+    )
+    lsql.sql("INSERT INTO demo.db.br VALUES (4, 'mainline')")
+    import pytest
+
+    with pytest.raises(ValueError, match="diverged"):
+        lsql.sql("CALL demo.system.fast_forward('db.br', 'main', 'ingest')")
+    lsql.sql("CALL demo.system.merge_branch('db.br', 'ingest')")
+    rows = lsql.sql("SELECT tag FROM demo.db.br").collect()
+    assert sorted(r["tag"] for r in rows) == [
+        "mainline", "seed", "staged", "staged2",
+    ]
+    lsql.sql("CALL demo.system.drop_branch('db.br', 'ingest')")
+    assert t.branches() == {}

@@ -97,7 +97,8 @@ _SET_PROPS = re.compile(
 )
 _CALL = re.compile(
     r"^\s*CALL\s+(?:[\w.]+\.)?(?P<proc>rollback_to_snapshot|rewrite_data_files"
-    r"|expire_snapshots|remove_orphan_files)\s*\((?P<args>.*?)\)\s*$",
+    r"|expire_snapshots|remove_orphan_files|fast_forward|merge_branch"
+    r"|create_branch|drop_branch)\s*\((?P<args>.*?)\)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _VERSION_AS_OF = re.compile(
@@ -389,4 +390,20 @@ class LakeSQL:
             t.expire_snapshots(keep_last=int(args[1]) if len(args) > 1 else 1)
         elif proc == "remove_orphan_files":
             t.remove_orphan_files()
+        # branch lifecycle (Iceberg's fast_forward procedure + the
+        # engine's diverged-branch merge extension, table.py):
+        # CALL create_branch('db.t', 'audit'); CALL fast_forward('db.t',
+        # 'audit'); CALL merge_branch('db.t', 'ingest'); CALL
+        # drop_branch('db.t', 'audit')
+        elif proc == "create_branch":
+            t.create_branch(args[1])
+        elif proc == "fast_forward":
+            # accept Iceberg's 3-arg form ('t', 'main', 'branch') and the
+            # engine's 2-arg form ('t', 'branch') — main is the only
+            # publish target either way
+            t.fast_forward(args[-1])
+        elif proc == "merge_branch":
+            t.merge_branch(args[-1])
+        elif proc == "drop_branch":
+            t.drop_branch(args[1])
         return None
