@@ -301,3 +301,95 @@ def test_aborted_decision_records_are_swept_once_unreferenced(cat, spark):
     assert M.txn_decision(t3.decision_path) == "aborted"
     # committed table state was never touched
     assert a.read().count() == 1 and b.read().count() == 1
+
+
+def test_txn_crash_matrix_every_phase_recovers(cat, spark):
+    """Drive a crash at EVERY phase boundary of the burned-slot 2PC and
+    assert the operator sweep restores a fully consistent, writable
+    warehouse — the recovery contract the no-unlink redesign must keep:
+
+    (a) crash after STAGE (data written, no claims): nothing visible,
+        tables untouched and writable;
+    (b) crash after PREPARE (claims, no decision): invisible; a sweep
+        past grace aborts it; tables writable past the burned slots;
+    (c) crash after DECIDE=committed, before FINALIZE: both tables read
+        the new state immediately (visibility follows the record); the
+        sweep strips the markers a dead owner left;
+    (d) crash MID-FINALIZE (one marker stripped, one not): both visible
+        throughout; the sweep finishes the strip; the record becomes
+        unreferenced and is GC'd once past the floor.
+    """
+    import json as _json
+
+    a, b = _mk(cat, spark)
+    df_a = spark.createDataFrame([(2, "y")], "k bigint, v string")
+    df_b = spark.createDataFrame([(2, 20)], "k bigint, n bigint")
+
+    # (a) stage-only crash
+    t = cat.transaction()
+    t.append("db.txa", df_a)
+    del t  # process died: no claims, no decision
+    assert a.read().count() == 1
+    a.append(spark.createDataFrame([(10, "post-a")], "k bigint, v string"))
+
+    # (b) prepared-undecided crash
+    t = cat.transaction()
+    t.append("db.txa", df_a)
+    t.append("db.txb", df_b)
+    c_b = t._prepare_once()
+    dp_b = t.decision_path
+    del t
+    for loc, v in c_b:
+        p = os.path.join(M.metadata_dir(loc), f"v{v}.metadata.json")
+        os.utime(p, (1, 1))  # past grace
+    assert a.read().count() == 2 and b.read().count() == 1  # still old
+    resolved = LakeTransaction.resolve_expired(cat.warehouse, grace_sec=60)
+    assert os.path.basename(dp_b) in resolved
+    assert a.read().count() == 2 and b.read().count() == 1
+    b.append(spark.createDataFrame([(11, 110)], "k bigint, n bigint"))
+
+    # (c) committed-before-finalize crash
+    t = cat.transaction()
+    t.append("db.txa", df_a)
+    t.append("db.txb", df_b)
+    c_c = t._prepare_once()
+    assert M.record_txn_decision(t.decision_path, "committed") == "committed"
+    dp_c = t.decision_path
+    del t  # died before _finalize
+    n_a, n_b = a.read().count(), b.read().count()
+    assert (n_a, n_b) == (3, 3)  # visible via the record alone
+    LakeTransaction.resolve_expired(cat.warehouse, grace_sec=0)
+    # markers stripped by the sweep's crashed-committer finalize
+    for loc, v in c_c:
+        with open(os.path.join(M.metadata_dir(loc), f"v{v}.metadata.json")) as f:
+            assert _json.load(f)["pending_txn"] is None
+    assert a.read().count() == 3 and b.read().count() == 3
+    # record now unreferenced: GC'd once past the floor
+    os.utime(dp_c, (1, 1))
+    LakeTransaction.resolve_expired(cat.warehouse, grace_sec=60)
+    assert not os.path.exists(dp_c)
+
+    # (d) mid-finalize crash: strip table A's marker by hand, leave B's
+    t = cat.transaction()
+    t.append("db.txa", df_a)
+    t.append("db.txb", df_b)
+    c_d = t._prepare_once()
+    assert M.record_txn_decision(t.decision_path, "committed") == "committed"
+    loc0, v0 = c_d[0]
+    p0 = os.path.join(M.metadata_dir(loc0), f"v{v0}.metadata.json")
+    with open(p0) as f:
+        raw = _json.load(f)
+    raw["pending_txn"] = None
+    with open(p0 + ".tmp", "w") as f:
+        _json.dump(raw, f)
+    os.replace(p0 + ".tmp", p0)
+    del t  # died with one marker left
+    assert a.read().count() == 4 and b.read().count() == 4  # both visible
+    LakeTransaction.resolve_expired(cat.warehouse, grace_sec=0)
+    for loc, v in c_d:
+        with open(os.path.join(M.metadata_dir(loc), f"v{v}.metadata.json")) as f:
+            assert _json.load(f)["pending_txn"] is None
+    # warehouse fully writable at the end of the gauntlet
+    a.append(spark.createDataFrame([(99, "fin")], "k bigint, v string"))
+    b.append(spark.createDataFrame([(99, 990)], "k bigint, n bigint"))
+    assert a.read().count() == 5 and b.read().count() == 5
