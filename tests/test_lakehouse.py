@@ -701,6 +701,11 @@ def test_merge_branch_replays_append_delta_onto_moved_main(cat, spark):
     assert snap.operation == "merge"
     assert snap.summary["merged-branch"] == "ingest"
     assert snap.summary["merged-snapshots"] == 2
+    # metadata-only publish: every merged file is carried BY REFERENCE
+    # from the branch snapshots — zero data files written or rewritten,
+    # so the op is O(delta manifest) at any table size
+    pre = {f.path for s_ in md.snapshots if s_.snapshot_id != snap.snapshot_id for f in s_.files}
+    assert {f.path for f in snap.files} <= pre
     assert snap.parent_id == pre_merge  # merged ONTO main, not onto branch
     # pre-merge main state is still time-travelable
     assert t.read(snapshot_id=pre_merge).count() == 4
