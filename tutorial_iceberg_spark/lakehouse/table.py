@@ -1925,7 +1925,10 @@ class LakeTable:
                     removed.append(rel)
         mdir = M.metadata_dir(self.location)
         for n in os.listdir(mdir):
-            if n.startswith(".tmp-") and n.endswith(".json"):
+            # .tmp- = commit_metadata's link source; .fin-/.settle- =
+            # finalize/settle rewrite temps (os.replace sources) — all
+            # strandable by a crash between write and link/replace
+            if n.startswith((".tmp-", ".fin-", ".settle-")) and n.endswith(".json"):
                 fpath = os.path.join(mdir, n)
                 try:
                     if now - os.path.getmtime(fpath) > grace_s:
