@@ -205,22 +205,31 @@ def test_identifier_rewrite_respects_boundaries_and_literals(lsql, spark):
     """Regression: the read-rewrite must not touch (a) a LONGER identifier
     that merely ends with a known table name, or (b) a table name quoted
     inside a string literal — both previously corrupted delegated SELECTs."""
+    import uuid
+
     lsql.sql("CREATE TABLE db.orders (k BIGINT, v STRING) USING iceberg")
     lsql.sql("INSERT INTO db.orders VALUES (1, 'x')")
-    # (a) mydb.orders is a DIFFERENT (Spark temp view) table, not db.orders
+    # (a) <x>db.orders is a DIFFERENT (Spark-catalog) table whose name
+    # merely ENDS with the known identifier. The database name is unique
+    # per run but still ends in "db" to preserve the substring hazard —
+    # a fixed name collides in Spark's shared warehouse dir when two
+    # suite instances run concurrently (the r13 loaded-run protocol).
+    hazard_db = f"my{uuid.uuid4().hex[:8]}db"
     spark.sql("SELECT * FROM (VALUES (10, 'other'), (20, 'other2')) "
               "AS v(k, v)").createOrReplaceTempView("mydb_orders")
-    spark.sql("CREATE DATABASE IF NOT EXISTS mydb")
-    spark.sql("SELECT 10 AS k, 'other' AS v").write.mode("overwrite") \
-        .saveAsTable("mydb.orders")
-    got = lsql.sql("SELECT k FROM mydb.orders").collect()
-    assert [r["k"] for r in got] == [10]
-    # (b) the literal 'db.orders' must survive the rewrite verbatim
-    r = lsql.sql("SELECT 'db.orders' AS name, COUNT(*) AS n FROM db.orders "
-                 "GROUP BY 1").first()
-    assert r["name"] == "db.orders" and r["n"] == 1
-    spark.sql("DROP TABLE mydb.orders")
-    spark.sql("DROP DATABASE mydb")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {hazard_db}")
+    try:
+        spark.sql("SELECT 10 AS k, 'other' AS v").write.mode("overwrite") \
+            .saveAsTable(f"{hazard_db}.orders")
+        got = lsql.sql(f"SELECT k FROM {hazard_db}.orders").collect()
+        assert [r["k"] for r in got] == [10]
+        # (b) the literal 'db.orders' must survive the rewrite verbatim
+        r = lsql.sql("SELECT 'db.orders' AS name, COUNT(*) AS n FROM db.orders "
+                     "GROUP BY 1").first()
+        assert r["name"] == "db.orders" and r["n"] == 1
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {hazard_db}.orders")
+        spark.sql(f"DROP DATABASE IF EXISTS {hazard_db}")
 
 
 def test_orphan_sweep_includes_stale_metadata_tmp(lsql):
