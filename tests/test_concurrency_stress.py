@@ -568,3 +568,51 @@ def test_lakesql_call_rewrite_racing_insert(cat, spark):
     rows = lsql.sql("SELECT tag FROM demo.db.ops").collect()
     expected = sorted([f"s{i}-{j}" for i in range(2) for j in range(3)] + ["seed"])
     assert sorted(r["tag"] for r in rows) == expected
+
+
+def test_expire_snapshots_racing_appends_never_loses_rows(cat, spark):
+    """Maintenance expiry looping against live appenders (the r13
+    commit-before-delete fix under real threads): every appended row
+    must survive — a lost CAS must rebase the keep-set onto the winner's
+    state instead of deleting files a kept snapshot references."""
+    t = cat.create_table("db.expstress", "k bigint, tag string")
+    t.append(spark.createDataFrame([(0, "seed")], "k bigint, tag string"))
+    n_appenders, per_thread = 3, 3
+    errors: list[Exception] = []
+
+    def appender(i: int) -> None:
+        h = cat.load_table("db.expstress")
+        for j in range(per_thread):
+            try:
+                h.append(
+                    spark.createDataFrame(
+                        [(i * 100 + j, f"e{i}-{j}")], "k bigint, tag string"
+                    )
+                )
+            except Exception as e:  # pragma: no cover - failure detail
+                errors.append(e)
+
+    def expirer() -> None:
+        h = cat.load_table("db.expstress")
+        for _ in range(5):
+            try:
+                h.expire_snapshots(keep_last=1)
+            except M.CommitConflictError:
+                pass  # exhausted against the append storm: fine, rerun
+
+    ths = [
+        threading.Thread(target=appender, args=(i,)) for i in range(n_appenders)
+    ] + [threading.Thread(target=expirer)]
+    for th in ths:
+        th.start()
+    for th in ths:
+        th.join()
+    assert not errors, f"appends failed under expiry: {errors!r}"
+    tags = sorted(r["tag"] for r in t.read().collect())
+    assert tags == sorted(
+        [f"e{i}-{j}" for i in range(n_appenders) for j in range(per_thread)]
+        + ["seed"]
+    ), "expiry deleted files a kept snapshot references"
+    # and the current snapshot's files all exist on disk
+    md = t.meta
+    assert all(os.path.exists(t._abs(f.path)) for f in md.snapshot().files)

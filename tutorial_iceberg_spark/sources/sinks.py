@@ -29,9 +29,16 @@ from tutorial_iceberg_spark.registry import register
 def scratch_dir(name: str) -> str:
     """Sink round-trip staging under the cluster-portable scratch root
     (TIS_SCRATCH_DIR on multi-node deploys — executors must see the same
-    path the read-back scan resolves). Fixed names (no uuid): each
-    round-trip overwrites its own dir, so repeated runs reuse space."""
-    return os.path.join(_scratch.scratch_dir("tis_scratch"), name)
+    path the read-back scan resolves). Names are fixed PER DRIVER
+    PROCESS (pid leaf, no uuid): repeated runs in one session overwrite
+    their own dir and reuse space, while two concurrently-running
+    drivers never overwrite each other's staging mid-read (caught by
+    the r13 loaded-run protocol — two suite instances raced the same
+    fixed path). The pid dirs live under the reaper's tis_ namespace,
+    so abandoned ones age out by grace like any other scratch."""
+    return os.path.join(
+        _scratch.scratch_dir("tis_scratch", f"pid-{os.getpid()}"), name
+    )
 
 
 def write_csv(df: DataFrame, path: str) -> None:
