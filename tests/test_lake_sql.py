@@ -372,3 +372,30 @@ def test_call_branch_lifecycle_through_router(lsql, spark):
     ]
     lsql.sql("CALL demo.system.drop_branch('db.br', 'ingest')")
     assert t.branches() == {}
+
+
+def test_call_resolve_expired_transactions(lsql, spark):
+    """Operator recovery at the SQL surface: CALL
+    resolve_expired_transactions(grace) aborts an expired in-flight 2PC
+    prepare and returns the resolved records as a DataFrame."""
+    import os
+
+    from tutorial_iceberg_spark.lakehouse import metadata as M
+
+    lsql.sql("CREATE TABLE db.rx (k BIGINT) USING iceberg")
+    lsql.sql("INSERT INTO db.rx VALUES (1)")
+    txn = lsql.catalog.transaction()
+    txn.append("db.rx", spark.createDataFrame([(2,)], "k bigint"))
+    claimed = txn._prepare_once()
+    for loc, v in claimed:
+        os.utime(
+            os.path.join(M.metadata_dir(loc), f"v{v}.metadata.json"), (1, 1)
+        )
+    out = lsql.sql("CALL demo.system.resolve_expired_transactions('60')")
+    resolved = [r["resolved_txn"] for r in out.collect()]
+    assert resolved == [os.path.basename(txn.decision_path)]
+    assert M.txn_decision(txn.decision_path) == "aborted"
+    # table readable and writable afterwards
+    assert lsql.sql("SELECT COUNT(*) AS n FROM db.rx").first()["n"] == 1
+    lsql.sql("INSERT INTO db.rx VALUES (3)")
+    assert lsql.sql("SELECT COUNT(*) AS n FROM db.rx").first()["n"] == 2

@@ -98,7 +98,8 @@ _SET_PROPS = re.compile(
 _CALL = re.compile(
     r"^\s*CALL\s+(?:[\w.]+\.)?(?P<proc>rollback_to_snapshot|rewrite_data_files"
     r"|expire_snapshots|remove_orphan_files|fast_forward|merge_branch"
-    r"|create_branch|drop_branch)\s*\((?P<args>.*?)\)\s*$",
+    r"|create_branch|drop_branch|resolve_expired_transactions)"
+    r"\s*\((?P<args>.*?)\)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _VERSION_AS_OF = re.compile(
@@ -374,6 +375,22 @@ class LakeSQL:
         args = [a.strip().strip("'\"") for a in self._split_top(args_s)]
         # accept Iceberg's named-arg style: table => 'db.orders'
         args = [a.split("=>")[-1].strip().strip("'\"") for a in args]
+        if proc == "resolve_expired_transactions":
+            # warehouse-level operator recovery (no table argument): abort
+            # expired in-flight 2PC prepares, settle burned claims,
+            # finalize crashed committers, GC old decision records —
+            # returns the resolved transaction records as a DataFrame
+            from tutorial_iceberg_spark.lakehouse.transaction import (
+                LakeTransaction,
+            )
+
+            grace = float(args[0]) if args and args[0] else 3600.0
+            resolved = LakeTransaction.resolve_expired(
+                self.catalog.warehouse, grace_sec=grace
+            )
+            return self.spark.createDataFrame(
+                [(r,) for r in resolved], "resolved_txn string"
+            )
         t = self.catalog.load_table(self._resolve(args[0]))
         if proc == "rollback_to_snapshot":
             t.rollback_to(int(args[1]))
