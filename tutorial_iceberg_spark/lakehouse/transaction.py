@@ -262,7 +262,15 @@ class LakeTransaction:
                 vpath = os.path.join(mdir, f"v{v}.metadata.json")
                 with open(vpath) as f:
                     raw = json.load(f)
-                if raw.get("pending_txn") == self.decision_path:
+                # strip our marker; ALSO strip the aborted sentinel if a
+                # resolver settled this claim (only reachable beyond the
+                # GC_MIN_AGE floor: record collected, recreated committed)
+                # — the decision says committed, the claim is ours by
+                # construction, so stripping restores the consistent
+                # committed state instead of leaving a split table
+                if raw.get("pending_txn") in (
+                    self.decision_path, M.ABORTED_SENTINEL
+                ):
                     raw["pending_txn"] = None
                     tmp = os.path.join(mdir, f".fin-{uuid.uuid4().hex}.json")
                     with open(tmp, "w") as f:
