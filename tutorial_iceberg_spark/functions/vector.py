@@ -1595,6 +1595,14 @@ def x_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 KNN_CLS_K = 5  # neighbourhood size for the leave-one-out classifier
+# Auto-sizing regime for the kNN audit's LSH candidate generator: a
+# top-k audit needs recall on each vector's NEAREST neighbors, so the
+# sizer targets a higher cosine than the sim-join's 0.40 default and a
+# budget a per-vector top-5 window can sort — the sim-join's 8192/vec
+# budget emitted ~1B symmetrized candidates at the 30x probe and
+# sort-spilled past local disk (probes/r13).
+KNN_LSH_SIM_TARGET = 0.55
+KNN_LSH_CAND_BUDGET = 1024
 
 
 @register(
@@ -1675,17 +1683,28 @@ def x_knn_classify_loo(
         )
     else:
         # scale path: LSH candidates (left<right) symmetrized to both
-        # directions, then two key-partitioned equi-joins — no corpus
-        # broadcast, no nested loop. "lsh_auto" (the deployment default)
-        # sizes band constants from the corpus census; "lsh" keeps the
-        # fixed constants for the recall-drift comparison in pytest.
+        # directions, then two equi-joins back to the embeddings — no
+        # nested loop. "lsh_auto" (the deployment default) sizes band
+        # constants from the corpus census FOR THE TOP-K REGIME: a 5-NN
+        # audit needs recall on each vector's NEAREST neighbors (high
+        # cosine), not on every pair at the sim-join's 0.40 threshold —
+        # reusing the sim-join budget (8192 cands/vec) emitted ~1B
+        # symmetrized candidates at the 30x probe and sort-spilled past
+        # local disk. Sizing at KNN_LSH_SIM_TARGET with the tighter
+        # KNN_LSH_CAND_BUDGET keeps the stream linear in the corpus with
+        # a constant the window top-k can sort. "lsh" keeps the fixed
+        # constants for the recall-drift comparison in pytest.
+        from tutorial_iceberg_spark.sources.parquet_meta import (
+            footer_row_count,
+        )
+
         sizing = None
         if candidates == "lsh_auto":
-            from tutorial_iceberg_spark.sources.parquet_meta import (
-                footer_row_count,
+            sizing = lsh_auto_size(
+                footer_row_count(sf_dir, "embeddings"),
+                sim_threshold=KNN_LSH_SIM_TARGET,
+                max_candidates_per_vec=KNN_LSH_CAND_BUDGET,
             )
-
-            sizing = lsh_auto_size(footer_row_count(sf_dir, "embeddings"))
         dim = emb.select(F.size("embedding")).first()[0]
         cand = lsh_candidate_pairs(
             load_table(spark, sf_dir, "embeddings"), dim, sizing=sizing
@@ -1696,21 +1715,29 @@ def x_knn_classify_loo(
                 F.col("left_id").alias("right_id"),
             )
         )
+        # pin the embedding sides broadcast when they fit the bytes
+        # budget (the cosine_edges lsh_auto discipline): the candidate
+        # stream then verifies inside one codegen stage instead of
+        # sort-merge-joining rows widened by float arrays — the measured
+        # disk-filling shape at 30x. Above the budget, AQE plans the
+        # shuffles.
+        left_emb, right_emb = emb, emb.select(
+            F.col("vec_id").alias("nb_id"),
+            F.col("label").alias("nb_label"),
+            F.col("embedding").alias("nb_emb"),
+            F.col("nrm").alias("nb_nrm"),
+        )
+        if embedding_broadcast_affordable(
+            footer_row_count(sf_dir, "embeddings"), dim
+        ):
+            left_emb, right_emb = F.broadcast(left_emb), F.broadcast(right_emb)
         scored = (
-            cand.join(emb, cand.left_id == emb.vec_id)
+            cand.join(left_emb, cand.left_id == left_emb.vec_id)
             .select(
                 "vec_id", "label", "embedding", "nrm",
                 F.col("right_id").alias("nb_id"),
             )
-            .join(
-                emb.select(
-                    F.col("vec_id").alias("nb_id"),
-                    F.col("label").alias("nb_label"),
-                    F.col("embedding").alias("nb_emb"),
-                    F.col("nrm").alias("nb_nrm"),
-                ),
-                "nb_id",
-            )
+            .join(right_emb, "nb_id")
         )
     scored = scored.select(
         "vec_id",
