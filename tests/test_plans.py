@@ -67,6 +67,11 @@ ALLOWED = {
         # first-collision dedup key table: caller-gated to the
         # _BROADCAST_EST_MAX_BYTES budget (distinct() fallback above)
         r"keys_by_vec\.select\(",
+        # kNN-LOO lsh verification sides: gated to the
+        # embedding_broadcast_affordable bytes budget (AQE fallback
+        # above) — same discipline as graph.py's left/right
+        r"left_emb$",
+        r"right_emb$",
     ],
     "functions/text.py": [
         r"n_docs\b",  # 1-row corpus-size scalar
