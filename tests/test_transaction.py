@@ -393,3 +393,72 @@ def test_txn_crash_matrix_every_phase_recovers(cat, spark):
     a.append(spark.createDataFrame([(99, "fin")], "k bigint, v string"))
     b.append(spark.createDataFrame([(99, 990)], "k bigint, n bigint"))
     assert a.read().count() == 5 and b.read().count() == 5
+
+
+def test_reversed_commit_is_refused_not_unburned(cat, spark):
+    """ADVICE r13 (medium): an owner that pauses past max(grace,
+    GC_MIN_AGE) between prepare and decide can find its abort record
+    already acted on AND collected — its "committed" link then lands on
+    a vacated path. The old behavior un-burned the settled claims
+    (finalize stripped the sentinel), returning success for a txn whose
+    changes sit BELOW versions other writers committed in the meantime —
+    a silent lost commit. The guard must refuse: raise
+    TransactionAborted, leave the burned slots burned, tables unchanged
+    and writable."""
+    import json as _json
+
+    a, b = _mk(cat, spark)
+    t = cat.transaction()
+    t.append("db.txa", spark.createDataFrame([(2, "y")], "k bigint, v string"))
+    t.append("db.txb", spark.createDataFrame([(2, 20)], "k bigint, n bigint"))
+    claimed = t._prepare_once()
+    dp = t.decision_path
+    # resolver reaps the expired prepare: abort record, settle, then —
+    # past max(grace, GC_MIN_AGE) — the record is GC'd (simulated
+    # directly; resolve_expired's sweep does exactly this once every
+    # claim is settled and the record is old enough)
+    assert M.record_txn_decision(dp, "aborted") == "aborted"
+    t._settle(claimed)
+    os.unlink(dp)
+    # other writers move on: commits land ABOVE the burned slots
+    a.append(spark.createDataFrame([(7, "post")], "k bigint, v string"))
+    # the paused owner wakes up and decides
+    with pytest.raises(TransactionAborted, match="did not take effect"):
+        t._decide(claimed)
+    # burned slots stay settled (never un-burned), txn rows invisible
+    for loc, v in claimed:
+        p = os.path.join(M.metadata_dir(loc), f"v{v}.metadata.json")
+        with open(p) as f:
+            assert _json.load(f)["pending_txn"] == M.ABORTED_SENTINEL
+    assert sorted(r["k"] for r in a.read().collect()) == [1, 7]
+    assert sorted(r["k"] for r in b.read().collect()) == [1]
+    # warehouse stays writable past the burned slots
+    b.append(spark.createDataFrame([(8, 80)], "k bigint, n bigint"))
+    assert sorted(r["k"] for r in b.read().collect()) == [1, 8]
+
+
+def test_mixed_settled_claims_raise_reversal_error(cat, spark):
+    """A decision record that says committed while only SOME claims are
+    settled is unreachable by construction (GC requires every claim
+    settled); if it ever occurs the guard must refuse to repair in
+    either direction and raise the invariant violation loudly."""
+    from tutorial_iceberg_spark.lakehouse.transaction import (
+        TransactionReversalError,
+        _settle_claim,
+    )
+
+    a, b = _mk(cat, spark)
+    t = cat.transaction()
+    t.append("db.txa", spark.createDataFrame([(2, "y")], "k bigint, v string"))
+    t.append("db.txb", spark.createDataFrame([(2, 20)], "k bigint, n bigint"))
+    claimed = t._prepare_once()
+    # corrupt: settle only the FIRST claim, vacate the record
+    loc0, v0 = claimed[0]
+    M.record_txn_decision(t.decision_path, "aborted")
+    _settle_claim(
+        os.path.join(M.metadata_dir(loc0), f"v{v0}.metadata.json"),
+        t.decision_path,
+    )
+    os.unlink(t.decision_path)
+    with pytest.raises(TransactionReversalError, match="refusing to repair"):
+        t._decide(claimed)

@@ -102,6 +102,15 @@ class TransactionAborted(Exception):
     """The transaction recorded an ABORT decision: no table changed."""
 
 
+class TransactionReversalError(Exception):
+    """Protocol-invariant violation: a commit decision exists while only
+    SOME of its claims are settled-aborted. Unreachable by construction
+    (a decision record is GC-able only once every claim is settled, so a
+    reversal settles all-or-none); raised instead of repaired because
+    either repair direction — stripping sentinels or settling the rest —
+    silently picks a winner for data that is half-visible."""
+
+
 def _settle_claim(vpath: str, expected_pending: str) -> None:
     """Rewrite a burned claim file in place so ``pending_txn`` is the
     self-describing ABORTED_SENTINEL instead of a decision-record path.
@@ -262,20 +271,25 @@ class LakeTransaction:
                 vpath = os.path.join(mdir, f"v{v}.metadata.json")
                 with open(vpath) as f:
                     raw = json.load(f)
-                # strip our marker; ALSO strip the aborted sentinel if a
-                # resolver settled this claim (only reachable beyond the
-                # GC_MIN_AGE floor: record collected, recreated committed)
-                # — the decision says committed, the claim is ours by
-                # construction, so stripping restores the consistent
-                # committed state instead of leaving a split table
-                if raw.get("pending_txn") in (
-                    self.decision_path, M.ABORTED_SENTINEL
-                ):
+                # strip OUR marker only. A claim already settled to the
+                # aborted sentinel is never touched here: _decide detects
+                # that reversal BEFORE finalize runs and raises instead —
+                # un-burning a settled slot after other writers committed
+                # above it would report success for a txn whose changes
+                # are invisible below newer versions (ADVICE r13 medium).
+                pending = raw.get("pending_txn")
+                if pending == self.decision_path:
                     raw["pending_txn"] = None
                     tmp = os.path.join(mdir, f".fin-{uuid.uuid4().hex}.json")
                     with open(tmp, "w") as f:
                         json.dump(raw, f, indent=1)
                     os.replace(tmp, vpath)  # same state, marker gone — atomic
+                elif pending is not None:
+                    # settled or foreign marker: not ours to finalize, and
+                    # the hint invariant (a hint only names a VISIBLE
+                    # version) forbids flipping onto it
+                    all_stripped = False
+                    continue
                 # advisory hint: probing only goes UP from it, so pointing
                 # at v is sound even if later versions already exist
                 M.flip_hint(location, v)
@@ -330,6 +344,23 @@ class LakeTransaction:
             raise TransactionAborted(
                 f"txn {self.txid}: prepare exhausted retries"
             ) from last_err
+        self._decide(claimed)
+
+    def _decide(self, claimed: list[tuple]) -> None:
+        """DECIDE + FINALIZE with the reversal guard (ADVICE r13): a
+        settled (sentinel) claim observed AFTER winning the "committed"
+        link proves a resolver aborted this attempt and its record was
+        garbage-collected before our decide (an owner paused past
+        max(grace, GC_MIN_AGE) between prepare and decide — SIGSTOP, VM
+        sleep). By then other writers may have committed versions above
+        the burned slots, so un-burning them would return success for
+        changes that are partially or wholly invisible. The guard is
+        race-free: once our link says "committed", no resolver can settle
+        a claim (settle requires an ABORTED decision), so the post-link
+        read is stable. GC-able requires unreferenced, which requires
+        EVERY claim settled — so a reversal settles all-or-none; a mixed
+        observation is a protocol-invariant violation and raises
+        TransactionReversalError without touching anything."""
         decision = M.record_txn_decision(self.decision_path, "committed")
         if decision != "committed":
             # a resolver recorded abort first (expired-txn reaping race):
@@ -337,6 +368,34 @@ class LakeTransaction:
             self._settle(claimed)
             raise TransactionAborted(
                 f"txn {self.txid}: decision record says {decision!r}"
+            )
+        settled = []
+        for location, v in claimed:
+            vpath = os.path.join(
+                M.metadata_dir(location), f"v{v}.metadata.json"
+            )
+            try:
+                with open(vpath) as f:
+                    pending = json.load(f).get("pending_txn")
+            except (OSError, ValueError):
+                pending = None  # unreadable claim: finalize sweeps later
+            if pending == M.ABORTED_SENTINEL:
+                settled.append((location, v))
+        if settled:
+            if len(settled) != len(claimed):
+                raise TransactionReversalError(
+                    f"txn {self.txid}: decision says committed but "
+                    f"{len(settled)}/{len(claimed)} claims are settled-"
+                    "aborted — half-visible state, refusing to repair"
+                )
+            # full reversal: nothing is or can become visible (sentinel
+            # short-circuits _version_state without consulting the
+            # record), so the honest outcome is an abort; the stale
+            # committed record is unreferenced and will be GC'd
+            raise TransactionAborted(
+                f"txn {self.txid}: a resolver aborted this attempt and "
+                "its record was collected before the decide — the commit "
+                "did not take effect (claims are burned)"
             )
         self._finalize(claimed)
 
