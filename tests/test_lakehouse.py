@@ -1585,3 +1585,127 @@ def test_empty_part_files_stay_out_of_manifest(cat, spark):
     # every manifest entry carries key stats -> the merge planner can
     # bound-check ALL files (no permanent unknown-stats candidates)
     assert all("order_id" in f.stats for f in snap.files)
+
+
+def test_merge_branch_leaves_branch_history_grouping_intact(cat, spark):
+    """ADVICE r13 (low): merge_branch used to restamp manifest_id on
+    DataFile objects ALIASED into the branch's historical snapshots in
+    the same TableMetadata — the committed metadata then rewrote the
+    branch history's manifest grouping (time-travel/branch reads of
+    those snapshots planned under the wrong units). Entries must be
+    copied before restamping."""
+    t = cat.create_table("db.bmalias", "k bigint, tag string")
+    t.append(spark.createDataFrame([(1, "seed")], "k bigint, tag string"))
+    t.create_branch("ingest")
+    t.append_to_branch(
+        "ingest", spark.createDataFrame([(2, "br")], "k bigint, tag string")
+    )
+    t.append(spark.createDataFrame([(3, "main")], "k bigint, tag string"))
+    md_before = t.meta
+    head_id = md_before.refs["ingest"]
+    grouping_before = {
+        f.path: f.manifest_id for f in md_before.snapshot(head_id).files
+    }
+    t.merge_branch("ingest")
+    md_after = t.meta
+    # the branch head snapshot's COMMITTED grouping is byte-identical
+    grouping_after = {
+        f.path: f.manifest_id for f in md_after.snapshot(head_id).files
+    }
+    assert grouping_after == grouping_before
+    # and the merge snapshot's own entries got a FRESH manifest id
+    merge_snap = md_after.snapshot()
+    assert merge_snap.operation == "merge"
+    merged_paths = {
+        f.path for f in merge_snap.files
+    } - {f.path for f in md_after.snapshot(merge_snap.parent_id).files}
+    merge_ids = {
+        f.manifest_id for f in merge_snap.files if f.path in merged_paths
+    }
+    assert merge_ids and merge_ids.isdisjoint(set(grouping_before.values()))
+
+
+def test_orphan_sweep_protects_pending_prepare_files(cat, spark):
+    """ADVICE r13 (low): files referenced by a pending 2PC prepared
+    version must never be orphan candidates — a txn whose stage-to-decide
+    span exceeds grace_s would lose its data files yet still commit."""
+    a = cat.create_table("db.orphtx", "k bigint, v string")
+    a.append(spark.createDataFrame([(1, "x")], "k bigint, v string"))
+    t = cat.transaction()
+    t.append(
+        "db.orphtx", spark.createDataFrame([(2, "y")], "k bigint, v string")
+    )
+    claimed = t._prepare_once()
+    from tutorial_iceberg_spark.lakehouse import metadata as M_
+
+    loc, v = claimed[0]
+    pend = M_.read_metadata_version(loc, v)
+    staged = {f.path for s in pend.snapshots for f in s.files}
+    assert staged  # the prepare references its staged files
+    # age every data file far past any grace window
+    for root, _dirs, names in os.walk(a.location):
+        for n in names:
+            if n.endswith(".parquet"):
+                os.utime(os.path.join(root, n), (1, 1))
+    removed = a.remove_orphan_files(grace_s=0.0)
+    # pending prepare's files survive a zero-grace sweep (only true
+    # orphans — e.g. empty schema-carrier part files excluded from the
+    # manifest — may go)
+    assert staged.isdisjoint(removed), (staged, removed)
+    # txn still commits cleanly and reads back whole
+    t._decide(claimed)
+    assert sorted(r["k"] for r in a.read().collect()) == [1, 2]
+
+
+def test_rest_rejects_path_traversal_and_maps_create_race_to_409(
+    cat, spark, monkeypatch
+):
+    """ADVICE r13 (medium+low): request-supplied namespace/table names
+    must be validated before joining into warehouse paths (traversal ->
+    400), and a create-create race whose loser fails the v1 CAS maps to
+    409 (Iceberg AlreadyExistsException), not a generic 500."""
+    import urllib.error
+
+    from tutorial_iceberg_spark.lakehouse import metadata as M_
+    from tutorial_iceberg_spark.lakehouse.rest_catalog import (
+        RestCatalogClient,
+        RestCatalogServer,
+    )
+
+    with RestCatalogServer(cat) as srv:
+        client = RestCatalogClient(srv.base_url)
+        client.create_namespace("safe")
+        for bad_ns in (["../escape"], ["a/b"], [".."], ["/abs"], [""]):
+            try:
+                client.create_namespace(*bad_ns)
+                raise AssertionError(f"expected 400 for namespace {bad_ns}")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400, bad_ns
+        for bad_tbl in ("../escape", "a/b", "..", "/abs"):
+            try:
+                client.create_table("safe", bad_tbl, [{"name": "k", "type": "bigint"}])
+                raise AssertionError(f"expected 400 for table {bad_tbl!r}")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400, bad_tbl
+        # nothing escaped the warehouse
+        parent = os.path.dirname(cat.warehouse)
+        assert not os.path.exists(os.path.join(parent, "escape"))
+        # create-create race: rival claims v1 between the exists-check
+        # and the loser's CAS -> 409
+        orig = M_.commit_metadata
+
+        def racing(loc, md, pending_txn=None):
+            if loc.endswith("race_t") and not getattr(racing, "fired", False):
+                racing.fired = True
+                rival = M_.new_table_metadata(
+                    "safe.race_t", loc, [M_.Field(1, "k", "bigint")]
+                )
+                orig(loc, rival)
+            return orig(loc, md, pending_txn)
+
+        monkeypatch.setattr(M_, "commit_metadata", racing)
+        try:
+            client.create_table("safe", "race_t", [{"name": "k", "type": "bigint"}])
+            raise AssertionError("expected 409 for racing create")
+        except urllib.error.HTTPError as e:
+            assert e.code == 409

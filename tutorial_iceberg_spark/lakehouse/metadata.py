@@ -20,14 +20,25 @@ versioned JSON metadata:
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
+import threading
 import time
 import uuid
-from dataclasses import asdict, dataclass, field
+from collections import OrderedDict
+from dataclasses import asdict, dataclass, field, fields
 from typing import Any
 
-FORMAT_VERSION = 1
+# Format 2 (r14): snapshots carry manifest REFERENCES — each manifest's
+# entries live in an immutable content-addressed sidecar file
+# (metadata/manifest-{sha1}.json) written once and carried by reference
+# forever after, so a commit writes O(new files) metadata bytes instead
+# of re-serializing every retained snapshot's full file list (real
+# Iceberg's manifest-list design, README.md:921-1028 — the one place the
+# previous emulation's commit cost scaled with table size instead of
+# delta size). Format-1 metadata (inline "files") stays readable.
+FORMAT_VERSION = 2
 
 
 @dataclass
@@ -350,6 +361,14 @@ def read_metadata(location: str) -> TableMetadata:
     v = current_version(location)
     if v == 0:
         raise FileNotFoundError(f"no table at {location}")
+    return read_metadata_version(location, v)
+
+
+def read_metadata_version(location: str, v: int) -> TableMetadata:
+    """Read a SPECIFIC version file — including pending prepares —
+    without resolving visibility. Maintenance/GC callers only (e.g.
+    remove_orphan_files protecting a pending 2PC prepare's staged
+    files); ordinary reads go through read_metadata."""
     with open(os.path.join(metadata_dir(location), f"v{v}.metadata.json")) as f:
         md = _from_json(f.read())
     md.loaded_version = v

@@ -49,6 +49,22 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from tutorial_iceberg_spark.lakehouse.catalog import LakeCatalog
 
 
+def _safe_name(part: str) -> bool:
+    """Validate a request-supplied namespace part or table name before it
+    is joined into a warehouse filesystem path (ADVICE r13: components
+    like '..', absolute paths, or separators would escape the warehouse
+    and create/commit metadata anywhere the process can write). Allows
+    the identifier alphabet every catalog name in this repo uses."""
+    import os
+    import re
+
+    if not isinstance(part, str) or not part or part in (".", ".."):
+        return False
+    if os.sep in part or (os.altsep and os.altsep in part):
+        return False
+    return bool(re.fullmatch(r"[A-Za-z0-9_][A-Za-z0-9_.-]*", part))
+
+
 def _namespaces(cat: LakeCatalog) -> list[str]:
     import os
 
@@ -134,8 +150,12 @@ class _Handler(BaseHTTPRequestHandler):
             body = self._body()
             if parts == ["v1", "namespaces"]:
                 ns = body.get("namespace", [])
-                if not ns or not all(isinstance(p, str) and p for p in ns):
-                    self._send(400, {"error": "namespace must be a non-empty list"})
+                if not ns or not all(_safe_name(p) for p in ns):
+                    self._send(400, {
+                        "error": "namespace must be a non-empty list of "
+                        "safe identifiers (no separators, '..', or "
+                        "leading '/')"
+                    })
                     return
                 os.makedirs(os.path.join(cat.warehouse, *ns), exist_ok=True)
                 self._send(200, {"namespace": ns, "properties": {}})
@@ -148,6 +168,12 @@ class _Handler(BaseHTTPRequestHandler):
                 fields = (body.get("schema") or {}).get("fields") or []
                 if not name or not fields:
                     self._send(400, {"error": "name and schema.fields required"})
+                    return
+                if not _safe_name(name):
+                    self._send(400, {
+                        "error": "table name must be a safe identifier "
+                        "(no separators, '..', or leading '/')"
+                    })
                     return
                 loc = os.path.join(cat.warehouse, ns, name)
                 if os.path.exists(os.path.join(loc, "metadata")):
@@ -167,7 +193,14 @@ class _Handler(BaseHTTPRequestHandler):
                 md = M.new_table_metadata(
                     f"{ns}.{name}", loc, mfields, body.get("properties")
                 )
-                M.commit_metadata(loc, md)
+                try:
+                    M.commit_metadata(loc, md)
+                except M.CommitConflictError as e:
+                    # two racing creates both passed the exists-check: the
+                    # loser's v1 CAS fails — Iceberg REST maps this to 409
+                    # (AlreadyExistsException), not a generic 500
+                    self._send(409, {"error": str(e)})
+                    return
                 self._send(200, cat.table_metadata(f"{ns}.{name}"))
             elif len(parts) == 5 and parts[:2] == ["v1", "namespaces"] and parts[3] == "tables":
                 ns, tbl = parts[2], parts[4]

@@ -500,12 +500,20 @@ class LakeTable:
                 "resolve row-level (e.g. MERGE INTO from read_branch)"
             )
         # files each branch append introduced (relative to ITS parent):
-        # new by construction (uuid paths), so the union is duplicate-free
+        # new by construction (uuid paths), so the union is duplicate-free.
+        # COPIED entries, not aliases (ADVICE r13): the originals live in
+        # the branch's historical snapshots inside this same TableMetadata,
+        # and the restamp below would otherwise rewrite the branch
+        # history's manifest grouping in the committed metadata
         added: list[M.DataFile] = []
         for s in delta:
             parent = md.snapshot(s.parent_id) if s.parent_id else None
             parent_paths = {f.path for f in (parent.files if parent else [])}
-            added.extend(f for f in s.files if f.path not in parent_paths)
+            added.extend(
+                M.DataFile(**{**f.__dict__, "manifest_id": 0})
+                for f in s.files
+                if f.path not in parent_paths
+            )
         last_err: Exception | None = None
         for _ in range(self.APPEND_RETRIES):
             cur_snap = md.snapshot()
@@ -1908,6 +1916,37 @@ class LakeTable:
         referenced = {
             f.path for s in md.snapshots for f in s.files
         } | {d.path for s in md.snapshots for d in s.delete_files}
+        # Files referenced by a PENDING 2PC prepared version above the
+        # current one are not orphans (ADVICE r13): the prepare may still
+        # commit, and a transaction whose stage-to-decide span exceeds
+        # grace_s would otherwise lose its data files yet still commit,
+        # leaving a snapshot referencing missing files. Burned (settled-
+        # aborted) versions are skipped — their exclusive files ARE
+        # orphans once past grace. Data files staged BEFORE any prepare
+        # exists are protected only by the mtime grace, so grace_s must
+        # exceed the maximum stage-to-prepare gap (align it with
+        # resolve_expired's grace for multi-table transactions).
+        mdir0 = M.metadata_dir(self.location)
+        v = md.loaded_version
+        while True:
+            v += 1
+            vpath = os.path.join(mdir0, f"v{v}.metadata.json")
+            if not os.path.exists(vpath):
+                break
+            try:
+                state = M._version_state(vpath)
+            except (OSError, ValueError):
+                continue
+            if state == "aborted":
+                continue
+            try:
+                pend = M.read_metadata_version(self.location, v)
+            except (OSError, ValueError):
+                continue
+            referenced |= {f.path for s in pend.snapshots for f in s.files}
+            referenced |= {
+                d.path for s in pend.snapshots for d in s.delete_files
+            }
         removed = []
         now = time.time()
         data_dir = self._abs("data")
