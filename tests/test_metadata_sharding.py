@@ -1,0 +1,266 @@
+"""Sharded (format-2) metadata: commit IO is O(delta), not O(table).
+
+r13 verdict Next #1: the previous format inlined every retained
+snapshot's FULL file list into every ``v{N}.metadata.json`` — at 100 TB
+(~10^6 files) that is a multi-GB driver-side write per commit. Format 2
+moves each manifest's entries into an immutable content-addressed
+sidecar (``metadata/manifest-{sha1}.json``) written once and carried by
+reference, like real Iceberg's manifest lists (README.md:921-1028).
+
+Invariants under test:
+- a commit's metadata write volume scales with the DELTA (new files +
+  snapshot headers), not with how many files the table already has;
+- sidecars are immutable, content-addressed, shared across snapshots,
+  and never rewritten by carries;
+- legacy format-1 (inline "files") tables stay readable and upgrade on
+  their next commit;
+- expiry/orphan maintenance collects dead sidecars without touching
+  live or pending ones (the no-unlink discipline only covers VERSION
+  files — manifests are content-addressed and never re-claimed by path,
+  so the TOCTOU class cannot return through them).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+import pytest
+
+from tutorial_iceberg_spark.lakehouse import metadata as M
+from tutorial_iceberg_spark.lakehouse.catalog import LakeCatalog
+
+
+@pytest.fixture()
+def cat(spark):
+    with tempfile.TemporaryDirectory() as wh:
+        yield LakeCatalog(spark, wh)
+
+
+def _mdir_bytes(mdir: str) -> dict[str, int]:
+    return {
+        n: os.path.getsize(os.path.join(mdir, n))
+        for n in os.listdir(mdir)
+        if n != "version-hint.text"
+    }
+
+
+def _write_volume(before: dict[str, int], after: dict[str, int]) -> int:
+    """Bytes of metadata files CREATED by the step (all metadata files
+    are immutable once linked, so created == written)."""
+    return sum(size for n, size in after.items() if n not in before)
+
+
+def _fake_files(md: M.TableMetadata, n: int, start: int) -> list[M.DataFile]:
+    return [
+        M.DataFile(
+            path=f"data/fake/{start + i:08d}.parquet",
+            rows=100,
+            bytes=10_000,
+            schema_id=md.current_schema_id,
+            spec_id=md.current_spec_id,
+            stats={"k": [str(start + i), str(start + i + 99)]},
+        )
+        for i in range(n)
+    ]
+
+
+def _append_commit(location: str, batch: int) -> None:
+    """Metadata-only append of ``batch`` fake entries (no Spark IO): the
+    same snapshot/commit path LakeTable.append drives."""
+    md = M.read_metadata(location)
+    cur = md.snapshot()
+    base = list(cur.files) if cur else []
+    new = _fake_files(md, batch, len(base))
+    md.last_snapshot_id += 1
+    md.last_manifest_id += 1
+    for f in new:
+        f.manifest_id = md.last_manifest_id
+    md.snapshots.append(
+        M.Snapshot(
+            snapshot_id=md.last_snapshot_id,
+            parent_id=md.current_snapshot_id,
+            timestamp_ms=M.now_ms(),
+            operation="append",
+            schema_id=md.current_schema_id,
+            spec_id=md.current_spec_id,
+            files=base + new,
+        )
+    )
+    md.current_snapshot_id = md.last_snapshot_id
+    M.commit_metadata(location, md)
+
+
+def _mk_meta_table(wh: str, name: str) -> str:
+    loc = os.path.join(wh, "db", name)
+    md = M.new_table_metadata(name, loc, [M.Field(1, "k", "bigint")])
+    M.commit_metadata(loc, md)
+    return loc
+
+
+def test_commit_write_volume_is_o_delta_not_o_table(cat):
+    """The headline property: committing the SAME batch onto a table
+    with 50x more files must not write proportionally more metadata."""
+    small = _mk_meta_table(cat.warehouse, "meta_small")
+    _append_commit(small, 20)  # 20 files total
+    big = _mk_meta_table(cat.warehouse, "meta_big")
+    _append_commit(big, 1000)  # 1000 files total
+
+    results = {}
+    for loc in (small, big):
+        mdir = M.metadata_dir(loc)
+        before = _mdir_bytes(mdir)
+        _append_commit(loc, 20)
+        results[loc] = _write_volume(before, _mdir_bytes(mdir))
+    # pre-sharding the big table's commit rewrote its full 1000-entry
+    # list (~50x the small table's); sharded, both write one 20-entry
+    # manifest + a snapshot header (the big header carries a couple more
+    # manifest refs — allow 2x, not 50x)
+    assert results[big] < results[small] * 2, results
+    # and the carried 1000-entry manifest was referenced, not rewritten:
+    # one new manifest per append commit (plus per-commit manifest lists)
+    mdir = M.metadata_dir(big)
+    manifests = [
+        n for n in os.listdir(mdir)
+        if n.startswith("manifest-") and not n.startswith("manifest-list-")
+    ]
+    assert len(manifests) == 2  # one per append commit
+
+
+def test_carried_manifests_shared_across_snapshots_by_reference(cat):
+    loc = _mk_meta_table(cat.warehouse, "meta_share")
+    for _ in range(5):
+        _append_commit(loc, 10)
+    mdir = M.metadata_dir(loc)
+    v = M.current_version(loc)
+    with open(os.path.join(mdir, f"v{v}.metadata.json")) as f:
+        d = json.load(f)
+    assert d["format_version"] == 2
+    snaps = d["snapshots"]
+    # the version JSON names ONE manifest list per snapshot; the lists
+    # name the manifests — snapshot k references k manifests, and
+    # earlier manifests appear in later lists under the SAME ref
+    # (carried by reference)
+    lists = [M._load_manifest_list(mdir, s["manifest_list"]) for s in snaps]
+    assert [len(recs) for recs in lists] == [1, 2, 3, 4, 5]
+    first_ref = lists[0][0]["ref"]
+    assert all(any(r["ref"] == first_ref for r in recs) for recs in lists)
+    # exactly 5 manifest sidecars for 5 commits (no rewrite amplification)
+    assert sum(
+        n.startswith("manifest-") and not n.startswith("manifest-list-")
+        for n in os.listdir(mdir)
+    ) == 5
+    # entries round-trip exactly
+    md = M.read_metadata(loc)
+    assert len(md.snapshot().files) == 50
+    assert md.snapshot().files[0].stats["k"] == ["0", "99"]
+
+
+def test_manifest_sidecars_are_content_addressed_and_immutable(cat):
+    loc = _mk_meta_table(cat.warehouse, "meta_addr")
+    _append_commit(loc, 7)
+    mdir = M.metadata_dir(loc)
+    (fname,) = [
+        n for n in os.listdir(mdir)
+        if n.startswith("manifest-") and not n.startswith("manifest-list-")
+    ]
+    import hashlib
+
+    with open(os.path.join(mdir, fname)) as f:
+        payload = f.read()
+    assert fname == f"manifest-{hashlib.sha1(payload.encode()).hexdigest()}.json"
+    # re-writing the identical group is a no-op (same name, one file)
+    md = M.read_metadata(loc)
+    snap = md.snapshot()
+    ref = M.write_manifest(mdir, snap.files[0].manifest_id, list(snap.files))
+    assert ref == fname
+    assert sum(
+        n.startswith("manifest-") and not n.startswith("manifest-list-")
+        for n in os.listdir(mdir)
+    ) == 1
+
+
+def test_legacy_inline_metadata_reads_and_upgrades(cat):
+    """A format-1 version file (inline "files") must read back exactly
+    and convert to sharded form on its next commit."""
+    loc = _mk_meta_table(cat.warehouse, "meta_legacy")
+    _append_commit(loc, 5)
+    md = M.read_metadata(loc)
+    v = md.loaded_version
+    mdir = M.metadata_dir(loc)
+    # rewrite the current version file in the legacy inline format
+    legacy = M._to_json(md, None)
+    assert '"files"' in legacy and '"manifests"' not in legacy
+    vpath = os.path.join(mdir, f"v{v}.metadata.json")
+    tmp = vpath + ".legacy"
+    with open(tmp, "w") as f:
+        f.write(legacy)
+    os.replace(tmp, vpath)
+    md2 = M.read_metadata(loc)
+    assert [f.path for s in md2.snapshots for f in s.files] == [
+        f.path for s in md.snapshots for f in s.files
+    ]
+    # next commit upgrades: the new version file carries manifest-list refs
+    _append_commit(loc, 3)
+    with open(os.path.join(mdir, f"v{v + 1}.metadata.json")) as f:
+        d = json.load(f)
+    assert all("manifest_list" in s for s in d["snapshots"])
+    assert len(M.read_metadata(loc).snapshot().files) == 8
+
+
+def test_expire_collects_exclusive_manifests_keeps_shared(cat, spark):
+    t = cat.create_table("db.meta_exp", "k bigint, v string")
+    for i in range(4):
+        t.append(spark.createDataFrame([(i, "x")], "k bigint, v string"))
+    mdir = M.metadata_dir(t.location)
+
+    def _manifests():
+        return {
+            n for n in os.listdir(mdir)
+            if n.startswith("manifest-") and not n.startswith("manifest-list-")
+        }
+
+    before = _manifests()
+    assert len(before) == 4
+    deleted = t.expire_snapshots(keep_last=1)
+    # the kept (latest) snapshot references ALL 4 manifests (appends
+    # carry prior files), so none may be collected...
+    assert _manifests() == before
+    assert not any("/manifest-" in p and "manifest-list-" not in p for p in deleted)
+    # ...but expired snapshots' manifest LISTS are exclusive and go
+    assert any("manifest-list-" in p for p in deleted)
+    # after compaction replaces the data files, expiry drops the old
+    # manifests too
+    t.compact(target_files=1)
+    t.expire_snapshots(keep_last=1)
+    after2 = _manifests()
+    assert len(after2) == 1 and after2.isdisjoint(before)
+    assert t.read().count() == 4
+
+
+def test_orphan_sweep_collects_dead_manifests_not_live_or_pending(cat, spark):
+    a = cat.create_table("db.meta_orph", "k bigint, v string")
+    a.append(spark.createDataFrame([(1, "x")], "k bigint, v string"))
+    mdir = M.metadata_dir(a.location)
+    # a dead sidecar nothing references (e.g. stranded by a crash
+    # between sidecar write and version link)
+    dead = M.write_manifest(
+        mdir, 99, _fake_files(a.meta, 3, 0)
+    )
+    # a pending 2PC prepare's sidecar IS referenced (by the claim above
+    # current) and must survive even past grace
+    t = cat.transaction()
+    t.append("db.meta_orph", spark.createDataFrame([(2, "y")], "k bigint, v string"))
+    claimed = t._prepare_once()
+    pend_manifests = {
+        n for n in os.listdir(mdir) if n.startswith("manifest-")
+    } - {dead}  # includes manifest lists — both kinds must survive
+    for n in os.listdir(mdir):
+        os.utime(os.path.join(mdir, n), (1, 1))
+    removed = a.remove_orphan_files(grace_s=0.0)
+    assert os.path.join("metadata", dead) in removed
+    live = {n for n in os.listdir(mdir) if n.startswith("manifest-")}
+    assert pend_manifests <= live
+    t._decide(claimed)
+    assert sorted(r["k"] for r in a.read().collect()) == [1, 2]

@@ -94,11 +94,12 @@ TS = st.datetimes(
 @settings(max_examples=500)
 @given(x=TS, delta=st.timedeltas(min_value=timedelta(days=-5000),
                                  max_value=timedelta(days=5000)),
-       op=st.sampled_from(OPS), transform=st.sampled_from(["year", "month", "day"]))
+       op=st.sampled_from(OPS),
+       transform=st.sampled_from(["year", "month", "day", "hour"]))
 def test_temporal_bucket_pruning_sound(x, delta, op, transform):
-    """year/month/day partitions: if row timestamp x satisfies the
+    """year/month/day/hour partitions: if row timestamp x satisfies the
     predicate against literal v, x's partition must survive. The partition
-    dir value is the write-path format (yyyy[-MM[-dd]])."""
+    dir value is the write-path format (yyyy[-MM[-dd[-HH]]])."""
     v = x + delta
     pval = T.transform_value(transform, x)
     pf = [PartitionField(source="c", source_id=1, transform=transform,

@@ -1,0 +1,191 @@
+"""Metadata-scale probe (r14 verdict Next #2): is commit IO O(delta)?
+
+Synthesizes metadata-only tables (no Spark, no data IO — the probe
+measures the COMMIT PATH: manifest sidecars + version JSON) at a ladder
+of table sizes, then measures the metadata bytes written and wall time
+of one more identical append commit at each size. Pre-sharding (format
+1) both grew linearly with the table's retained file entries; sharded
+(format 2) both must stay flat.
+
+Also ladders SNAPSHOT count at fixed file count: the version JSON holds
+one header + manifest-ref list per retained snapshot, so commit bytes
+grow O(retained snapshots * avg manifests) — bounded by snapshot
+retention, never by file count. The probe records both axes so the
+bound is explicit, plus the resolver-side cost: current_version() wall
+with 10^3 burned slots before and after the hint advances (verdict
+Next #3's measurement).
+
+Usage: python tools/meta_probe.py [out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tutorial_iceberg_spark.lakehouse import metadata as M  # noqa: E402
+from tutorial_iceberg_spark.lakehouse.table import LakeTable  # noqa: E402
+
+
+def _mk(wh: str, name: str) -> str:
+    loc = os.path.join(wh, "db", name)
+    M.commit_metadata(loc, M.new_table_metadata(name, loc, [M.Field(1, "k", "bigint")]))
+    return loc
+
+
+def _fake(md: M.TableMetadata, n: int, start: int) -> list[M.DataFile]:
+    return [
+        M.DataFile(
+            path=f"data/fake/{start + i:09d}.parquet",
+            rows=1000,
+            bytes=64_000_000,
+            schema_id=md.current_schema_id,
+            spec_id=md.current_spec_id,
+            stats={"k": [str(start + i), str(start + i + 999)]},
+        )
+        for i in range(n)
+    ]
+
+
+def _append(loc: str, batch: int, keep_last: int | None = None) -> None:
+    """Metadata-only append through the REAL engine commit path
+    (LakeTable._new_snapshot — includes commit-time manifest merging),
+    with fake manifest entries standing in for written parquet files.
+    ``keep_last`` emulates snapshot-retention expiry inline."""
+    t = LakeTable.__new__(LakeTable)  # metadata ops never touch Spark
+    t.spark = None
+    t.location = loc
+    md = M.read_metadata(loc)
+    cur = md.snapshot()
+    base = list(cur.files) if cur else []
+    new = _fake(md, batch, len(base))
+    if keep_last is not None and len(md.snapshots) >= keep_last:
+        md.snapshots = md.snapshots[-(keep_last - 1):]
+    t._new_snapshot(md, "append", base + new)
+
+
+def _mdir_state(mdir: str) -> dict[str, int]:
+    return {
+        n: os.path.getsize(os.path.join(mdir, n))
+        for n in os.listdir(mdir)
+        if n != "version-hint.text"
+    }
+
+
+def measure_commit(loc: str, batch: int) -> dict:
+    mdir = M.metadata_dir(loc)
+    before = _mdir_state(mdir)
+    t0 = time.perf_counter()
+    _append(loc, batch, keep_last=20)
+    wall = time.perf_counter() - t0
+    after = _mdir_state(mdir)
+    written = sum(s for n, s in after.items() if n not in before)
+    return {"commit_bytes_written": written, "commit_wall_s": round(wall, 4)}
+
+
+def probe_file_scale() -> list[dict]:
+    """Fixed snapshot retention (20), laddered FILE count: commit cost
+    must be flat in table size."""
+    out = []
+    for total in (1_000, 5_000, 10_000, 30_000):
+        with tempfile.TemporaryDirectory() as wh:
+            loc = _mk(wh, f"t{total}")
+            # build up in 100-file batches under retention 20
+            done = 0
+            while done < total:
+                _append(loc, min(100, total - done), keep_last=20)
+                done += min(100, total - done)
+            m = measure_commit(loc, 100)
+            md = M.read_metadata(loc)
+            m.update(
+                table_files=len(md.snapshot().files),
+                retained_snapshots=len(md.snapshots),
+                version_json_bytes=os.path.getsize(
+                    os.path.join(
+                        M.metadata_dir(loc), f"v{md.loaded_version}.metadata.json"
+                    )
+                ),
+            )
+            out.append(m)
+            print("file-scale:", m, flush=True)
+    return out
+
+
+def probe_snapshot_scale() -> list[dict]:
+    """Fixed file count per commit, laddered RETAINED snapshots: commit
+    bytes grow with retention (headers + ref lists), the documented
+    bound."""
+    out = []
+    for keep in (5, 20, 80):
+        with tempfile.TemporaryDirectory() as wh:
+            loc = _mk(wh, f"s{keep}")
+            for _ in range(keep + 10):
+                _append(loc, 50, keep_last=keep)
+            m = measure_commit(loc, 50)
+            md = M.read_metadata(loc)
+            m.update(retained_snapshots=len(md.snapshots), table_files=len(md.snapshot().files))
+            out.append(m)
+            print("snapshot-scale:", m, flush=True)
+    return out
+
+
+def probe_burned_slots() -> dict:
+    """10^3 burned slots: resolution cost before the hint advances
+    (one-time linear probe) and after (O(1) amortized)."""
+    with tempfile.TemporaryDirectory() as wh:
+        loc = _mk(wh, "burn")
+        _append(loc, 10)
+        md = M.read_metadata(loc)
+        base_v = md.loaded_version
+        mdir = M.metadata_dir(loc)
+        # burn 1000 slots the way aborted prepares do: settled sentinel
+        for i in range(1, 1001):
+            with open(os.path.join(mdir, f"v{base_v + i}.metadata.json"), "w") as f:
+                json.dump({"format_version": 2, "pending_txn": M.ABORTED_SENTINEL}, f)
+        t0 = time.perf_counter()
+        v_cold = M.current_version(loc)
+        cold = time.perf_counter() - t0
+        # a visible commit above the burn field advances the hint
+        md = M.read_metadata(loc)
+        assert md.loaded_version == v_cold == base_v
+        _append(loc, 10)
+        t0 = time.perf_counter()
+        for _ in range(100):
+            v_warm = M.current_version(loc)
+        warm = (time.perf_counter() - t0) / 100
+        assert v_warm == base_v + 1001
+        return {
+            "burned_slots": 1000,
+            "resolve_cold_s": round(cold, 4),
+            "resolve_after_hint_advance_s": round(warm, 6),
+        }
+
+
+def main() -> None:
+    result = {
+        "probe": "meta_probe",
+        "format_version": M.FORMAT_VERSION,
+        "file_scale": probe_file_scale(),
+        "snapshot_scale": probe_snapshot_scale(),
+        "burned_slots": probe_burned_slots(),
+    }
+    fs = result["file_scale"]
+    result["flat_in_table_size"] = (
+        fs[-1]["commit_bytes_written"] < fs[0]["commit_bytes_written"] * 2
+        and fs[-1]["commit_wall_s"] < max(fs[0]["commit_wall_s"] * 5, 0.5)
+    )
+    out = sys.argv[1] if len(sys.argv) > 1 else None
+    text = json.dumps(result, indent=1)
+    print(text)
+    if out:
+        with open(out, "w") as f:
+            f.write(text)
+
+
+if __name__ == "__main__":
+    main()

@@ -26,7 +26,19 @@ burned-slot machinery are exercised at every contention level, and the
 atomicity check below would catch a split txn or a destroyed claim.
 
 Usage:
-    python tools/txn_probe.py [levels ...]      # default 1 2 4 8 16
+    python tools/txn_probe.py [levels ...]              # default 1 2 4 8 16
+    python tools/txn_probe.py --grace 0.25 [levels ...] # reaper grace (s)
+
+Two readings per run shape: grace=0 is the ATOMICITY gauntlet (every
+prepare is instantly abort-eligible — commits lost to the reaper's
+first-creator-wins race are the probe's own harshness, not a protocol
+defect; the binding assert is atomic_ok). A small nonzero grace (e.g.
+0.25 s, still far below any real deployment's hours) measures LIVENESS:
+healthy sub-grace commit windows decide unmolested while stalled
+prepares still get reaped. r14 note: metadata sharding shrank version
+files ~100x, which made the zero-grace reaper's walk near-instant and
+turned low-contention levels into coin flips it now usually wins —
+hence the explicit grace axis.
 
 Emits one JSON line per level plus a summary line; the narrative lives
 in SCALE_PROBE.md. Run on a quiet host — latencies are wall-clock.
@@ -78,7 +90,7 @@ class ConflictCounter:
         M.commit_metadata = self._orig
 
 
-def probe_level(spark, threads: int) -> dict:
+def probe_level(spark, threads: int, grace: float = 0.0) -> dict:
     with tempfile.TemporaryDirectory() as wh:
         cat = LakeCatalog(spark, wh)
         a = cat.create_table("db.pa", "k bigint, tag string")
@@ -97,7 +109,7 @@ def probe_level(spark, threads: int) -> dict:
             # abort-eligible; must never crash and never split a txn
             while not reap_stop.is_set():
                 try:
-                    LakeTransaction.resolve_expired(wh, grace_sec=0.0)
+                    LakeTransaction.resolve_expired(wh, grace_sec=grace)
                 except Exception as e:  # pragma: no cover - probe detail
                     reaper_errors.append(e)
                     return
@@ -171,12 +183,18 @@ def probe_level(spark, threads: int) -> dict:
 
 
 def main() -> None:
-    levels = [int(x) for x in sys.argv[1:]] or [1, 2, 4, 8, 16]
+    args = sys.argv[1:]
+    grace = 0.0
+    if "--grace" in args:
+        i = args.index("--grace")
+        grace = float(args[i + 1])
+        del args[i : i + 2]
+    levels = [int(x) for x in args] or [1, 2, 4, 8, 16]
     spark = get_spark(app_name="txn-probe")
     spark.sparkContext.setLogLevel("ERROR")
     rows = []
     for lv in levels:
-        row = probe_level(spark, lv)
+        row = probe_level(spark, lv, grace)
         rows.append(row)
         print(json.dumps(row), flush=True)
         if not (row["atomic_ok"] and row["rows_match"]):
@@ -187,6 +205,7 @@ def main() -> None:
             {
                 "summary": "txn-contention",
                 "levels": levels,
+                "reaper_grace_s": grace,
                 "total_txns": sum(r["txns"] for r in rows),
                 "total_committed": sum(r["committed"] for r in rows),
                 "all_atomic": all(r["atomic_ok"] for r in rows),

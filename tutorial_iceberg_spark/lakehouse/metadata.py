@@ -171,6 +171,26 @@ class TableMetadata:
     # immediately-visible commit.
     pending_txn: str | None = None
 
+    def __post_init__(self) -> None:
+        # NON-serialized bookkeeping (not a dataclass field, so asdict
+        # skips it): (manifest_id, entry_count) -> manifest sidecar
+        # filename, for every group this metadata was LOADED with or has
+        # WRITTEN. Lets serialization carry unchanged manifests by
+        # reference without re-fingerprinting their entries — the key is
+        # sound because entries bearing a manifest id are always copies
+        # of the set the id's creating commit stamped (fresh entries get
+        # a NEW id, so membership only ever shrinks via carry-subsets:
+        # equal counts imply equal sets). Legacy id-0 groups are exempt
+        # (multiple commits stamped 0 pre-manifest) and always
+        # fingerprint.
+        self.manifest_refs: dict[tuple[int, int], str] = {}
+        # snapshot_id -> manifest-list sidecar filename (format 2's
+        # second indirection: the version JSON names ONE list per
+        # snapshot; the list names the manifests). Populated at load and
+        # at serialize; snapshots are immutable once committed, so a
+        # known list ref is carried without recomputation.
+        self.manifest_list_refs: dict[int, str] = {}
+
     # -- convenience -------------------------------------------------
     def schema(self, schema_id: int | None = None) -> Schema:
         sid = self.current_schema_id if schema_id is None else schema_id
@@ -198,11 +218,197 @@ class TableMetadata:
 # ---------------------------------------------------------------------------
 
 
-def _to_json(md: TableMetadata) -> str:
-    return json.dumps({"format_version": FORMAT_VERSION, **asdict(md)}, indent=1)
+# ---- manifest sidecar files ------------------------------------------------
+#
+# manifest-{sha1}.json: {"manifest_id": N, "entries": [DataFile dicts]}.
+# Content-addressed (the hash covers manifest_id + the full entry list in
+# path order), written once via the same write-temp + atomic-link
+# protocol as version files, and NEVER modified — so a process-wide cache
+# can serve them forever, two writers producing identical content
+# converge on one file, and deleting + re-creating the same content is
+# cache-coherent by construction.
+
+# cap is in ENTRIES, not manifests: one giant manifest shouldn't evict
+# everything, and a thousand tiny ones shouldn't be unbounded
+_MANIFEST_CACHE_MAX_ENTRIES = 4_000_000
+_manifest_cache: OrderedDict[str, tuple] = OrderedDict()
+_manifest_cache_entries = 0
+_manifest_cache_lock = threading.Lock()
 
 
-def _from_json(text: str) -> TableMetadata:
+def _manifest_payload(manifest_id: int, entries: list[DataFile]) -> str:
+    return json.dumps(
+        {
+            "manifest_id": manifest_id,
+            "entries": [asdict(f) for f in sorted(entries, key=lambda f: f.path)],
+        },
+        sort_keys=True,
+        separators=(",", ":"),
+    )
+
+
+def write_manifest(mdir: str, manifest_id: int, entries: list[DataFile]) -> str:
+    """Write (or find) the sidecar holding this entry group; returns its
+    filename. Idempotent and race-free: the name is the content hash, so
+    a concurrent writer of the same group links the same bytes and the
+    loser's FileExistsError is success."""
+    payload = _manifest_payload(manifest_id, entries)
+    fname = f"manifest-{hashlib.sha1(payload.encode()).hexdigest()}.json"
+    fpath = os.path.join(mdir, fname)
+    if not os.path.exists(fpath):
+        os.makedirs(mdir, exist_ok=True)
+        tmp = os.path.join(mdir, f".tmp-manifest-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            f.write(payload)
+        try:
+            os.link(tmp, fpath)
+        except FileExistsError:
+            pass  # identical content already committed by a racer
+        finally:
+            os.unlink(tmp)
+    return fname
+
+
+def _load_manifest(mdir: str, fname: str) -> tuple:
+    """Entries of one manifest sidecar, cached process-wide (immutable
+    content-addressed files). Returns a shared tuple — callers must copy
+    an entry before mutating it (every engine mutation site already
+    does). Legacy manifest-id-0 groups are NEVER shared: pre-manifest
+    metadata stamped 0 on entries from many commits, and _new_snapshot
+    restamps id-0 entries in place, so sharing would corrupt the cache."""
+    global _manifest_cache_entries
+    fpath = os.path.join(mdir, fname)
+    with _manifest_cache_lock:
+        cached = _manifest_cache.get(fpath)
+        if cached is not None:
+            _manifest_cache.move_to_end(fpath)
+    if cached is None:
+        with open(fpath) as f:
+            d = json.load(f)
+        cached = tuple(DataFile(**e) for e in d["entries"])
+        if d.get("manifest_id") == 0:
+            return tuple(DataFile(**e.__dict__) for e in cached)
+        with _manifest_cache_lock:
+            if fpath not in _manifest_cache:
+                _manifest_cache[fpath] = cached
+                _manifest_cache_entries += len(cached)
+                while _manifest_cache_entries > _MANIFEST_CACHE_MAX_ENTRIES:
+                    _, old = _manifest_cache.popitem(last=False)
+                    _manifest_cache_entries -= len(old)
+    return cached
+
+
+def write_manifest_list(mdir: str, recs: list[dict]) -> str:
+    """Write (or find) the manifest-LIST sidecar naming one snapshot's
+    manifests — same content-addressed write-once protocol as manifests.
+    This is the indirection that keeps the version JSON O(retained
+    snapshots): without it, every retained snapshot's full manifest-ref
+    list re-serializes into every commit, which grows with total
+    manifest count (measured 1 MB/commit at 30k files in the r14 probe
+    before this existed)."""
+    payload = json.dumps(recs, sort_keys=True, separators=(",", ":"))
+    fname = f"manifest-list-{hashlib.sha1(payload.encode()).hexdigest()}.json"
+    fpath = os.path.join(mdir, fname)
+    if not os.path.exists(fpath):
+        os.makedirs(mdir, exist_ok=True)
+        tmp = os.path.join(mdir, f".tmp-mlist-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            f.write(payload)
+        try:
+            os.link(tmp, fpath)
+        except FileExistsError:
+            pass
+        finally:
+            os.unlink(tmp)
+    return fname
+
+
+_list_cache: OrderedDict[str, tuple] = OrderedDict()
+_LIST_CACHE_MAX = 4096
+
+
+def _load_manifest_list(mdir: str, fname: str) -> tuple:
+    fpath = os.path.join(mdir, fname)
+    with _manifest_cache_lock:
+        cached = _list_cache.get(fpath)
+        if cached is not None:
+            _list_cache.move_to_end(fpath)
+            return cached
+    with open(fpath) as f:
+        recs = tuple(json.load(f))
+    with _manifest_cache_lock:
+        _list_cache[fpath] = recs
+        while len(_list_cache) > _LIST_CACHE_MAX:
+            _list_cache.popitem(last=False)
+    return recs
+
+
+def _to_json(md: TableMetadata, mdir: str | None = None) -> str:
+    """Serialize table metadata. With ``mdir`` (the commit path): format
+    2 — each snapshot's entry groups land in content-addressed manifest
+    sidecars (written only if absent; groups known from load are carried
+    by reference without touching their entries), each snapshot's
+    manifest-ref list lands in a manifest-list sidecar, and the version
+    JSON holds snapshot headers + one list ref each. The bytes a commit
+    writes are therefore O(new entries + retained snapshot headers), not
+    O(retained file entries). Without ``mdir`` (tests/debug only):
+    legacy inline format."""
+    d: dict[str, Any] = {"format_version": FORMAT_VERSION}
+    for fld in fields(TableMetadata):
+        if fld.name == "snapshots":
+            continue
+        v = getattr(md, fld.name)
+        if fld.name in ("schemas", "partition_specs"):
+            v = [asdict(s) for s in v]
+        d[fld.name] = v
+    snaps_out = []
+    for s in md.snapshots:
+        sd: dict[str, Any] = {
+            "snapshot_id": s.snapshot_id,
+            "parent_id": s.parent_id,
+            "timestamp_ms": s.timestamp_ms,
+            "operation": s.operation,
+            "schema_id": s.schema_id,
+            "spec_id": s.spec_id,
+            "delete_files": [asdict(df) for df in s.delete_files],
+            "summary": s.summary,
+        }
+        if mdir is None:
+            sd["files"] = [asdict(f) for f in s.files]
+        else:
+            list_ref = md.manifest_list_refs.get(s.snapshot_id)
+            if list_ref is None:
+                groups: dict[int, list[DataFile]] = {}
+                for f in s.files:
+                    groups.setdefault(f.manifest_id, []).append(f)
+                recs = []
+                for mid in sorted(groups):
+                    entries = groups[mid]
+                    key = (mid, len(entries))
+                    ref = md.manifest_refs.get(key) if mid != 0 else None
+                    if ref is None:
+                        ref = write_manifest(mdir, mid, entries)
+                        if mid != 0:
+                            md.manifest_refs[key] = ref
+                    recs.append(
+                        {
+                            "manifest_id": mid,
+                            "ref": ref,
+                            "count": len(entries),
+                            "rows": sum(e.rows for e in entries),
+                            "bytes": sum(e.bytes for e in entries),
+                        }
+                    )
+                list_ref = write_manifest_list(mdir, recs)
+                md.manifest_list_refs[s.snapshot_id] = list_ref
+            sd["manifest_list"] = list_ref
+            sd["count"] = len(s.files)
+        snaps_out.append(sd)
+    d["snapshots"] = snaps_out
+    return json.dumps(d, indent=1)
+
+
+def _from_json(text: str, mdir: str | None = None) -> TableMetadata:
     d = json.loads(text)
     d.pop("format_version", None)
     d["schemas"] = [
@@ -215,17 +421,47 @@ def _from_json(text: str) -> TableMetadata:
     ]
     d.setdefault("refs", {})
     d.setdefault("tags", {})
-    d["snapshots"] = [
-        Snapshot(
-            **{
-                **s,
-                "files": [DataFile(**f) for f in s["files"]],
-                "delete_files": [DeleteFile(**f) for f in s.get("delete_files", [])],
-            }
+    loaded_refs: dict[tuple[int, int], str] = {}
+    loaded_lists: dict[int, str] = {}
+    snaps = []
+    for s in d["snapshots"]:
+        recs = None
+        if "manifest_list" in s or "manifests" in s:
+            if mdir is None:
+                raise ValueError(
+                    "format-2 metadata (manifest refs) needs its metadata dir"
+                )
+            if "manifest_list" in s:
+                recs = _load_manifest_list(mdir, s["manifest_list"])
+                loaded_lists[s["snapshot_id"]] = s["manifest_list"]
+            else:  # transitional shape: inline ref records
+                recs = s["manifests"]
+            files: list[DataFile] = []
+            for rec in recs:
+                files.extend(_load_manifest(mdir, rec["ref"]))
+                if rec["manifest_id"] != 0:
+                    loaded_refs[(rec["manifest_id"], rec["count"])] = rec["ref"]
+        else:
+            files = [DataFile(**f) for f in s["files"]]
+        keep = {
+            k: v
+            for k, v in s.items()
+            if k not in ("files", "manifests", "manifest_list", "count")
+        }
+        snaps.append(
+            Snapshot(
+                **{
+                    **keep,
+                    "files": files,
+                    "delete_files": [DeleteFile(**f) for f in s.get("delete_files", [])],
+                }
+            )
         )
-        for s in d["snapshots"]
-    ]
-    return TableMetadata(**d)
+    d["snapshots"] = snaps
+    md = TableMetadata(**d)
+    md.manifest_refs.update(loaded_refs)
+    md.manifest_list_refs.update(loaded_lists)
+    return md
 
 
 def metadata_dir(location: str) -> str:
@@ -369,8 +605,9 @@ def read_metadata_version(location: str, v: int) -> TableMetadata:
     without resolving visibility. Maintenance/GC callers only (e.g.
     remove_orphan_files protecting a pending 2PC prepare's staged
     files); ordinary reads go through read_metadata."""
-    with open(os.path.join(metadata_dir(location), f"v{v}.metadata.json")) as f:
-        md = _from_json(f.read())
+    mdir = metadata_dir(location)
+    with open(os.path.join(mdir, f"v{v}.metadata.json")) as f:
+        md = _from_json(f.read(), mdir)
     md.loaded_version = v
     return md
 
@@ -387,7 +624,11 @@ def commit_metadata(
     """Optimistic atomic commit, crash-safe at every step (Iceberg's
     HadoopTableOperations rename-commit protocol):
 
-    1. Write the FULL metadata JSON to a uniquely-named temp file.
+    1. Write manifest + manifest-list sidecars for any group not already
+       on disk (content-addressed, write-once; carried groups are
+       referenced, not rewritten — commit IO is O(delta)), then the
+       version JSON (snapshot headers + list refs) to a uniquely-named
+       temp file.
     2. ``os.link(tmp, v{base+1})`` — atomic create-if-absent. This is both
        the compare-and-swap (fails with FileExistsError if another writer
        claimed the version) and the durable commit point. Because the temp
@@ -419,8 +660,12 @@ def commit_metadata(
     v = md.loaded_version + 1
     tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}.json")
     md.pending_txn = pending_txn
+    # manifest sidecars land BEFORE the version file that references
+    # them (a crash in between strands content-addressed orphans the
+    # orphan sweep collects); carried groups are referenced, not
+    # rewritten — this line is what makes commit IO O(delta)
     with open(tmp, "w") as f:
-        f.write(_to_json(md))
+        f.write(_to_json(md, mdir))
     try:
         while True:
             vpath = os.path.join(mdir, f"v{v}.metadata.json")

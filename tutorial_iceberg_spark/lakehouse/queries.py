@@ -1030,6 +1030,119 @@ def lake_txn_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "lake_hour_partition_evolution",
+    oracle="""
+        SELECT event_id, ts, event_type, value
+        FROM events
+        WHERE event_id % 2 = 0
+          AND ts >= TIMESTAMP '2024-01-10 03:00:00'
+          AND ts <  TIMESTAMP '2024-01-10 15:00:00'
+    """,
+    doc="D8 x D10 composed (r14 verdict Next #7): hour(ts) — the last "
+    "Iceberg temporal transform (README.md:990-992 shows month) — lands "
+    "via ALTER TABLE ADD PARTITION FIELD on a table that already holds "
+    "an UNPARTITIONED snapshot; a second append writes under the hour "
+    "layout, so the table holds two spec generations at once. The "
+    "builder asserts (a) time travel to the pre-evolution snapshot "
+    "still reads the spec-0 state across the spec change, and (b) an "
+    "hour-range scan prunes to a strict file subset — spec-1 files via "
+    "hour partition values, spec-0 files via ts min/max stats — then "
+    "returns the pruned scan, value-hash-checked against DuckDB",
+    tags=("lakehouse", "partition-evolution", "extension"),
+)
+def lake_hour_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter("event_id % 2 = 0")
+        .select("event_id", "ts", "event_type", "value")
+    )
+    t = _fresh_table(
+        spark,
+        "hour_evo",
+        "event_id bigint, ts timestamp_ntz, event_type string, value double",
+    )
+    # spec 0 (unpartitioned): everything before Jan 10
+    t.append(ev.filter("ts < TIMESTAMP '2024-01-10 00:00:00'"))
+    pre_evolution = t.meta.current_snapshot_id
+    t.add_partition_field("hour(ts)")  # D8: spec evolution, metadata-only
+    # spec 1 (hour layout): a 3-day slice — ~72 hour partitions
+    t.append(
+        ev.filter(
+            "ts >= TIMESTAMP '2024-01-10 00:00:00' "
+            "AND ts < TIMESTAMP '2024-01-13 00:00:00'"
+        )
+    )
+    md = t.meta
+    # (a) time travel ACROSS the spec change: the pre-evolution snapshot
+    # reads back its spec-0 state
+    pre = t.read(snapshot_id=pre_evolution)
+    assert pre.count() == ev.filter(
+        "ts < TIMESTAMP '2024-01-10 00:00:00'"
+    ).count(), "time travel across partition evolution lost rows"
+    # (b) the hour-range scan prunes BOTH generations to a strict subset
+    pred = (
+        "ts >= TIMESTAMP '2024-01-10 03:00:00' "
+        "AND ts < TIMESTAMP '2024-01-10 15:00:00'"
+    )
+    snap = md.snapshot()
+    cands = t._candidates(md, snap, pred)
+    assert 0 < len(cands) < len(snap.files), (len(cands), len(snap.files))
+    return t.scan(pred)
+
+
+@register(
+    "lake_rest_catalog_append",
+    oracle=f"""
+        SELECT {ORDERS_COLS} FROM orders WHERE o_orderkey % 4 IN (0, 1)
+    """,
+    doc="S11 as the engine's FRONT DOOR (the reference's EP3 topology, "
+    "README.md:1036-1088): the table is created over HTTP "
+    "(POST /v1/namespaces/../tables) and BOTH appends commit through the "
+    "catalog service — the engine stages data files plus one unstamped "
+    "manifest sidecar in shared storage, then POSTs an 'append-files' "
+    "update guarded by assert-ref-snapshot-id; the service constructs "
+    "the snapshot and owns the CAS (409 -> client rebase-retry). The "
+    "final state is read back through the ordinary engine path and "
+    "value-hash-checked — proving HTTP-committed snapshots are "
+    "byte-equivalent to native commits",
+    tags=("lakehouse", "rest", "extension"),
+)
+def lake_rest_catalog_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tutorial_iceberg_spark.lakehouse.catalog import LakeCatalog
+    from tutorial_iceberg_spark.lakehouse.rest_catalog import (
+        RestCatalogClient,
+        RestCatalogServer,
+        rest_append,
+    )
+
+    wh = _scratch.defer_cleanup(
+        _scratch.scratch_dir("tis_lake", "rest_front", unique=True)
+    )
+    cat = LakeCatalog(spark, wh)
+    with RestCatalogServer(cat) as srv:
+        client = RestCatalogClient(srv.base_url)
+        client.create_namespace("db")
+        client.create_table(
+            "db",
+            "orders_http",
+            [
+                {"name": n.strip().split(" ")[0], "type": n.strip().split(" ", 1)[1]}
+                for n in ORDERS_DDL.split(",")
+            ],
+        )
+        t = cat.load_table("db.orders_http")
+        rest_append(client, t, "db", "orders_http", _orders_mod(spark, sf_dir, 4, 0))
+        rest_append(client, t, "db", "orders_http", _orders_mod(spark, sf_dir, 4, 1))
+        # both snapshots were constructed server-side
+        md = t.meta
+        assert [s.summary.get("via") for s in md.snapshots] == [
+            "rest-catalog",
+            "rest-catalog",
+        ], [s.summary for s in md.snapshots]
+    return t.read()
+
+
 # Bench setup/op split (VERDICT r7 #3): the lake_* headline entries spend
 # most of their wall time creating a fresh temp-dir table and seeding
 # snapshots — fixture work a real deployment has already paid. bench.py

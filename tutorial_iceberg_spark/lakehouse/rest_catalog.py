@@ -228,6 +228,52 @@ class _Handler(BaseHTTPRequestHandler):
                     elif action == "remove-properties":
                         for k in upd.get("removals", []):
                             md.properties.pop(k, None)
+                    elif action == "append-files":
+                        # the engine-as-REST-writer path (r14 verdict
+                        # Next #5, the reference's EP3 topology,
+                        # README.md:1036-1088): the writer stages data
+                        # files + ONE unstamped manifest sidecar in
+                        # shared storage, then commits it here — the
+                        # catalog service owns snapshot construction and
+                        # the CAS, exactly like Iceberg REST's
+                        # add-snapshot update. The sidecar ref is
+                        # name-validated (content-hash shape) so the
+                        # request cannot path-traverse the metadata dir.
+                        import re
+
+                        ref = upd.get("manifest", "")
+                        if not re.fullmatch(r"manifest-[0-9a-f]{40}\.json", ref):
+                            self._send(400, {"error": f"bad manifest ref {ref!r}"})
+                            return
+                        from tutorial_iceberg_spark.lakehouse.table import (
+                            LakeTable,
+                        )
+
+                        try:
+                            entries = M._load_manifest(M.metadata_dir(loc), ref)
+                        except OSError:
+                            self._send(400, {"error": f"manifest {ref} not staged"})
+                            return
+                        if any(e.manifest_id != 0 for e in entries):
+                            self._send(
+                                400,
+                                {"error": "staged manifest must be unstamped (id 0)"},
+                            )
+                            return
+                        t = LakeTable.__new__(LakeTable)
+                        t.spark = None  # metadata-only: no Spark on the server
+                        t.location = loc
+                        cur = md.snapshot()
+                        base = list(cur.files) if cur else []
+                        dels = list(cur.delete_files) if cur else []
+                        t._new_snapshot(
+                            md,
+                            "append",
+                            base + list(entries),
+                            dels,
+                            {"via": "rest-catalog"},
+                            commit=False,
+                        )
                     else:
                         self._send(400, {"error": f"unsupported update {action}"})
                         return
@@ -374,3 +420,46 @@ class RestCatalogClient:
         return self._send(
             "DELETE", f"/v1/namespaces/{namespace}/tables/{table}"
         )
+
+
+def rest_append(
+    client: RestCatalogClient,
+    table,
+    namespace: str,
+    name: str,
+    df,
+    retries: int = 10,
+) -> dict:
+    """Append a DataFrame THROUGH the catalog service (the engine as a
+    REST writer — the reference's EP3 topology): data files and one
+    unstamped manifest sidecar are staged in shared storage by the
+    engine, then the snapshot commit happens server-side via the
+    ``append-files`` update, guarded by ``assert-ref-snapshot-id`` so a
+    concurrent writer surfaces as 409 and the client rebases — the
+    optimistic protocol every Iceberg REST writer speaks. ``table`` is
+    the local LakeTable view over the same storage (used only to stage
+    files and read fresh state between retries)."""
+    import urllib.error
+
+    from tutorial_iceberg_spark.lakehouse import metadata as M
+
+    md = table.meta
+    files = table._write_files(table._align(df, md.schema()), md)
+    ref = M.write_manifest(M.metadata_dir(table.location), 0, files)
+    last: Exception | None = None
+    for _ in range(retries):
+        base = table.meta.current_snapshot_id
+        try:
+            return client.commit_table(
+                namespace,
+                name,
+                updates=[{"action": "append-files", "manifest": ref}],
+                requirements=[
+                    {"type": "assert-ref-snapshot-id", "snapshot-id": base}
+                ],
+            )
+        except urllib.error.HTTPError as e:
+            if e.code != 409:
+                raise
+            last = e  # CAS lost or stale base: re-read and retry
+    raise last  # type: ignore[misc]

@@ -267,6 +267,35 @@ class LakeTable:
             md.last_manifest_id += 1
             for f in fresh:
                 f.manifest_id = md.last_manifest_id
+        # Commit-time manifest merging (Iceberg's
+        # commit.manifest.min-count-to-merge): without it a table built
+        # by K appends references K manifests forever, so the per-commit
+        # manifest LIST grows O(K) — measured 1 MB/commit at 30k files
+        # in the r14 probe. When the new snapshot would reference more
+        # than MANIFEST_MERGE_MIN manifests, the smallest
+        # MANIFEST_MERGE_BATCH groups merge into one fresh manifest
+        # (COPIES — the originals stay aliased in prior snapshots).
+        # LSM-style amortization: each entry is rewritten O(log) times
+        # over the table's life, and the list stays O(MANIFEST_MERGE_MIN)
+        # so commit bytes stay O(new files).
+        groups: dict[int, list[M.DataFile]] = {}
+        for f in files:
+            groups.setdefault(f.manifest_id, []).append(f)
+        if len(groups) > self.MANIFEST_MERGE_MIN:
+            while len(groups) > self.MANIFEST_MERGE_MIN:
+                smallest = sorted(groups, key=lambda m: len(groups[m]))[
+                    : self.MANIFEST_MERGE_BATCH
+                ]
+                md.last_manifest_id += 1
+                nid = md.last_manifest_id
+                merged: list[M.DataFile] = []
+                for mid in smallest:
+                    merged.extend(
+                        M.DataFile(**{**f.__dict__, "manifest_id": nid})
+                        for f in groups.pop(mid)
+                    )
+                groups[nid] = merged
+            files = [f for g in groups.values() for f in g]
         parent = md.refs.get(ref) if ref is not None else md.current_snapshot_id
         snap = M.Snapshot(
             snapshot_id=md.last_snapshot_id,
@@ -286,6 +315,11 @@ class LakeTable:
             md.current_snapshot_id = snap.snapshot_id
         if commit:
             self._commit(md)
+
+    # Manifest-merge policy (see _new_snapshot): a snapshot references at
+    # most MIN + BATCH manifests; each merge coalesces the BATCH smallest.
+    MANIFEST_MERGE_MIN = 32
+    MANIFEST_MERGE_BATCH = 16
 
     # -- D16 INSERT / append ---------------------------------------------
     # With W concurrent writers, one commit round has one winner, so a
@@ -1842,6 +1876,25 @@ class LakeTable:
         )
 
     # -- D13/D14 maintenance ---------------------------------------------------------
+    @staticmethod
+    def _manifest_refs_of(
+        md: M.TableMetadata, snaps: list[M.Snapshot]
+    ) -> set[str]:
+        """Manifest sidecar filenames these snapshots reference, resolved
+        through the metadata's (manifest_id, count) -> ref bookkeeping
+        (complete for every loaded or written group; legacy id-0 groups
+        have no ref and are skipped — their sweep is the orphan rule)."""
+        refs: set[str] = set()
+        for s in snaps:
+            groups: dict[int, int] = {}
+            for f in s.files:
+                groups[f.manifest_id] = groups.get(f.manifest_id, 0) + 1
+            for mid, count in groups.items():
+                r = md.manifest_refs.get((mid, count))
+                if r:
+                    refs.add(r)
+        return refs
+
     def expire_snapshots(self, older_than_ms: int | None = None, keep_last: int = 1) -> list[str]:
         """D13 CALL expire_snapshots — README.md:1025. Removes expired
         snapshot entries and deletes files referenced only by them.
@@ -1890,6 +1943,33 @@ class LakeTable:
                         except FileNotFoundError:
                             continue  # a racing expiry got it: same outcome
                         deleted.append(f.path)
+            # manifest sidecars exclusive to the removed snapshots are
+            # unreachable the same way their data files are (any prepare
+            # claimed above this commit was built ON this commit's
+            # metadata, so it cannot reference them); a reader still
+            # planning from pre-expiry metadata can fail loudly — the
+            # same reader-vs-expiry contract Iceberg documents for data
+            # files
+            mdir = M.metadata_dir(self.location)
+            kept_refs = self._manifest_refs_of(md, kept) | {
+                md.manifest_list_refs[s.snapshot_id]
+                for s in kept
+                if s.snapshot_id in md.manifest_list_refs
+            }
+            dead_refs = (
+                self._manifest_refs_of(md, removed)
+                | {
+                    md.manifest_list_refs[s.snapshot_id]
+                    for s in removed
+                    if s.snapshot_id in md.manifest_list_refs
+                }
+            ) - kept_refs
+            for ref in dead_refs:
+                try:
+                    os.remove(os.path.join(mdir, ref))
+                    deleted.append(os.path.join("metadata", ref))
+                except OSError:
+                    pass
             return deleted
         raise M.CommitConflictError(
             f"expire_snapshots at {self.location}: rebase exhausted retries"
@@ -1927,6 +2007,9 @@ class LakeTable:
         # exceed the maximum stage-to-prepare gap (align it with
         # resolve_expired's grace for multi-table transactions).
         mdir0 = M.metadata_dir(self.location)
+        live_manifests = self._manifest_refs_of(md, md.snapshots) | set(
+            md.manifest_list_refs.values()
+        )
         v = md.loaded_version
         while True:
             v += 1
@@ -1947,6 +2030,8 @@ class LakeTable:
             referenced |= {
                 d.path for s in pend.snapshots for d in s.delete_files
             }
+            live_manifests |= self._manifest_refs_of(pend, pend.snapshots)
+            live_manifests |= set(pend.manifest_list_refs.values())
         removed = []
         now = time.time()
         data_dir = self._abs("data")
@@ -1966,8 +2051,22 @@ class LakeTable:
         for n in os.listdir(mdir):
             # .tmp- = commit_metadata's link source; .fin-/.settle- =
             # finalize/settle rewrite temps (os.replace sources) — all
-            # strandable by a crash between write and link/replace
-            if n.startswith((".tmp-", ".fin-", ".settle-")) and n.endswith(".json"):
+            # strandable by a crash between write and link/replace.
+            # manifest-*.json sidecars referenced by NO live version
+            # (current or pending above it) are dead history: old version
+            # files' content was never readable again even pre-sharding,
+            # and a burned prepare's fresh manifests are true orphans.
+            # The grace window covers an in-flight commit that wrote its
+            # sidecars but hasn't linked its version file yet.
+            stale_temp = (
+                n.startswith((".tmp-", ".fin-", ".settle-")) and n.endswith(".json")
+            )
+            dead_manifest = (
+                n.startswith("manifest-")
+                and n.endswith(".json")
+                and n not in live_manifests
+            )
+            if stale_temp or dead_manifest:
                 fpath = os.path.join(mdir, n)
                 try:
                     if now - os.path.getmtime(fpath) > grace_s:

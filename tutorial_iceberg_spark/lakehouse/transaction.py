@@ -112,12 +112,21 @@ class TransactionReversalError(Exception):
 
 
 def _settle_claim(vpath: str, expected_pending: str) -> None:
-    """Rewrite a burned claim file in place so ``pending_txn`` is the
-    self-describing ABORTED_SENTINEL instead of a decision-record path.
-    Identity-checked (only if the file still names ``expected_pending``)
-    and idempotent: the decision is final, every settler writes the same
-    semantic content, and _finalize (committed txns only) can never
-    target the same file — the two rewrites are decision-disjoint."""
+    """Rewrite a burned claim file in place to a MINIMAL TOMBSTONE whose
+    ``pending_txn`` is the self-describing ABORTED_SENTINEL instead of a
+    decision-record path. Identity-checked (only if the file still names
+    ``expected_pending``) and idempotent: the decision is final, every
+    settler writes the same semantic content, and _finalize (committed
+    txns only) can never target the same file — the two rewrites are
+    decision-disjoint.
+
+    Truncation (r14 verdict Next #3): a burned slot's snapshot content
+    is permanently unreachable (the slot can never become visible), so
+    carrying it is pure footprint — a long-lived high-contention table
+    accumulates burned slots forever, and each was a full metadata JSON.
+    Every burned-slot reader (_version_state's probe, resolve_expired's
+    sweep) only ever consults ``pending_txn``, which the tombstone
+    carries."""
     try:
         with open(vpath) as f:
             raw = json.load(f)
@@ -125,12 +134,15 @@ def _settle_claim(vpath: str, expected_pending: str) -> None:
         return
     if raw.get("pending_txn") != expected_pending:
         return  # already settled (or not the claim we thought)
-    raw["pending_txn"] = M.ABORTED_SENTINEL
+    tombstone = {
+        "format_version": M.FORMAT_VERSION,
+        "pending_txn": M.ABORTED_SENTINEL,
+    }
     mdir = os.path.dirname(vpath)
     tmp = os.path.join(mdir, f".settle-{uuid.uuid4().hex}.json")
     try:
         with open(tmp, "w") as f:
-            json.dump(raw, f, indent=1)
+            json.dump(tombstone, f, indent=1)
         os.replace(tmp, vpath)
     except OSError:
         try:
@@ -154,6 +166,16 @@ class LakeTransaction:
     """
 
     PREPARE_RETRIES = 10  # same fan-in bound as LakeTable.APPEND_RETRIES
+    # Adaptive patience under measured contention (r14 verdict Next #4):
+    # every prepare conflict proves another writer is live on the same
+    # slots, so giving up at a FIXED attempt count turns a 16-way commit
+    # herd into retry-exhaustion aborts (r13 probe: 6/64 aborted). Each
+    # observed conflict extends the attempt budget (up to EXTRA_RETRIES
+    # more) and raises the backoff ceiling — the multi-writer analogue
+    # of Iceberg's commit.retry.total-timeout-ms growing with contention.
+    PREPARE_EXTRA_RETRIES = 8
+    BACKOFF_CAP_BASE_S = 0.5
+    BACKOFF_CAP_MAX_S = 2.0
     # Decision records younger than this are NEVER garbage-collected,
     # regardless of the caller's grace_sec: an owner that fully prepared
     # is guaranteed to attempt its decide within this window (prepare →
@@ -313,14 +335,23 @@ class LakeTransaction:
             return
         claimed: list[tuple] = []
         last_err: Exception | None = None
-        for attempt in range(self.PREPARE_RETRIES):
+        attempt = 0
+        while True:
             self._attempt = attempt
             try:
                 claimed = self._prepare_once()
                 break
             except M.CommitConflictError as e:
                 last_err = e
-                if attempt + 1 >= self.PREPARE_RETRIES:
+                attempt += 1
+                # each conflict extends the budget (bounded): a conflict
+                # proves live contention, not a dead table — aborting a
+                # retriable txn under a herd is the real failure mode
+                # (r13 probe: 6/64 retry-exhaustion aborts at 16-way)
+                budget = self.PREPARE_RETRIES + min(
+                    attempt // 2, self.PREPARE_EXTRA_RETRIES
+                )
+                if attempt >= budget:
                     break  # exhausted: no point sleeping before the abort
                 # Jittered exponential backoff before re-preparing.
                 # Unlike a single-slot append (where a conflict proves
@@ -331,9 +362,15 @@ class LakeTransaction:
                 # lockstep, a livelock only timing luck breaks.
                 # Measured by tools/txn_probe.py at a 16-way
                 # simultaneous-commit herd: immediate retries exhausted
-                # for 30/64 txns; randomized waits break the symmetry.
+                # for 30/64 txns; randomized waits break the symmetry,
+                # and the cap SCALES with observed conflicts so a herd
+                # spreads out instead of exhausting in lockstep.
+                cap = min(
+                    self.BACKOFF_CAP_BASE_S * (1 + attempt / 4),
+                    self.BACKOFF_CAP_MAX_S,
+                )
                 time.sleep(
-                    min(0.02 * (2 ** attempt), 0.5)
+                    min(0.02 * (2 ** attempt), cap)
                     * (0.5 + random.random())
                 )
         if not claimed:

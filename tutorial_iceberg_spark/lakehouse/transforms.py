@@ -42,7 +42,7 @@ def parse_transform_decl(decl: str) -> tuple[str, str]:
         return f"{fn}[{n}]", col
     if fn == "identity":
         return "identity", col
-    if fn in ("year", "month", "day"):
+    if fn in ("year", "month", "day", "hour"):
         return fn, col
     raise ValueError(f"unknown partition transform: {decl!r}")
 
@@ -58,6 +58,10 @@ def transform_column(transform: str, col: str) -> Column:
         return F.date_format(c, "yyyy-MM")
     if transform == "day":
         return F.date_format(c, "yyyy-MM-dd")
+    if transform == "hour":
+        # zero-padded so lexicographic == chronological, like year/month/
+        # day (Iceberg's hour transform, the last temporal granularity)
+        return F.date_format(c, "yyyy-MM-dd-HH")
     m = _BUCKET_RE.match(transform)
     if m:
         return F.pmod(F.xxhash64(c), int(m.group(1))).cast("string")
@@ -89,6 +93,9 @@ def transform_value(transform: str, value: Any) -> str | None:
             return f"{v.year:04d}-{v.month:02d}"
         if transform == "day":
             return f"{v.year:04d}-{v.month:02d}-{v.day:02d}"
+        if transform == "hour":
+            hh = v.hour if isinstance(v, datetime) else 0
+            return f"{v.year:04d}-{v.month:02d}-{v.day:02d}-{hh:02d}"
     m = _TRUNCATE_RE.match(transform)
     if m:
         return str(value)[: int(m.group(1))]
@@ -274,7 +281,7 @@ def partition_may_match(
         if op in ("=", "=="):
             if pval != tv:
                 return False
-        elif pf.transform in ("year", "month", "day"):
+        elif pf.transform in ("year", "month", "day", "hour"):
             # coarse containment: file partition tv' vs literal's tv
             if op in ("<", "<=") and pval > tv:
                 return False
