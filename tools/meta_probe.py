@@ -92,7 +92,7 @@ def probe_file_scale() -> list[dict]:
     """Fixed snapshot retention (20), laddered FILE count: commit cost
     must be flat in table size."""
     out = []
-    for total in (1_000, 5_000, 10_000, 30_000):
+    for total in (1_000, 5_000, 10_000, 30_000, 100_000):
         with tempfile.TemporaryDirectory() as wh:
             loc = _mk(wh, f"t{total}")
             # build up in 100-file batches under retention 20
