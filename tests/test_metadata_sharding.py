@@ -264,3 +264,100 @@ def test_orphan_sweep_collects_dead_manifests_not_live_or_pending(cat, spark):
     assert pend_manifests <= live
     t._decide(claimed)
     assert sorted(r["k"] for r in a.read().collect()) == [1, 2]
+
+
+def test_manifest_summaries_prune_equivalently_to_dynamic(cat):
+    """Two-tier planning (r14): manifest-list recs carry a write-time
+    pruning summary; the summary check must agree with (or be strictly
+    more conservative than) the dynamic per-entry aggregation on the
+    same manifests, and scan candidates must be identical on full
+    manifests. Randomized across stats ranges, partitions, ops."""
+    import random
+
+    from tutorial_iceberg_spark.lakehouse.table import LakeTable
+
+    rng = random.Random(42)
+    loc = _mk_meta_table(cat.warehouse, "meta_summ")
+    # commits with disjoint-ish k ranges so pruning has teeth
+    for c in range(6):
+        md = M.read_metadata(loc)
+        cur = md.snapshot()
+        base = list(cur.files) if cur else []
+        lo = c * 1000
+        new = [
+            M.DataFile(
+                path=f"data/s/{c:02d}-{i:04d}.parquet",
+                rows=10,
+                bytes=1000,
+                schema_id=md.current_schema_id,
+                spec_id=md.current_spec_id,
+                partition={},
+                stats={"k": [str(lo + i * 10), str(lo + i * 10 + 9)]},
+                manifest_id=0,
+            )
+            for i in range(rng.randint(3, 8))
+        ]
+        t = LakeTable.__new__(LakeTable)
+        t.spark = None
+        t.location = loc
+        t._new_snapshot(md, "append", base + new)
+    t = LakeTable.__new__(LakeTable)
+    t.spark = None
+    t.location = loc
+    md = t.meta
+    snap = md.snapshot()
+    recs = t._snapshot_manifest_recs(md, snap)
+    assert recs and all("summary" in r for r in recs.values())
+    groups = t.manifest_groups(snap)
+    checked = 0
+    for pred in (
+        "k = 1500", "k < 50", "k >= 5900", "k > 2000 AND k < 2500",
+        "k = 999999", "k <= 0",
+    ):
+        from tutorial_iceberg_spark.lakehouse import transforms as T
+
+        conjuncts = T.parse_conjuncts(pred)
+        for mid, g in groups.items():
+            dyn = t._manifest_may_match(md, g, conjuncts)
+            summ = t._summary_may_match(md, recs[mid]["summary"], conjuncts)
+            # full manifests: the two checks must agree exactly
+            assert summ == dyn, (pred, mid, summ, dyn)
+            checked += 1
+        # and the end-to-end candidate set matches the per-file truth
+        cands = {f.path for f in t._candidates(md, snap, pred)}
+        brute = {
+            f.path
+            for f in snap.files
+            if all(
+                T.stats_may_match(f.stats.get("k"), op, val)
+                for _, op, val in conjuncts
+            )
+        }
+        assert brute <= cands  # pruning may keep extra, never drop a match
+    assert checked >= 30
+    # selective predicate actually prunes whole manifests via summaries
+    touched, total = t.plan_manifests("k < 50")
+    assert touched < total
+
+
+def test_summary_survives_rename_and_skips_new_columns(cat, spark):
+    """Field-id keying: renaming a column keeps its bounds usable; a
+    column added after the summary exists never prunes (no bound)."""
+    t = cat.create_table("db.meta_ren", "k bigint, v string")
+    t.append(
+        spark.createDataFrame([(i, "x") for i in range(10)], "k bigint, v string")
+    )
+    t.append(
+        spark.createDataFrame(
+            [(i, "y") for i in range(1000, 1010)], "k bigint, v string"
+        )
+    )
+    touched, total = t.plan_manifests("k >= 1000")
+    assert (touched, total) == (1, 2)
+    t.rename_column("k", "key")
+    touched, total = t.plan_manifests("key >= 1000")
+    assert (touched, total) == (1, 2)
+    t.add_column("extra", "bigint", default=5)
+    touched, total = t.plan_manifests("extra = 5")
+    assert touched == total  # no bound for the new field: never prunes
+    assert t.scan("key >= 1000").count() == 10

@@ -166,6 +166,45 @@ def probe_burned_slots() -> dict:
         }
 
 
+def probe_plan_cost() -> dict:
+    """Two-tier planning (r14): per-scan planning cost with write-time
+    manifest summaries vs the dynamic per-entry aggregation, on a
+    30k-file table. The summary path is O(manifests x conjuncts); the
+    dynamic path re-aggregates every member entry per scan."""
+    with tempfile.TemporaryDirectory() as wh:
+        loc = _mk(wh, "plan")
+        done = 0
+        while done < 30_000:
+            _append(loc, 100, keep_last=20)
+            done += 100
+        t = LakeTable.__new__(LakeTable)
+        t.spark = None
+        t.location = loc
+        pred = "k < 500"
+        t0 = time.perf_counter()
+        for _ in range(20):
+            touched, total = t.plan_manifests(pred)
+        summary_s = (time.perf_counter() - t0) / 20
+        orig = LakeTable._snapshot_manifest_recs
+        LakeTable._snapshot_manifest_recs = lambda self, md, snap: {}
+        try:
+            t0 = time.perf_counter()
+            for _ in range(20):
+                touched_d, total_d = t.plan_manifests(pred)
+            dynamic_s = (time.perf_counter() - t0) / 20
+        finally:
+            LakeTable._snapshot_manifest_recs = orig
+        assert (touched, total) == (touched_d, total_d)
+        return {
+            "table_files": 30_000,
+            "manifests": total,
+            "touched": touched,
+            "plan_s_summary": round(summary_s, 5),
+            "plan_s_dynamic": round(dynamic_s, 5),
+            "speedup": round(dynamic_s / summary_s, 1),
+        }
+
+
 def main() -> None:
     result = {
         "probe": "meta_probe",
@@ -173,6 +212,7 @@ def main() -> None:
         "file_scale": probe_file_scale(),
         "snapshot_scale": probe_snapshot_scale(),
         "burned_slots": probe_burned_slots(),
+        "plan_cost": probe_plan_cost(),
     }
     fs = result["file_scale"]
     result["flat_in_table_size"] = (

@@ -190,6 +190,11 @@ class TableMetadata:
         # at serialize; snapshots are immutable once committed, so a
         # known list ref is carried without recomputation.
         self.manifest_list_refs: dict[int, str] = {}
+        # manifest ref -> write-time pruning summary (see
+        # manifest_summary). Carried so building a NEW snapshot's list
+        # reuses carried manifests' summaries in O(1) instead of
+        # re-aggregating O(table) entries per commit.
+        self.manifest_summaries: dict[str, dict] = {}
 
     # -- convenience -------------------------------------------------
     def schema(self, schema_id: int | None = None) -> Schema:
@@ -216,6 +221,99 @@ class TableMetadata:
 # ---------------------------------------------------------------------------
 # (De)serialization + atomic commit protocol
 # ---------------------------------------------------------------------------
+
+
+_NUMERIC_SQL_TYPES = {
+    "tinyint", "smallint", "int", "integer", "bigint", "long",
+    "float", "real", "double",
+}
+
+
+def _stat_agg_key(v: Any, col_type: Any):
+    """Coerce a footer stat into the value-ordered representation
+    ``transforms.stats_may_match`` compares under, so aggregate
+    (manifest-level) min/max is a strict relaxation of the per-file
+    check. Decimal stats arrive as strings — raw min()/max() over those
+    is lexicographic (min('100.00','99.00') == '100.00'), which INVERTS
+    the bound and can prune a manifest whose member files match
+    (ADVICE r10). Returns None when the value has no usable total order
+    for this column type (caller drops the bound — pruning stays
+    conservative). Lives here (not table.py) so write-time summary
+    computation and read-time planning share one definition."""
+    if v is None:
+        return None
+    t = str(col_type or "").lower()
+    if t in _NUMERIC_SQL_TYPES or t.startswith("decimal"):
+        if isinstance(v, bool):
+            return None
+        if isinstance(v, (int, float)):
+            return float(v)
+        try:  # Decimal stats arrive as str(v) via _json_safe
+            return float(v)
+        except (TypeError, ValueError):
+            return None
+    if t == "date" or t.startswith("timestamp"):
+        # ISO-8601 strings (fixed field order, zero-padded) sort
+        # lexicographically in chronological order
+        return v if isinstance(v, str) else None
+    if t == "string":
+        return v if isinstance(v, str) else None
+    return None  # binary hex, structs, unknown types: no aggregate bound
+
+
+# At most this many distinct (spec, schema, partition-tuple) combos are
+# inlined in a manifest summary; beyond it the summary stores None and
+# planning falls back to the per-file partition check (conservative).
+SUMMARY_PARTITION_CAP = 32
+
+
+def manifest_summary(md: TableMetadata, entries: list[DataFile]) -> dict:
+    """Write-time pruning summary for one manifest: per-FIELD-ID
+    aggregate [min, max] under the ``_stat_agg_key`` value order (only
+    for columns every member file bounds — else omitted, conservative)
+    plus the distinct partition combos (capped). Field-id keying makes
+    the summary survive renames; the type used is the write-time type,
+    whose value order promotion (int ladder / float->double / decimal
+    precision widening) never changes. Summaries are valid for any
+    carried SUBSET of the manifest: a subset's true bounds are contained
+    in the full bounds, so pruning with the full summary stays sound."""
+    bounds: dict[str, list] = {}
+    for fld in md.schema().fields:
+        agg = None
+        complete = True
+        for f in entries:
+            written = md.schema(f.schema_id).by_id()
+            wf = written.get(fld.id)
+            st = f.stats.get(wf.name) if wf is not None else None
+            if st is None:
+                complete = False
+                break
+            lo = _stat_agg_key(st[0], fld.type)
+            hi = _stat_agg_key(st[1], fld.type)
+            if lo is None or hi is None:
+                complete = False
+                break
+            try:
+                agg = (
+                    [lo, hi]
+                    if agg is None
+                    else [min(agg[0], lo), max(agg[1], hi)]
+                )
+            except TypeError:  # mixed key types across files
+                complete = False
+                break
+        if complete and agg is not None:
+            bounds[str(fld.id)] = agg
+    combos = {
+        (f.spec_id, f.schema_id, tuple(sorted(f.partition.items())))
+        for f in entries
+    }
+    parts = (
+        [[sid, schid, [list(kv) for kv in pv]] for sid, schid, pv in sorted(combos)]
+        if len(combos) <= SUMMARY_PARTITION_CAP
+        else None
+    )
+    return {"b": bounds, "p": parts}
 
 
 # ---- manifest sidecar files ------------------------------------------------
@@ -390,6 +488,10 @@ def _to_json(md: TableMetadata, mdir: str | None = None) -> str:
                         ref = write_manifest(mdir, mid, entries)
                         if mid != 0:
                             md.manifest_refs[key] = ref
+                    summ = md.manifest_summaries.get(ref)
+                    if summ is None:
+                        summ = manifest_summary(md, entries)
+                        md.manifest_summaries[ref] = summ
                     recs.append(
                         {
                             "manifest_id": mid,
@@ -397,6 +499,7 @@ def _to_json(md: TableMetadata, mdir: str | None = None) -> str:
                             "count": len(entries),
                             "rows": sum(e.rows for e in entries),
                             "bytes": sum(e.bytes for e in entries),
+                            "summary": summ,
                         }
                     )
                 list_ref = write_manifest_list(mdir, recs)
@@ -423,6 +526,7 @@ def _from_json(text: str, mdir: str | None = None) -> TableMetadata:
     d.setdefault("tags", {})
     loaded_refs: dict[tuple[int, int], str] = {}
     loaded_lists: dict[int, str] = {}
+    loaded_summaries: dict[str, dict] = {}
     snaps = []
     for s in d["snapshots"]:
         recs = None
@@ -441,6 +545,8 @@ def _from_json(text: str, mdir: str | None = None) -> TableMetadata:
                 files.extend(_load_manifest(mdir, rec["ref"]))
                 if rec["manifest_id"] != 0:
                     loaded_refs[(rec["manifest_id"], rec["count"])] = rec["ref"]
+                if "summary" in rec:
+                    loaded_summaries[rec["ref"]] = rec["summary"]
         else:
             files = [DataFile(**f) for f in s["files"]]
         keep = {
@@ -461,6 +567,7 @@ def _from_json(text: str, mdir: str | None = None) -> TableMetadata:
     md = TableMetadata(**d)
     md.manifest_refs.update(loaded_refs)
     md.manifest_list_refs.update(loaded_lists)
+    md.manifest_summaries.update(loaded_summaries)
     return md
 
 

@@ -36,41 +36,11 @@ from tutorial_iceberg_spark.lakehouse import metadata as M
 from tutorial_iceberg_spark.lakehouse import transforms as T
 
 
-_NUMERIC_SQL_TYPES = {
-    "tinyint", "smallint", "int", "integer", "bigint", "long",
-    "float", "real", "double",
-}
-
-
-def _stat_agg_key(v: Any, col_type: Any):
-    """Coerce a ``_json_safe``'d footer stat into the SAME value-ordered
-    representation ``transforms.stats_may_match`` compares under, so that
-    manifest-level aggregate min/max is a strict relaxation of the
-    per-file check. ``_json_safe`` stores Decimal as ``str`` — raw
-    ``min()/max()`` over those is lexicographic (min('100.00','99.00') ==
-    '100.00'), which INVERTS the bound and can prune a manifest whose
-    member files match. Returns None when the value has no usable total
-    order for this column type (caller drops the aggregate bound —
-    pruning stays conservative)."""
-    if v is None:
-        return None
-    t = str(col_type or "").lower()
-    if t in _NUMERIC_SQL_TYPES or t.startswith("decimal"):
-        if isinstance(v, bool):
-            return None
-        if isinstance(v, (int, float)):
-            return float(v)
-        try:  # Decimal stats arrive as str(v) via _json_safe
-            return float(v)
-        except (TypeError, ValueError):
-            return None
-    if t == "date" or t.startswith("timestamp"):
-        # ISO-8601 strings (fixed field order, zero-padded) sort
-        # lexicographically in chronological order
-        return v if isinstance(v, str) else None
-    if t == "string":
-        return v if isinstance(v, str) else None
-    return None  # binary hex, structs, unknown types: no aggregate bound
+# Canonical definitions live in metadata.py (shared with write-time
+# manifest-summary computation); aliased here for the dynamic planning
+# path and existing importers.
+_NUMERIC_SQL_TYPES = M._NUMERIC_SQL_TYPES
+_stat_agg_key = M._stat_agg_key
 
 
 def _json_safe(v: Any):
@@ -776,6 +746,63 @@ class LakeTable:
             groups.setdefault(f.manifest_id, []).append(f)
         return groups
 
+    def _snapshot_manifest_recs(
+        self, md: M.TableMetadata, snap: M.Snapshot
+    ) -> dict[int, dict]:
+        """manifest_id -> manifest-list record (with its write-time
+        pruning summary) for this snapshot; {} when the snapshot predates
+        summaries (legacy list) — planning then falls back to the
+        dynamic per-entry aggregation."""
+        lref = md.manifest_list_refs.get(snap.snapshot_id)
+        if not lref:
+            return {}
+        try:
+            recs = M._load_manifest_list(
+                M.metadata_dir(self.location), lref
+            )
+        except OSError:
+            return {}
+        return {r["manifest_id"]: r for r in recs}
+
+    @staticmethod
+    def _summary_may_match(md, summary, conjuncts) -> bool:
+        """Manifest pruning from the WRITE-TIME summary (metadata.
+        manifest_summary) — O(conjuncts) per manifest instead of
+        O(member entries). Strictly MORE conservative than the dynamic
+        check: bounds cover the full original manifest (valid for any
+        carried subset), partition combos are the write-time superset,
+        and both sides compare under the same _stat_agg_key /
+        stats_may_match value order. Field-id keys survive renames; a
+        column added after the summary was written has no bound and
+        never prunes."""
+        current_by_name = {f.name: f.id for f in md.schema().fields}
+        bounds = summary.get("b") or {}
+        parts = summary.get("p")
+        wtypes_cache: dict[tuple[int, int], dict[str, str]] = {}
+        for col, op, val in conjuncts:
+            fid = current_by_name.get(col)
+            bnd = bounds.get(str(fid)) if fid is not None else None
+            if bnd is not None and not T.stats_may_match(bnd, op, val):
+                return False
+            if parts is not None:
+                ok = False
+                for sid, schid, pv in parts:
+                    gen = (sid, schid)
+                    st = wtypes_cache.get(gen)
+                    if st is None:
+                        st = LakeTable._written_source_types(
+                            md, md.spec(sid), schid
+                        )
+                        wtypes_cache[gen] = st
+                    if T.partition_may_match(
+                        md.spec(sid).fields, dict(pv), col, op, val, st
+                    ):
+                        ok = True
+                        break
+                if not ok:
+                    return False
+        return True
+
     def plan_manifests(
         self, pred_sql: str, snap: M.Snapshot | None = None
     ) -> tuple[int, int]:
@@ -790,11 +817,14 @@ class LakeTable:
         groups = self.manifest_groups(snap)
         if conjuncts is None:
             return len(groups), len(groups)
-        touched = sum(
-            1
-            for g in groups.values()
-            if self._manifest_may_match(md, g, conjuncts)
-        )
+        recs = self._snapshot_manifest_recs(md, snap)
+        touched = 0
+        for mid, g in groups.items():
+            summ = (recs.get(mid) or {}).get("summary")
+            if summ is not None:
+                touched += self._summary_may_match(md, summ, conjuncts)
+            else:
+                touched += self._manifest_may_match(md, g, conjuncts)
         return touched, len(groups)
 
     @staticmethod
@@ -897,12 +927,22 @@ class LakeTable:
         # skips ALL its per-file checks. Behavior-neutral — per-file
         # pruning below would reject the same files — but the planning
         # cost drops from O(files) to O(surviving files + manifests)
-        # when manifests are selective (see rewrite_manifests).
+        # when manifests are selective (see rewrite_manifests). The
+        # write-time summary stored in the manifest-list rec makes the
+        # per-manifest check O(conjuncts) (r14); legacy snapshots
+        # without summaries fall back to the dynamic aggregation.
         groups = self.manifest_groups(snap)
         scan_files: list[M.DataFile] = []
         if len(groups) > 1:
-            for g in groups.values():
-                if self._manifest_may_match(md, g, conjuncts):
+            recs = self._snapshot_manifest_recs(md, snap)
+            for mid, g in groups.items():
+                summ = (recs.get(mid) or {}).get("summary")
+                keep = (
+                    self._summary_may_match(md, summ, conjuncts)
+                    if summ is not None
+                    else self._manifest_may_match(md, g, conjuncts)
+                )
+                if keep:
                     scan_files.extend(g)
         else:
             scan_files = list(snap.files)
