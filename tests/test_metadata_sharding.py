@@ -361,3 +361,98 @@ def test_summary_survives_rename_and_skips_new_columns(cat, spark):
     touched, total = t.plan_manifests("extra = 5")
     assert touched == total  # no bound for the new field: never prunes
     assert t.scan("key >= 1000").count() == 10
+
+
+def test_lazy_entry_list_survives_every_list_consumer(cat):
+    """Snapshot.files is lazily materialized (r14): every consumer shape
+    the engine or a test might use must route through the overrides —
+    a silent C-level bypass would read an EMPTY list. Hammer the
+    surface against the ground truth."""
+    loc = _mk_meta_table(cat.warehouse, "meta_lazy")
+    _append_commit(loc, 5)
+    _append_commit(loc, 3)
+
+    def fresh():
+        return M.read_metadata(loc).snapshot().files
+
+    truth = [f.path for f in list(fresh())]
+    assert len(truth) == 8
+    assert isinstance(fresh(), list)  # quacks as a list everywhere
+    assert len(fresh()) == 8
+    assert bool(fresh()) is True
+    assert [f.path for f in fresh()] == truth
+    assert [f.path for f in list(fresh())] == truth
+    assert [f.path for f in [*fresh()]] == truth
+    assert [f.path for f in tuple(fresh())] == truth
+    assert [f.path for f in fresh()[:100]] == truth
+    assert fresh()[0].path == truth[0]
+    assert [f.path for f in sorted(fresh(), key=lambda f: f.path)] == sorted(truth)
+    assert [f.path for f in reversed(fresh())] == truth[::-1]
+    assert {f.path for f in fresh()} == set(truth)
+    plain: list = []
+    plain.extend(fresh())
+    assert len(plain) == 8
+    assert len([0] + fresh()) == 9 and len(fresh() + [0]) == 9
+    two = fresh()
+    assert len(fresh() + two) == 16  # lazy + lazy
+    assert fresh() == list(fresh()) and list(fresh()) == fresh()
+    assert fresh() == fresh()  # lazy == lazy
+    x = [0]
+    x += fresh()
+    assert len(x) == 9
+    assert sum(1 for _ in fresh()) == 8
+    assert fresh().count(fresh()[0]) == 1
+    assert fresh().index(fresh()[0]) == 0
+    import copy as _copy
+
+    assert len(_copy.copy(fresh())) == 8
+    assert len(_copy.deepcopy(fresh())) == 8
+    import pickle
+
+    assert len(pickle.loads(pickle.dumps(fresh()))) == 8
+
+
+def test_pruned_scan_never_loads_pruned_manifest_entries(cat):
+    """The lazy two-tier payoff: a summary-pruned scan must read ONLY
+    the surviving manifests' entry files from disk."""
+    from tutorial_iceberg_spark.lakehouse.table import LakeTable
+
+    loc = _mk_meta_table(cat.warehouse, "meta_lazyio")
+    for c in range(8):
+        md = M.read_metadata(loc)
+        cur = md.snapshot()
+        base = list(cur.files) if cur else []
+        new = [
+            M.DataFile(
+                path=f"data/z/{c:02d}-{i:02d}.parquet",
+                rows=10,
+                bytes=1000,
+                schema_id=md.current_schema_id,
+                spec_id=md.current_spec_id,
+                stats={"k": [str(c * 100 + i), str(c * 100 + i)]},
+                manifest_id=0,
+            )
+            for i in range(4)
+        ]
+        t = LakeTable.__new__(LakeTable)
+        t.spark = None
+        t.location = loc
+        t._new_snapshot(md, "append", base + new)
+    # drop any cached entries so loads are observable, then scan cold
+    M._manifest_cache.clear()
+    M.__dict__["_manifest_cache_entries"] = 0
+    t = LakeTable.__new__(LakeTable)
+    t.spark = None
+    t.location = loc
+    md = t.meta
+    snap = md.snapshot()
+    before = M.manifest_file_reads
+    cands = t._candidates(md, snap, "k = 302")  # only commit 3's manifest
+    loads = M.manifest_file_reads - before
+    assert [f.path for f in cands] == ["data/z/03-02.parquet"]
+    assert loads == 1, loads  # 7 of 8 manifests never parsed
+    # planning alone is zero-entry-IO
+    before = M.manifest_file_reads
+    touched, total = t.plan_manifests("k = 302")
+    assert (touched, total) == (1, 8)
+    assert M.manifest_file_reads == before

@@ -181,6 +181,17 @@ def probe_plan_cost() -> dict:
         t.spark = None
         t.location = loc
         pred = "k < 500"
+        # cold two-tier read: metadata load + summary planning + scan
+        # candidates, counting manifest ENTRY files actually parsed
+        M._manifest_cache.clear()
+        reads0 = M.manifest_file_reads
+        t0 = time.perf_counter()
+        md_cold = t.meta
+        snap_cold = md_cold.snapshot()
+        plan_cold = t.plan_manifests(pred, snap_cold)
+        cands = t._candidates(md_cold, snap_cold, pred)
+        cold_s = time.perf_counter() - t0
+        cold_reads = M.manifest_file_reads - reads0
         t0 = time.perf_counter()
         for _ in range(20):
             touched, total = t.plan_manifests(pred)
@@ -202,6 +213,10 @@ def probe_plan_cost() -> dict:
             "plan_s_summary": round(summary_s, 5),
             "plan_s_dynamic": round(dynamic_s, 5),
             "speedup": round(dynamic_s / summary_s, 1),
+            "cold_read_plan_scan_s": round(cold_s, 4),
+            "cold_manifest_entry_files_parsed": cold_reads,
+            "cold_scan_candidate_files": len(cands),
+            "cold_plan": list(plan_cold),
         }
 
 

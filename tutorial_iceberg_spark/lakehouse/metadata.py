@@ -381,6 +381,8 @@ def _load_manifest(mdir: str, fname: str) -> tuple:
         if cached is not None:
             _manifest_cache.move_to_end(fpath)
     if cached is None:
+        global manifest_file_reads
+        manifest_file_reads += 1
         with open(fpath) as f:
             d = json.load(f)
         cached = tuple(DataFile(**e) for e in d["entries"])
@@ -439,6 +441,102 @@ def _load_manifest_list(mdir: str, fname: str) -> tuple:
         while len(_list_cache) > _LIST_CACHE_MAX:
             _list_cache.popitem(last=False)
     return recs
+
+
+# Cache-miss counter for scale probes: how many manifest FILES were
+# actually read from disk (a lazy scan over a pruned table should load
+# only the surviving manifests).
+manifest_file_reads = 0
+
+
+class _LazyEntryList(list):
+    """``Snapshot.files`` for format-2 metadata: materializes manifest
+    entries on first ACCESS instead of at parse, so reading table
+    metadata is O(version JSON + manifest lists) and a summary-pruned
+    scan loads only surviving manifests' entries. Subclasses list and
+    overrides every read/mutation entry point to materialize first;
+    CPython 3.11 routes all C-level consumers of non-exact lists
+    (list(), extend, +, json, tuple, set, sort, ==) through these
+    dunders — verified empirically in tests/test_metadata_sharding.py's
+    bypass hammer. Reflected ops (__radd__, __eq__) take priority over
+    a plain-list left operand because this is a list SUBCLASS."""
+
+    def __init__(self, mdir: str, recs):
+        super().__init__()
+        self._mdir = mdir
+        self._recs = recs
+        self._materialized = False
+        self._lock = threading.Lock()
+
+    def _load(self) -> None:
+        # double-checked under a per-instance lock: a concurrent first
+        # access must never observe a partially-extended list (the flag
+        # flips only AFTER the storage is complete)
+        if not self._materialized:
+            with self._lock:
+                if not self._materialized:
+                    for rec in self._recs:
+                        list.extend(
+                            self, _load_manifest(self._mdir, rec["ref"])
+                        )
+                    self._materialized = True
+
+    def _via(name, base=list):  # noqa: N805 — descriptor factory
+        fn = getattr(base, name)
+
+        def wrapper(self, *a, **k):
+            self._load()
+            return fn(self, *a, **k)
+
+        wrapper.__name__ = name
+        return wrapper
+
+    for _name in (
+        "__iter__", "__len__", "__getitem__", "__contains__",
+        "__reversed__", "__mul__", "__rmul__",
+        "index", "count", "copy", "sort", "reverse",
+        "append", "insert", "pop", "remove", "clear",
+        "__setitem__", "__delitem__", "__imul__",
+    ):
+        locals()[_name] = _via(_name)
+
+    def _via2(name, base=list):  # noqa: N805 — binary ops: load BOTH sides
+        fn = getattr(base, name)
+
+        def wrapper(self, other, *a, **k):
+            self._load()
+            if isinstance(other, _LazyEntryList):
+                other._load()
+            return fn(self, other, *a, **k)
+
+        wrapper.__name__ = name
+        return wrapper
+
+    for _name in (
+        "__eq__", "__ne__", "__lt__", "__le__", "__gt__", "__ge__",
+        "__add__", "__iadd__", "extend",
+    ):
+        locals()[_name] = _via2(_name)
+    del _name, _via, _via2
+
+    __hash__ = None  # lists are unhashable; defining __eq__ resets this
+
+    def __bool__(self):
+        self._load()
+        return list.__len__(self) > 0
+
+    def __radd__(self, other):
+        self._load()
+        return other + list(self)
+
+    def __reduce_ex__(self, proto):  # pickle/copy as a plain list
+        self._load()
+        return (list, (list(self),))
+
+    def __repr__(self):
+        if not self._materialized:
+            return f"<lazy manifest entries: {len(self._recs)} manifests>"
+        return list.__repr__(self)
 
 
 def _to_json(md: TableMetadata, mdir: str | None = None) -> str:
@@ -540,9 +638,12 @@ def _from_json(text: str, mdir: str | None = None) -> TableMetadata:
                 loaded_lists[s["snapshot_id"]] = s["manifest_list"]
             else:  # transitional shape: inline ref records
                 recs = s["manifests"]
-            files: list[DataFile] = []
+            # LAZY: entries load on first access (refs/summaries come
+            # from the recs, so bookkeeping needs no entry IO) — reading
+            # metadata is O(headers + lists), and a summary-pruned scan
+            # loads only surviving manifests
+            files: list[DataFile] = _LazyEntryList(mdir, recs)
             for rec in recs:
-                files.extend(_load_manifest(mdir, rec["ref"]))
                 if rec["manifest_id"] != 0:
                     loaded_refs[(rec["manifest_id"], rec["count"])] = rec["ref"]
                 if "summary" in rec:

@@ -814,10 +814,19 @@ class LakeTable:
         md = self.meta
         snap = snap or md.snapshot()
         conjuncts = T.parse_conjuncts(pred_sql)
+        recs = self._snapshot_manifest_recs(md, snap)
+        if recs and all("summary" in r for r in recs.values()):
+            # summary-only planning: zero manifest-entry IO
+            if conjuncts is None:
+                return len(recs), len(recs)
+            touched = sum(
+                self._summary_may_match(md, r["summary"], conjuncts)
+                for r in recs.values()
+            )
+            return touched, len(recs)
         groups = self.manifest_groups(snap)
         if conjuncts is None:
             return len(groups), len(groups)
-        recs = self._snapshot_manifest_recs(md, snap)
         touched = 0
         for mid, g in groups.items():
             summ = (recs.get(mid) or {}).get("summary")
@@ -931,21 +940,30 @@ class LakeTable:
         # write-time summary stored in the manifest-list rec makes the
         # per-manifest check O(conjuncts) (r14); legacy snapshots
         # without summaries fall back to the dynamic aggregation.
-        groups = self.manifest_groups(snap)
         scan_files: list[M.DataFile] = []
-        if len(groups) > 1:
-            recs = self._snapshot_manifest_recs(md, snap)
-            for mid, g in groups.items():
-                summ = (recs.get(mid) or {}).get("summary")
-                keep = (
-                    self._summary_may_match(md, summ, conjuncts)
-                    if summ is not None
-                    else self._manifest_may_match(md, g, conjuncts)
-                )
-                if keep:
-                    scan_files.extend(g)
+        recs = self._snapshot_manifest_recs(md, snap)
+        if len(recs) > 1 and all("summary" in r for r in recs.values()):
+            # lazy two-tier path: the recs fully describe this snapshot's
+            # manifests, so pruned manifests' ENTRIES are never parsed —
+            # planning IO is O(surviving manifests), not O(table)
+            mdir = M.metadata_dir(self.location)
+            for rec in recs.values():
+                if self._summary_may_match(md, rec["summary"], conjuncts):
+                    scan_files.extend(M._load_manifest(mdir, rec["ref"]))
         else:
-            scan_files = list(snap.files)
+            groups = self.manifest_groups(snap)
+            if len(groups) > 1:
+                for mid, g in groups.items():
+                    summ = (recs.get(mid) or {}).get("summary")
+                    keep = (
+                        self._summary_may_match(md, summ, conjuncts)
+                        if summ is not None
+                        else self._manifest_may_match(md, g, conjuncts)
+                    )
+                    if keep:
+                        scan_files.extend(g)
+            else:
+                scan_files = list(snap.files)
         # predicate references current names; map back to write-time names
         current_by_name = {f.name: f.id for f in md.schema().fields}
         # written-time partition-source types per (spec, schema) generation —
