@@ -456,3 +456,26 @@ def test_pruned_scan_never_loads_pruned_manifest_entries(cat):
     touched, total = t.plan_manifests("k = 302")
     assert (touched, total) == (1, 8)
     assert M.manifest_file_reads == before
+
+
+def test_lazy_load_failure_is_retryable_without_duplication(cat):
+    """A mid-materialization failure (a manifest a racing expiry
+    collected) must leave the lazy list EMPTY so a retry reloads from
+    scratch — the pre-fix staging bug duplicated already-extended
+    manifests on retry."""
+    loc = _mk_meta_table(cat.warehouse, "meta_lazyfail")
+    _append_commit(loc, 4)
+    _append_commit(loc, 4)
+    M._manifest_cache.clear()
+    md = M.read_metadata(loc)
+    files = md.snapshot().files
+    # delete the SECOND manifest out from under the lazy list
+    mdir = M.metadata_dir(loc)
+    second_ref = files._recs[1]["ref"]
+    victim = os.path.join(mdir, second_ref)
+    os.rename(victim, victim + ".hidden")
+    with pytest.raises(OSError):
+        len(files)
+    os.rename(victim + ".hidden", victim)
+    assert len(files) == 8  # retry succeeds with NO duplication
+    assert len({f.path for f in files}) == 8

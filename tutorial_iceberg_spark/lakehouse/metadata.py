@@ -471,14 +471,20 @@ class _LazyEntryList(list):
     def _load(self) -> None:
         # double-checked under a per-instance lock: a concurrent first
         # access must never observe a partially-extended list (the flag
-        # flips only AFTER the storage is complete)
+        # flips only AFTER the storage is complete). Staged into a local
+        # first so a mid-load failure (e.g. a manifest a racing expiry
+        # collected — the documented reader-vs-expiry contract) leaves
+        # the storage EMPTY: a retry re-loads from scratch instead of
+        # duplicating the manifests that had already extended.
         if not self._materialized:
             with self._lock:
                 if not self._materialized:
+                    staged: list = []
                     for rec in self._recs:
-                        list.extend(
-                            self, _load_manifest(self._mdir, rec["ref"])
+                        staged.extend(
+                            _load_manifest(self._mdir, rec["ref"])
                         )
+                    list.extend(self, staged)
                     self._materialized = True
 
     def _via(name, base=list):  # noqa: N805 — descriptor factory
