@@ -479,3 +479,70 @@ def test_lazy_load_failure_is_retryable_without_duplication(cat):
     os.rename(victim + ".hidden", victim)
     assert len(files) == 8  # retry succeeds with NO duplication
     assert len({f.path for f in files}) == 8
+
+
+def test_rollback_plus_delete_never_resurrects_via_ref_collision(cat, spark):
+    """r14 review (CONFIRMED repro): two snapshots carrying DIFFERENT
+    same-size subsets of one manifest must serialize distinct manifests.
+    The (manifest_id, count)-keyed reuse collided here: append {a,b,c},
+    delete c (carries {a,b}), rollback, delete b (carries {a,c}) — the
+    second snapshot silently round-tripped as {a,b}: deleted row
+    resurrected, surviving row vanished."""
+    t = cat.create_table("db.refcol", "k bigint, tag string")
+    t.append(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k bigint, tag string"
+        ).repartition(3, "k")
+    )
+    first = t.meta.current_snapshot_id
+    t.delete("tag = 'c'")
+    assert sorted(r["tag"] for r in t.read().collect()) == ["a", "b"]
+    t.rollback_to(first)
+    assert sorted(r["tag"] for r in t.read().collect()) == ["a", "b", "c"]
+    t.delete("tag = 'b'")
+    # fresh loads all the way down (no in-process object reuse)
+    t2 = cat.load_table("db.refcol")
+    assert sorted(r["tag"] for r in t2.read().collect()) == ["a", "c"]
+    # and time travel still shows each historical state faithfully
+    md = t2.meta
+    by_op = [
+        sorted(r["tag"] for r in t2.read(snapshot_id=s.snapshot_id).collect())
+        for s in md.snapshots
+    ]
+    assert ["a", "b"] in by_op and ["a", "c"] in by_op
+
+
+def test_orphan_sweep_protects_legacy_id0_manifest(cat, spark):
+    """r14 review (CONFIRMED repro): a format-1 table upgraded by any
+    format-2 commit serializes its legacy manifest_id-0 group into a
+    sidecar the current snapshot's manifest list references; the live
+    set must include it (the old (mid,count) bookkeeping skipped id 0,
+    so the sweep deleted a LIVE manifest and broke the read)."""
+    t = cat.create_table("db.leg0", "k bigint, v string")
+    t.append(spark.createDataFrame([(1, "x"), (2, "y")], "k bigint, v string"))
+    # rewrite current metadata as legacy inline format with id-0 entries
+    md = t.meta
+    for s in md.snapshots:
+        for f in s.files:
+            f.manifest_id = 0
+    md.last_manifest_id = 0
+    legacy = M._to_json(md, None)
+    vpath = os.path.join(
+        M.metadata_dir(t.location), f"v{md.loaded_version}.metadata.json"
+    )
+    tmp = vpath + ".legacy"
+    with open(tmp, "w") as f:
+        f.write(legacy)
+    os.replace(tmp, vpath)
+    # any metadata-only commit upgrades to format 2 (id-0 sidecar)
+    t.set_property("owner", "legacy")
+    mdir = M.metadata_dir(t.location)
+    assert any(
+        n.startswith("manifest-") and not n.startswith("manifest-list-")
+        for n in os.listdir(mdir)
+    )
+    # age everything; the zero-grace sweep must keep the live sidecars
+    for n in os.listdir(mdir):
+        os.utime(os.path.join(mdir, n), (1, 1))
+    t.remove_orphan_files(grace_s=0.0)
+    assert sorted(r["k"] for r in cat.load_table("db.leg0").read().collect()) == [1, 2]

@@ -172,18 +172,8 @@ class TableMetadata:
     pending_txn: str | None = None
 
     def __post_init__(self) -> None:
-        # NON-serialized bookkeeping (not a dataclass field, so asdict
-        # skips it): (manifest_id, entry_count) -> manifest sidecar
-        # filename, for every group this metadata was LOADED with or has
-        # WRITTEN. Lets serialization carry unchanged manifests by
-        # reference without re-fingerprinting their entries — the key is
-        # sound because entries bearing a manifest id are always copies
-        # of the set the id's creating commit stamped (fresh entries get
-        # a NEW id, so membership only ever shrinks via carry-subsets:
-        # equal counts imply equal sets). Legacy id-0 groups are exempt
-        # (multiple commits stamped 0 pre-manifest) and always
-        # fingerprint.
-        self.manifest_refs: dict[tuple[int, int], str] = {}
+        # NON-serialized bookkeeping (not dataclass fields, so asdict
+        # skips them).
         # snapshot_id -> manifest-list sidecar filename (format 2's
         # second indirection: the version JSON names ONE list per
         # snapshot; the list names the manifests). Populated at load and
@@ -278,11 +268,19 @@ def manifest_summary(md: TableMetadata, entries: list[DataFile]) -> dict:
     carried SUBSET of the manifest: a subset's true bounds are contained
     in the full bounds, so pruning with the full summary stays sound."""
     bounds: dict[str, list] = {}
+    # memoized per schema generation: entries cluster into one or two
+    # generations, and rebuilding by_id() per (field, entry) pair made
+    # summarizing a merged 100k-entry manifest O(fields x entries x
+    # schema) dict constructions (r14 review)
+    by_id_cache: dict[int, dict[int, Field]] = {}
     for fld in md.schema().fields:
         agg = None
         complete = True
         for f in entries:
-            written = md.schema(f.schema_id).by_id()
+            written = by_id_cache.get(f.schema_id)
+            if written is None:
+                written = md.schema(f.schema_id).by_id()
+                by_id_cache[f.schema_id] = written
             wf = written.get(fld.id)
             st = f.stats.get(wf.name) if wf is not None else None
             if st is None:
@@ -327,8 +325,16 @@ def manifest_summary(md: TableMetadata, entries: list[DataFile]) -> dict:
 # cache-coherent by construction.
 
 # cap is in ENTRIES, not manifests: one giant manifest shouldn't evict
-# everything, and a thousand tiny ones shouldn't be unbounded
-_MANIFEST_CACHE_MAX_ENTRIES = 4_000_000
+# everything, and a thousand tiny ones shouldn't be unbounded. Each
+# cached DataFile is roughly 0.5-1 KB of Python objects (path + stats
+# dict + partition dict), so 2M entries bounds the cache near 1-2 GB —
+# sized for a driver planning a handful of 10^6-file tables; tune down
+# via TIS_MANIFEST_CACHE_ENTRIES for memory-tight deployments
+# (r14 review: the previous 4M ceiling read as a leak in long-lived
+# drivers).
+_MANIFEST_CACHE_MAX_ENTRIES = int(
+    os.environ.get("TIS_MANIFEST_CACHE_ENTRIES", 2_000_000)
+)
 _manifest_cache: OrderedDict[str, tuple] = OrderedDict()
 _manifest_cache_entries = 0
 _manifest_cache_lock = threading.Lock()
@@ -580,22 +586,50 @@ def _to_json(md: TableMetadata, mdir: str | None = None) -> str:
         else:
             list_ref = md.manifest_list_refs.get(s.snapshot_id)
             if list_ref is None:
+                # Carried-manifest reuse is keyed on the PARENT snapshot's
+                # own manifest-list record for the same manifest id — the
+                # only sound source. A new snapshot's mid-group is always
+                # a subset of its parent's (fresh entries get a NEW id,
+                # carries only drop members), so parent count == group
+                # count implies the same set. The earlier scheme keyed
+                # reuse on a metadata-global (manifest_id, count) map,
+                # which COLLIDES across non-chain histories: rollback_to
+                # then delete creates two different same-size subsets of
+                # one manifest, and the second snapshot silently
+                # serialized the first one's file list (r14 review,
+                # confirmed repro: a deleted file resurrected).
+                parent_recs: dict[int, dict] = {}
+                plref = (
+                    md.manifest_list_refs.get(s.parent_id)
+                    if s.parent_id is not None
+                    else None
+                )
+                if plref is not None:
+                    try:
+                        parent_recs = {
+                            r["manifest_id"]: r
+                            for r in _load_manifest_list(mdir, plref)
+                        }
+                    except OSError:
+                        parent_recs = {}
                 groups: dict[int, list[DataFile]] = {}
                 for f in s.files:
                     groups.setdefault(f.manifest_id, []).append(f)
                 recs = []
                 for mid in sorted(groups):
                     entries = groups[mid]
-                    key = (mid, len(entries))
-                    ref = md.manifest_refs.get(key) if mid != 0 else None
-                    if ref is None:
+                    prec = parent_recs.get(mid) if mid != 0 else None
+                    if prec is not None and prec["count"] == len(entries):
+                        ref = prec["ref"]
+                        summ = prec.get("summary")
+                        if summ is None:
+                            summ = md.manifest_summaries.get(ref)
+                    else:
                         ref = write_manifest(mdir, mid, entries)
-                        if mid != 0:
-                            md.manifest_refs[key] = ref
-                    summ = md.manifest_summaries.get(ref)
+                        summ = None
                     if summ is None:
                         summ = manifest_summary(md, entries)
-                        md.manifest_summaries[ref] = summ
+                    md.manifest_summaries[ref] = summ
                     recs.append(
                         {
                             "manifest_id": mid,
@@ -628,7 +662,6 @@ def _from_json(text: str, mdir: str | None = None) -> TableMetadata:
     ]
     d.setdefault("refs", {})
     d.setdefault("tags", {})
-    loaded_refs: dict[tuple[int, int], str] = {}
     loaded_lists: dict[int, str] = {}
     loaded_summaries: dict[str, dict] = {}
     snaps = []
@@ -650,8 +683,6 @@ def _from_json(text: str, mdir: str | None = None) -> TableMetadata:
             # loads only surviving manifests
             files: list[DataFile] = _LazyEntryList(mdir, recs)
             for rec in recs:
-                if rec["manifest_id"] != 0:
-                    loaded_refs[(rec["manifest_id"], rec["count"])] = rec["ref"]
                 if "summary" in rec:
                     loaded_summaries[rec["ref"]] = rec["summary"]
         else:
@@ -672,7 +703,6 @@ def _from_json(text: str, mdir: str | None = None) -> TableMetadata:
         )
     d["snapshots"] = snaps
     md = TableMetadata(**d)
-    md.manifest_refs.update(loaded_refs)
     md.manifest_list_refs.update(loaded_lists)
     md.manifest_summaries.update(loaded_summaries)
     return md

@@ -1934,23 +1934,27 @@ class LakeTable:
         )
 
     # -- D13/D14 maintenance ---------------------------------------------------------
-    @staticmethod
     def _manifest_refs_of(
-        md: M.TableMetadata, snaps: list[M.Snapshot]
+        self, md: M.TableMetadata, snaps: list[M.Snapshot]
     ) -> set[str]:
-        """Manifest sidecar filenames these snapshots reference, resolved
-        through the metadata's (manifest_id, count) -> ref bookkeeping
-        (complete for every loaded or written group; legacy id-0 groups
-        have no ref and are skipped — their sweep is the orphan rule)."""
+        """Manifest sidecar filenames these snapshots reference — EXACT,
+        from each snapshot's own manifest-list records (r14 review: the
+        earlier (manifest_id, count) bookkeeping both collided across
+        non-chain histories and omitted legacy id-0 groups, so GC could
+        classify a live manifest as dead). Zero entry IO: only the
+        (cached) list sidecars are read. Snapshots without a list ref
+        (legacy inline format) reference no sidecars."""
+        mdir = M.metadata_dir(self.location)
         refs: set[str] = set()
         for s in snaps:
-            groups: dict[int, int] = {}
-            for f in s.files:
-                groups[f.manifest_id] = groups.get(f.manifest_id, 0) + 1
-            for mid, count in groups.items():
-                r = md.manifest_refs.get((mid, count))
-                if r:
-                    refs.add(r)
+            lref = md.manifest_list_refs.get(s.snapshot_id)
+            if not lref:
+                continue
+            try:
+                recs = M._load_manifest_list(mdir, lref)
+            except OSError:
+                continue  # list already collected: nothing to protect
+            refs.update(r["ref"] for r in recs)
         return refs
 
     def expire_snapshots(self, older_than_ms: int | None = None, keep_last: int = 1) -> list[str]:
@@ -1994,7 +1998,15 @@ class LakeTable:
             # safe to unlink (paths are uuid-unique per write batch —
             # never reclaimed, so no path-identity race is possible)
             for s in removed:
-                for f in list(s.files) + list(s.delete_files):
+                try:
+                    removed_entries = list(s.files) + list(s.delete_files)
+                except OSError:
+                    # a racing orphan sweep already collected this
+                    # snapshot's manifest sidecars (they became dead the
+                    # instant our commit landed) — its data files are that
+                    # sweep's to finish; same terminal state either way
+                    continue
+                for f in removed_entries:
                     if f.path not in still_referenced and os.path.exists(self._abs(f.path)):
                         try:
                             os.remove(self._abs(f.path))
