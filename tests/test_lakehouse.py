@@ -1756,3 +1756,60 @@ def test_rest_append_front_door_races_rebase_on_409(cat, spark):
         md = t.meta
         assert len(md.snapshots) == 4
         assert all(s.summary.get("via") == "rest-catalog" for s in md.snapshots)
+
+
+def test_rest_validates_names_on_commit_get_delete_routes(spark, tmp_path):
+    """ADVICE r14 low: the r13 _safe_name fix covered only the create
+    routes; commit-table/GET-table/DELETE-table joined raw URL
+    components, so ns='..' reached any table-shaped directory outside
+    the warehouse (e.g. a sibling scratch warehouse). All table routes
+    must 400 on unsafe components and leave the outside table untouched."""
+    import urllib.error
+
+    from tutorial_iceberg_spark.lakehouse import metadata as M_
+    from tutorial_iceberg_spark.lakehouse.catalog import LakeCatalog
+    from tutorial_iceberg_spark.lakehouse.rest_catalog import (
+        RestCatalogClient,
+        RestCatalogServer,
+    )
+
+    wh = os.path.join(str(tmp_path), "wh")
+    os.makedirs(wh)
+    cat2 = LakeCatalog(spark, wh)
+    # a real table OUTSIDE the warehouse, exactly where ns='..' lands
+    victim_loc = os.path.join(str(tmp_path), "victim")
+    vmd = M_.new_table_metadata(
+        "victim", victim_loc, [M_.Field(1, "k", "bigint")]
+    )
+    M_.commit_metadata(victim_loc, vmd)
+    victim_v = M_.current_version(victim_loc)
+
+    with RestCatalogServer(cat2) as srv:
+        client = RestCatalogClient(srv.base_url)
+        for method, path, body in (
+            ("GET", "/v1/namespaces/../tables/victim", None),
+            ("GET", "/v1/namespaces/../tables", None),
+            (
+                "POST",
+                "/v1/namespaces/../tables/victim",
+                {
+                    "requirements": [],
+                    "updates": [
+                        {"action": "set-properties", "updates": {"pwned": "1"}}
+                    ],
+                },
+            ),
+            ("DELETE", "/v1/namespaces/../tables/victim", None),
+        ):
+            try:
+                if method == "GET":
+                    client._get(path)
+                else:
+                    client._send(method, path, body)
+                raise AssertionError(f"expected 400 for {method} {path}")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400, (method, path, e.code)
+    # the outside table is untouched: same version, no properties
+    assert M_.current_version(victim_loc) == victim_v
+    assert os.path.isdir(os.path.join(victim_loc, "metadata"))
+    assert M_.read_metadata(victim_loc).properties == {}

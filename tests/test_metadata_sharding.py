@@ -546,3 +546,102 @@ def test_orphan_sweep_protects_legacy_id0_manifest(cat, spark):
         os.utime(os.path.join(mdir, n), (1, 1))
     t.remove_orphan_files(grace_s=0.0)
     assert sorted(r["k"] for r in cat.load_table("db.leg0").read().collect()) == [1, 2]
+
+
+def test_warm_append_loads_zero_manifest_entry_files(cat, spark, monkeypatch):
+    """r14 verdict Next #1 (rec-driven append): a warm append carries the
+    parent's manifests via its manifest-list records, so NO manifest
+    entry file is opened anywhere on the append path — not restamping,
+    not the merge policy's sizing, not serialization (counts/rows come
+    from the recs). Commit wall is O(new files), not O(current files)."""
+    t = cat.create_table("db.warmrec", "k bigint, v string")
+    for i in range(3):
+        t.append(
+            spark.createDataFrame([(i, f"v{i}")], "k bigint, v string")
+        )
+    calls: list[str] = []
+    orig = M._load_manifest
+
+    def counting(mdir, ref):
+        calls.append(ref)
+        return orig(mdir, ref)
+
+    monkeypatch.setattr(M, "_load_manifest", counting)
+    t.append(spark.createDataFrame([(99, "warm")], "k bigint, v string"))
+    assert calls == [], f"warm append loaded manifest entries: {calls}"
+    monkeypatch.undo()
+    # and the committed snapshot is exactly right, carried refs included
+    assert sorted(r["k"] for r in t.read().collect()) == [0, 1, 2, 99]
+    md = t.meta
+    recs = M._load_manifest_list(
+        M.metadata_dir(t.location),
+        md.manifest_list_refs[md.current_snapshot_id],
+    )
+    assert sum(r["count"] for r in recs) == 4
+
+
+def test_commit_survives_racing_expiry_of_historical_manifest(cat, spark):
+    """ADVICE r14 medium: the serializer's ``len(s.files)`` materialized
+    EVERY retained snapshot's entries on EVERY commit — O(table) read IO
+    per commit, and an uncaught FileNotFoundError when a racing
+    expire_snapshots collected a historical snapshot's manifest between
+    this writer's metadata load and its commit. With entry_count the
+    commit touches no historical manifest at all."""
+    t = cat.create_table("db.histgone", "k bigint, v string")
+    t.append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string")
+    )
+    t.delete("k = 1")  # snapshot 2 rewrites the group: snap1's manifest
+    # is now referenced by snapshot 1 ONLY
+    mdir = M.metadata_dir(t.location)
+    md = M.read_metadata(t.location)  # the pre-expiry-loaded view
+    s1, s2 = md.snapshots[0], md.snapshots[1]
+    refs = {
+        s.snapshot_id: {
+            r["ref"]
+            for r in M._load_manifest_list(
+                mdir, md.manifest_list_refs[s.snapshot_id]
+            )
+        }
+        for s in (s1, s2)
+    }
+    exclusive = refs[s1.snapshot_id] - refs[s2.snapshot_id]
+    assert exclusive, "expected a snapshot-1-only manifest"
+    # the racing expiry: historical manifest gone from disk AND cache
+    for ref in exclusive:
+        os.unlink(os.path.join(mdir, ref))
+    with M._manifest_cache_lock:
+        M._manifest_cache.clear()
+        M._manifest_cache_entries = 0
+    # committing from the stale view must succeed (the old code raised
+    # FileNotFoundError inside _to_json's len(s.files))
+    t2 = cat.load_table("db.histgone")
+    t2.append(spark.createDataFrame([(3, "c")], "k bigint, v string"))
+    assert sorted(r["k"] for r in t2.read().collect()) == [2, 3]
+
+
+def test_orphan_sweep_skips_minimal_tombstone_pending_slot(cat, spark):
+    """ADVICE r14 low: if a resolver settles a claim to a minimal
+    tombstone between remove_orphan_files' _version_state probe and its
+    read_metadata_version, _from_json raises KeyError('schemas') — the
+    sweep must skip the slot like any other aborted one, not crash."""
+    t = cat.create_table("db.orphtomb", "k bigint, v string")
+    t.append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string")
+    )
+    md = M.read_metadata(t.location)
+    mdir = M.metadata_dir(t.location)
+    # a slot that probes "pending" (decision record absent) but whose
+    # body is a minimal tombstone: read_metadata_version -> KeyError
+    slot = os.path.join(mdir, f"v{md.loaded_version + 1}.metadata.json")
+    with open(slot, "w") as f:
+        json.dump(
+            {
+                "format_version": M.FORMAT_VERSION,
+                "pending_txn": os.path.join(mdir, "no-such-decision.json"),
+            },
+            f,
+        )
+    removed = t.remove_orphan_files(grace_s=3600.0)  # must not raise
+    assert removed == []
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 2]

@@ -467,10 +467,17 @@ class _LazyEntryList(list):
     bypass hammer. Reflected ops (__radd__, __eq__) take priority over
     a plain-list left operand because this is a list SUBCLASS."""
 
-    def __init__(self, mdir: str, recs):
+    def __init__(self, mdir: str, recs, tail=()):
         super().__init__()
         self._mdir = mdir
         self._recs = recs
+        # ``tail``: in-memory entries appended AFTER the carried manifests
+        # — the rec-driven append path (r15) builds the new snapshot's
+        # files as (parent's manifest recs, fresh entries) so a warm
+        # append never materializes the parent's entry lists. Tail entries
+        # are the same objects the caller holds: restamping their
+        # manifest_id before serialization is visible here by design.
+        self._tail = list(tail)
         self._materialized = False
         self._lock = threading.Lock()
 
@@ -490,6 +497,7 @@ class _LazyEntryList(list):
                         staged.extend(
                             _load_manifest(self._mdir, rec["ref"])
                         )
+                    staged.extend(self._tail)
                     list.extend(self, staged)
                     self._materialized = True
 
@@ -547,8 +555,32 @@ class _LazyEntryList(list):
 
     def __repr__(self):
         if not self._materialized:
-            return f"<lazy manifest entries: {len(self._recs)} manifests>"
+            return (
+                f"<lazy manifest entries: {len(self._recs)} manifests"
+                + (f" + {len(self._tail)} fresh>" if self._tail else ">")
+            )
         return list.__repr__(self)
+
+
+def entry_count(files) -> int:
+    """len(snapshot.files) WITHOUT materializing a lazy entry list:
+    manifest-list records carry each manifest's entry count, so the
+    total is O(manifests) arithmetic, not O(entries) manifest IO.
+    (ADVICE r14: the serializer's ``len(s.files)`` materialized every
+    retained snapshot on every commit — and turned a racing
+    expire_snapshots into an uncaught FileNotFoundError.)"""
+    if isinstance(files, _LazyEntryList) and not files._materialized:
+        return sum(r["count"] for r in files._recs) + len(files._tail)
+    return len(files)
+
+
+def entry_rows(files) -> int:
+    """sum(f.rows) without materializing — same contract as entry_count."""
+    if isinstance(files, _LazyEntryList) and not files._materialized:
+        return sum(r["rows"] for r in files._recs) + sum(
+            f.rows for f in files._tail
+        )
+    return sum(f.rows for f in files)
 
 
 def _to_json(md: TableMetadata, mdir: str | None = None) -> str:
@@ -612,6 +644,72 @@ def _to_json(md: TableMetadata, mdir: str | None = None) -> str:
                         }
                     except OSError:
                         parent_recs = {}
+                # Rec-driven fast path (r15): a snapshot built by the
+                # O(new-files) append carries (parent manifest recs,
+                # fresh tail) unmaterialized. Reuse is sound iff every
+                # carried rec is IDENTICALLY present in the parent's own
+                # manifest-list record (same id, ref, count) — the same
+                # soundness rule as the generic path below, checked
+                # directly against the parent record rather than via
+                # entry grouping, so serializing the snapshot costs
+                # O(manifests + fresh entries) with ZERO entry reads.
+                # Any mismatch (legacy id-0 group, rec not from this
+                # parent, tail colliding with a carried id) falls
+                # through to the generic materializing path.
+                lazy = s.files if isinstance(s.files, _LazyEntryList) else None
+                if lazy is not None and not lazy._materialized:
+                    carried_ids = {r["manifest_id"] for r in lazy._recs}
+                    sound = (
+                        all(
+                            r["manifest_id"] != 0
+                            and parent_recs.get(r["manifest_id"]) is not None
+                            and parent_recs[r["manifest_id"]]["ref"] == r["ref"]
+                            and parent_recs[r["manifest_id"]]["count"] == r["count"]
+                            for r in lazy._recs
+                        )
+                        and all(
+                            f.manifest_id != 0
+                            and f.manifest_id not in carried_ids
+                            for f in lazy._tail
+                        )
+                    )
+                    if sound:
+                        recs = []
+                        for r in lazy._recs:
+                            summ = r.get("summary")
+                            if summ is None:
+                                summ = md.manifest_summaries.get(r["ref"])
+                            if summ is None:  # pre-summary legacy rec
+                                summ = manifest_summary(
+                                    md, _load_manifest(mdir, r["ref"])
+                                )
+                            md.manifest_summaries[r["ref"]] = summ
+                            recs.append({**r, "summary": summ})
+                        tail_groups: dict[int, list[DataFile]] = {}
+                        for f in lazy._tail:
+                            tail_groups.setdefault(f.manifest_id, []).append(f)
+                        for mid in sorted(tail_groups):
+                            entries = tail_groups[mid]
+                            ref = write_manifest(mdir, mid, entries)
+                            summ = manifest_summary(md, entries)
+                            md.manifest_summaries[ref] = summ
+                            recs.append(
+                                {
+                                    "manifest_id": mid,
+                                    "ref": ref,
+                                    "count": len(entries),
+                                    "rows": sum(e.rows for e in entries),
+                                    "bytes": sum(e.bytes for e in entries),
+                                    "summary": summ,
+                                }
+                            )
+                        recs.sort(key=lambda r: r["manifest_id"])
+                        list_ref = write_manifest_list(mdir, recs)
+                        md.manifest_list_refs[s.snapshot_id] = list_ref
+                        sd["manifest_list"] = list_ref
+                        sd["count"] = entry_count(s.files)
+                        snaps_out.append(sd)
+                        continue
                 groups: dict[int, list[DataFile]] = {}
                 for f in s.files:
                     groups.setdefault(f.manifest_id, []).append(f)
@@ -643,7 +741,13 @@ def _to_json(md: TableMetadata, mdir: str | None = None) -> str:
                 list_ref = write_manifest_list(mdir, recs)
                 md.manifest_list_refs[s.snapshot_id] = list_ref
             sd["manifest_list"] = list_ref
-            sd["count"] = len(s.files)
+            # entry_count, NOT len(): len() on a lazy list materializes,
+            # so the old form loaded EVERY retained snapshot's manifest
+            # entries on EVERY commit — O(table) read IO per commit, and
+            # an uncaught FileNotFoundError if a racing expire_snapshots
+            # collected a historical manifest between this writer's load
+            # and its commit (ADVICE r14 medium).
+            sd["count"] = entry_count(s.files)
         snaps_out.append(sd)
     d["snapshots"] = snaps_out
     return json.dumps(d, indent=1)

@@ -112,6 +112,9 @@ class _Handler(BaseHTTPRequestHandler):
                 self._send(200, {"namespaces": [[ns] for ns in _namespaces(cat)]})
             elif len(parts) == 4 and parts[:2] == ["v1", "namespaces"] and parts[3] == "tables":
                 ns = parts[2]
+                if not _safe_name(ns):
+                    self._send(400, {"error": "unsafe namespace name"})
+                    return
                 if ns not in _namespaces(cat):
                     self._send(404, {"error": f"namespace {ns} not found"})
                     return
@@ -125,6 +128,13 @@ class _Handler(BaseHTTPRequestHandler):
                 )
             elif len(parts) == 5 and parts[:2] == ["v1", "namespaces"] and parts[3] == "tables":
                 ns, tbl = parts[2], parts[4]
+                if not (_safe_name(ns) and _safe_name(tbl)):
+                    # ADVICE r14: the r13 _safe_name fix covered only the
+                    # create routes; URL components like ns='..' on the
+                    # read/commit/drop routes still joined into paths
+                    # outside the warehouse
+                    self._send(400, {"error": "unsafe namespace or table name"})
+                    return
                 if tbl not in _tables(cat, ns):
                     self._send(404, {"error": f"table {ns}.{tbl} not found"})
                     return
@@ -204,6 +214,12 @@ class _Handler(BaseHTTPRequestHandler):
                 self._send(200, cat.table_metadata(f"{ns}.{name}"))
             elif len(parts) == 5 and parts[:2] == ["v1", "namespaces"] and parts[3] == "tables":
                 ns, tbl = parts[2], parts[4]
+                if not (_safe_name(ns) and _safe_name(tbl)):
+                    # ADVICE r14: commit-table joined raw URL components,
+                    # so ns='..' could commit snapshots into any
+                    # table-shaped directory outside the warehouse
+                    self._send(400, {"error": "unsafe namespace or table name"})
+                    return
                 if tbl not in _tables(cat, ns):
                     self._send(404, {"error": f"table {ns}.{tbl} not found"})
                     return
@@ -264,12 +280,14 @@ class _Handler(BaseHTTPRequestHandler):
                         t.spark = None  # metadata-only: no Spark on the server
                         t.location = loc
                         cur = md.snapshot()
-                        base = list(cur.files) if cur else []
+                        # rec-driven carry (r15): the server-side append
+                        # commit is O(staged entries), never O(table)
+                        base = t._carried_plus(md, cur, list(entries))
                         dels = list(cur.delete_files) if cur else []
                         t._new_snapshot(
                             md,
                             "append",
-                            base + list(entries),
+                            base,
                             dels,
                             {"via": "rest-catalog"},
                             commit=False,
@@ -298,6 +316,10 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             if len(parts) == 5 and parts[:2] == ["v1", "namespaces"] and parts[3] == "tables":
                 ns, tbl = parts[2], parts[4]
+                if not (_safe_name(ns) and _safe_name(tbl)):
+                    # ADVICE r14: same traversal class as the commit route
+                    self._send(400, {"error": "unsafe namespace or table name"})
+                    return
                 if tbl not in _tables(cat, ns):
                     self._send(404, {"error": f"table {ns}.{tbl} not found"})
                     return

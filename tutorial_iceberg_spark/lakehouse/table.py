@@ -232,7 +232,24 @@ class LakeTable:
         # prior snapshots keep their manifest id (their manifest file is
         # reused by reference); entries this commit created (stamped 0 by
         # _write_files) land together in ONE fresh manifest.
-        fresh = [f for f in files if f.manifest_id == 0]
+        #
+        # Rec-driven path (r15): a pure append hands in an UNMATERIALIZED
+        # lazy list — (parent's manifest recs, fresh tail). Everything
+        # this method needs about carried groups (ids, sizes, rows) is in
+        # the recs, so restamping, merge policy, and the snapshot summary
+        # all run with ZERO entry reads; only groups the merge policy
+        # actually coalesces load their entries. Warm-append commit wall
+        # is therefore O(new files), not O(current files).
+        lazy = (
+            files
+            if isinstance(files, M._LazyEntryList) and not files._materialized
+            else None
+        )
+        fresh = [
+            f
+            for f in (lazy._tail if lazy is not None else files)
+            if f.manifest_id == 0
+        ]
         if fresh:
             md.last_manifest_id += 1
             for f in fresh:
@@ -248,24 +265,68 @@ class LakeTable:
         # LSM-style amortization: each entry is rewritten O(log) times
         # over the table's life, and the list stays O(MANIFEST_MERGE_MIN)
         # so commit bytes stay O(new files).
-        groups: dict[int, list[M.DataFile]] = {}
-        for f in files:
-            groups.setdefault(f.manifest_id, []).append(f)
-        if len(groups) > self.MANIFEST_MERGE_MIN:
-            while len(groups) > self.MANIFEST_MERGE_MIN:
-                smallest = sorted(groups, key=lambda m: len(groups[m]))[
-                    : self.MANIFEST_MERGE_BATCH
-                ]
-                md.last_manifest_id += 1
-                nid = md.last_manifest_id
-                merged: list[M.DataFile] = []
-                for mid in smallest:
-                    merged.extend(
-                        M.DataFile(**{**f.__dict__, "manifest_id": nid})
-                        for f in groups.pop(mid)
-                    )
-                groups[nid] = merged
-            files = [f for g in groups.values() for f in g]
+        if lazy is not None:
+            recs_by_id = {r["manifest_id"]: dict(r) for r in lazy._recs}
+            tail_groups: dict[int, list[M.DataFile]] = {}
+            for f in lazy._tail:
+                tail_groups.setdefault(f.manifest_id, []).append(f)
+            sizes: dict[int, int] = {
+                **{m: r["count"] for m, r in recs_by_id.items()},
+                **{m: len(g) for m, g in tail_groups.items()},
+            }
+            if len(sizes) > self.MANIFEST_MERGE_MIN:
+                mdir = M.metadata_dir(self.location)
+                while len(sizes) > self.MANIFEST_MERGE_MIN:
+                    smallest = sorted(sizes, key=sizes.get)[
+                        : self.MANIFEST_MERGE_BATCH
+                    ]
+                    md.last_manifest_id += 1
+                    nid = md.last_manifest_id
+                    merged: list[M.DataFile] = []
+                    for mid in smallest:
+                        src = (
+                            tail_groups.pop(mid)
+                            if mid in tail_groups
+                            # only the groups being merged pay entry IO
+                            else M._load_manifest(
+                                mdir, recs_by_id.pop(mid)["ref"]
+                            )
+                        )
+                        merged.extend(
+                            M.DataFile(**{**f.__dict__, "manifest_id": nid})
+                            for f in src
+                        )
+                        del sizes[mid]
+                    tail_groups[nid] = merged
+                    sizes[nid] = len(merged)
+                files = M._LazyEntryList(
+                    M.metadata_dir(self.location),
+                    tuple(recs_by_id.values()),
+                    tail=[f for g in tail_groups.values() for f in g],
+                )
+            total_files = M.entry_count(files)
+            total_rows = M.entry_rows(files)
+        else:
+            groups: dict[int, list[M.DataFile]] = {}
+            for f in files:
+                groups.setdefault(f.manifest_id, []).append(f)
+            if len(groups) > self.MANIFEST_MERGE_MIN:
+                while len(groups) > self.MANIFEST_MERGE_MIN:
+                    smallest = sorted(groups, key=lambda m: len(groups[m]))[
+                        : self.MANIFEST_MERGE_BATCH
+                    ]
+                    md.last_manifest_id += 1
+                    nid = md.last_manifest_id
+                    merged = []
+                    for mid in smallest:
+                        merged.extend(
+                            M.DataFile(**{**f.__dict__, "manifest_id": nid})
+                            for f in groups.pop(mid)
+                        )
+                    groups[nid] = merged
+                files = [f for g in groups.values() for f in g]
+            total_files = len(files)
+            total_rows = sum(f.rows for f in files)
         parent = md.refs.get(ref) if ref is not None else md.current_snapshot_id
         snap = M.Snapshot(
             snapshot_id=md.last_snapshot_id,
@@ -276,7 +337,7 @@ class LakeTable:
             spec_id=md.current_spec_id,
             files=files,
             delete_files=list(delete_files or []),
-            summary={"total-files": len(files), "total-rows": sum(f.rows for f in files), **(summary or {})},
+            summary={"total-files": total_files, "total-rows": total_rows, **(summary or {})},
         )
         md.snapshots.append(snap)
         if ref is not None:
@@ -298,6 +359,36 @@ class LakeTable:
     # we rebase instantly instead, so a higher count is the same wait).
     APPEND_RETRIES = 10
 
+    def _carried_plus(
+        self,
+        md: M.TableMetadata,
+        parent: M.Snapshot | None,
+        new_files: list[M.DataFile],
+    ) -> list[M.DataFile]:
+        """Files list for a pure append: the parent snapshot's entries
+        carried BY REFERENCE (its manifest-list records, never the
+        entries themselves) plus the fresh entries as an in-memory tail.
+        This is what makes a warm append O(new files) — _new_snapshot and
+        _to_json both consume the recs directly, so no manifest entry
+        file is read or parsed on the append path (r14 verdict Next #1;
+        SCALE_PROBE r14 measured 0.47 s warm at 10^6 entries from the old
+        ``list(cur.files)`` materialization). Falls back to materializing
+        when the parent has no list record (legacy metadata) or still
+        references a legacy id-0 manifest group (those restamp in place,
+        so carrying them by ref would corrupt the shared cache)."""
+        if parent is None:
+            return list(new_files)
+        lref = md.manifest_list_refs.get(parent.snapshot_id)
+        if lref is not None:
+            mdir = M.metadata_dir(self.location)
+            try:
+                recs = M._load_manifest_list(mdir, lref)
+            except OSError:
+                recs = None
+            if recs is not None and all(r["manifest_id"] != 0 for r in recs):
+                return M._LazyEntryList(mdir, recs, tail=list(new_files))
+        return list(parent.files) + list(new_files)
+
     def append(self, df: DataFrame, properties: dict[str, str] | None = None) -> None:
         """D16 INSERT INTO ... VALUES / append — README.md:1136-1138.
 
@@ -315,12 +406,12 @@ class LakeTable:
         last_err: Exception | None = None
         for _ in range(self.APPEND_RETRIES):
             cur = md.snapshot()
-            base = list(cur.files) if cur else []
+            files = self._carried_plus(md, cur, new_files)
             dels = list(cur.delete_files) if cur else []
             if properties:
                 md.properties.update(properties)
             try:
-                self._new_snapshot(md, "append", base + new_files, dels)
+                self._new_snapshot(md, "append", files, dels)
                 return
             except M.CommitConflictError as e:
                 last_err = e
@@ -379,10 +470,10 @@ class LakeTable:
         last_err: Exception | None = None
         for _ in range(self.APPEND_RETRIES):
             head = md.snapshot(md.refs[name])
-            base = list(head.files) if head else []
+            files = self._carried_plus(md, head, new_files)
             dels = list(head.delete_files) if head else []
             try:
-                self._new_snapshot(md, "append", base + new_files, dels, ref=name)
+                self._new_snapshot(md, "append", files, dels, ref=name)
                 return
             except M.CommitConflictError as e:
                 last_err = e
@@ -2094,7 +2185,13 @@ class LakeTable:
                 continue
             try:
                 pend = M.read_metadata_version(self.location, v)
-            except (OSError, ValueError):
+            except (OSError, ValueError, KeyError, TypeError):
+                # KeyError/TypeError (ADVICE r14): a resolver can settle
+                # the claim to a minimal tombstone between the
+                # _version_state probe above (which saw 'pending') and
+                # this read — _from_json then raises KeyError('schemas').
+                # A settled tombstone is an aborted slot: skip it like
+                # any other, don't crash the sweep.
                 continue
             referenced |= {f.path for s in pend.snapshots for f in s.files}
             referenced |= {
