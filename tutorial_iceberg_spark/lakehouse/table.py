@@ -280,11 +280,9 @@ class LakeTable:
                     smallest = sorted(sizes, key=sizes.get)[
                         : self.MANIFEST_MERGE_BATCH
                     ]
-                    md.last_manifest_id += 1
-                    nid = md.last_manifest_id
-                    merged: list[M.DataFile] = []
+                    merged_src: list[M.DataFile] = []
                     for mid in smallest:
-                        src = (
+                        merged_src.extend(
                             tail_groups.pop(mid)
                             if mid in tail_groups
                             # only the groups being merged pay entry IO
@@ -292,13 +290,10 @@ class LakeTable:
                                 mdir, recs_by_id.pop(mid)["ref"]
                             )
                         )
-                        merged.extend(
-                            M.DataFile(**{**f.__dict__, "manifest_id": nid})
-                            for f in src
-                        )
                         del sizes[mid]
-                    tail_groups[nid] = merged
-                    sizes[nid] = len(merged)
+                    for nid, g in self._clustered_merge_groups(md, merged_src):
+                        tail_groups[nid] = g
+                        sizes[nid] = len(g)
                 files = M._LazyEntryList(
                     M.metadata_dir(self.location),
                     tuple(recs_by_id.values()),
@@ -315,15 +310,11 @@ class LakeTable:
                     smallest = sorted(groups, key=lambda m: len(groups[m]))[
                         : self.MANIFEST_MERGE_BATCH
                     ]
-                    md.last_manifest_id += 1
-                    nid = md.last_manifest_id
-                    merged = []
+                    merged_src = []
                     for mid in smallest:
-                        merged.extend(
-                            M.DataFile(**{**f.__dict__, "manifest_id": nid})
-                            for f in groups.pop(mid)
-                        )
-                    groups[nid] = merged
+                        merged_src.extend(groups.pop(mid))
+                    for nid, g in self._clustered_merge_groups(md, merged_src):
+                        groups[nid] = g
                 files = [f for g in groups.values() for f in g]
             total_files = len(files)
             total_rows = sum(f.rows for f in files)
@@ -348,9 +339,82 @@ class LakeTable:
             self._commit(md)
 
     # Manifest-merge policy (see _new_snapshot): a snapshot references at
-    # most MIN + BATCH manifests; each merge coalesces the BATCH smallest.
+    # most MIN + BATCH manifests; each merge coalesces the BATCH smallest
+    # into at most BATCH // 2 partition-clustered manifests.
     MANIFEST_MERGE_MIN = 32
     MANIFEST_MERGE_BATCH = 16
+
+    @staticmethod
+    def _pclust_key(f: M.DataFile):
+        """Total order over (spec, partition tuple) that never raises on
+        mixed value types: values group by type name first, then compare
+        within the type (a str month and an int bucket simply land in
+        separate runs — ordering quality, never correctness)."""
+        return (
+            f.spec_id,
+            tuple(
+                (k, v is None, type(v).__name__, 0 if v is None else v)
+                for k, v in sorted(f.partition.items())
+            ),
+        )
+
+    def _clustered_merge_groups(
+        self, md: M.TableMetadata, merged: list[M.DataFile]
+    ) -> list[tuple[int, list[M.DataFile]]]:
+        """Split one merge round's collected entries into partition-
+        CLUSTERED output manifests (r14 verdict Next #2). Arrival-order
+        merging interleaves partitions, so every merged manifest's
+        partition summary covered everything and never pruned — after K
+        interleaved-partition appends, summary-pruning efficiency
+        depended on an explicit rewrite_manifests. Clustering here keeps
+        each output manifest to a contiguous partition range, so
+        plan-time pruning holds WITHOUT maintenance (probes/r15/
+        cluster_probe.json: touched-manifest count after 50 interleaved
+        appends ~equals the post-rewrite_manifests count).
+
+        Output group count is capped at MANIFEST_MERGE_BATCH // 2, so a
+        merge round still nets the manifest count down by >= BATCH/2 and
+        the while-loop in _new_snapshot terminates; a single partition
+        is never split across output groups (splitting buys no pruning
+        and doubles the manifest-list growth)."""
+        order = sorted(merged, key=self._pclust_key)
+        nparts = len({self._pclust_key(f) for f in merged})
+        nout = min(nparts, max(1, self.MANIFEST_MERGE_BATCH // 2))
+        out_groups: list[list[M.DataFile]]
+        if nout <= 1:
+            out_groups = [order]
+        else:
+            per = -(-len(order) // nout)  # ceil
+            out_groups = []
+            cur: list[M.DataFile] = []
+            prev_key = None
+            for f in order:
+                k = self._pclust_key(f)
+                if (
+                    cur
+                    and len(cur) >= per
+                    and k != prev_key
+                    and len(out_groups) < nout - 1
+                ):
+                    out_groups.append(cur)
+                    cur = []
+                cur.append(f)
+                prev_key = k
+            out_groups.append(cur)
+        result = []
+        for g in out_groups:
+            md.last_manifest_id += 1
+            nid = md.last_manifest_id
+            result.append(
+                (
+                    nid,
+                    [
+                        M.DataFile(**{**f.__dict__, "manifest_id": nid})
+                        for f in g
+                    ],
+                )
+            )
+        return result
 
     # -- D16 INSERT / append ---------------------------------------------
     # With W concurrent writers, one commit round has one winner, so a
