@@ -1813,3 +1813,179 @@ def test_rest_validates_names_on_commit_get_delete_routes(spark, tmp_path):
     assert M_.current_version(victim_loc) == victim_v
     assert os.path.isdir(os.path.join(victim_loc, "metadata"))
     assert M_.read_metadata(victim_loc).properties == {}
+
+
+def test_rest_overwrite_and_delete_files_front_door(cat, spark):
+    """r14 verdict Next #3: row-level commits through the catalog
+    service. rest_merge runs the local merge computation but the
+    SERVICE constructs the overwrite snapshot; delete-files drops whole
+    files; stale requirements and stale removed-paths both map to 409."""
+    import urllib.error
+
+    from tutorial_iceberg_spark.lakehouse import metadata as M_
+    from tutorial_iceberg_spark.lakehouse.rest_catalog import (
+        RestCatalogClient,
+        RestCatalogServer,
+        rest_append,
+        rest_merge,
+    )
+
+    with RestCatalogServer(cat) as srv:
+        client = RestCatalogClient(srv.base_url)
+        client.create_namespace("od")
+        client.create_table(
+            "od", "t", [{"name": "k", "type": "bigint"}, {"name": "v", "type": "string"}]
+        )
+        t = cat.load_table("od.t")
+        rest_append(
+            client, t, "od", "t",
+            spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string"),
+        )
+        rest_append(
+            client, t, "od", "t",
+            spark.createDataFrame([(3, "c")], "k bigint, v string"),
+        )
+        stale_sid = t.meta.current_snapshot_id
+        # MERGE through the front door: update k=2, insert k=4
+        rest_merge(
+            client, t, "od", "t",
+            spark.createDataFrame([(2, "B"), (4, "d")], "k bigint, v string"),
+            on="k",
+        )
+        assert sorted((r["k"], r["v"]) for r in t.read().collect()) == [
+            (1, "a"), (2, "B"), (3, "c"), (4, "d"),
+        ]
+        md = t.meta
+        assert md.snapshot().summary.get("via") == "rest-catalog"
+        assert md.snapshot().summary.get("op") == "overwrite-files"
+        assert md.snapshot().operation == "overwrite"
+        # stale assert-ref-snapshot-id -> 409
+        try:
+            client.commit_table(
+                "od", "t",
+                updates=[{"action": "delete-files", "removed_paths": []}],
+                requirements=[
+                    {"type": "assert-ref-snapshot-id", "snapshot-id": stale_sid}
+                ],
+            )
+            raise AssertionError("expected 409 for stale requirement")
+        except urllib.error.HTTPError as e:
+            assert e.code == 409
+        # removed path not in the current snapshot -> 409 (stale view)
+        try:
+            client.commit_table(
+                "od", "t",
+                updates=[{
+                    "action": "delete-files",
+                    "removed_paths": ["data/does-not-exist.parquet"],
+                }],
+            )
+            raise AssertionError("expected 409 for stale removed path")
+        except urllib.error.HTTPError as e:
+            assert e.code == 409
+        # delete-files happy path: drop exactly the file(s) holding k=3
+        md = t.meta
+        doomed = [
+            f.path
+            for f in md.snapshot().files
+            if str(f.stats.get("k", ["", ""])[0]) == "3"
+        ]
+        assert doomed
+        client.commit_table(
+            "od", "t",
+            updates=[{"action": "delete-files", "removed_paths": doomed}],
+            requirements=[{
+                "type": "assert-ref-snapshot-id",
+                "snapshot-id": md.current_snapshot_id,
+            }],
+        )
+        assert sorted((r["k"], r["v"]) for r in t.read().collect()) == [
+            (1, "a"), (2, "B"), (4, "d"),
+        ]
+        assert t.meta.snapshot().operation == "delete"
+
+
+def test_rest_merge_rebases_on_midflight_409(cat, spark, monkeypatch):
+    """r14 verdict Next #3's race clause: a rival commit lands between
+    rest_merge's plan and its POST — the first overwrite attempt 409s
+    (requirement fails server-side), rest_merge re-plans on fresh state
+    and the retry wins. Nothing from the losing attempt leaks into the
+    table."""
+    from tutorial_iceberg_spark.lakehouse.rest_catalog import (
+        RestCatalogClient,
+        RestCatalogServer,
+        rest_append,
+        rest_merge,
+    )
+
+    with RestCatalogServer(cat) as srv:
+        client = RestCatalogClient(srv.base_url)
+        client.create_namespace("rc")
+        client.create_table(
+            "rc", "t", [{"name": "k", "type": "bigint"}, {"name": "v", "type": "string"}]
+        )
+        t = cat.load_table("rc.t")
+        rest_append(
+            client, t, "rc", "t",
+            spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string"),
+        )
+        rival = spark.createDataFrame([(5, "e")], "k bigint, v string")
+        orig_commit = client.commit_table
+        attempts = {"overwrite": 0}
+
+        def racing(ns, tbl, updates, requirements=None):
+            if updates and updates[0].get("action") == "overwrite-files":
+                attempts["overwrite"] += 1
+                if attempts["overwrite"] == 1:
+                    # rival lands AFTER the merge planned, BEFORE its POST
+                    rest_append(client, t, "rc", "t", rival)
+            return orig_commit(ns, tbl, updates, requirements)
+
+        monkeypatch.setattr(client, "commit_table", racing)
+        rest_merge(
+            client, t, "rc", "t",
+            spark.createDataFrame([(2, "B"), (4, "d")], "k bigint, v string"),
+            on="k",
+        )
+        assert attempts["overwrite"] == 2  # first 409'd, retry won
+        assert sorted((r["k"], r["v"]) for r in t.read().collect()) == [
+            (1, "a"), (2, "B"), (4, "d"), (5, "e"),
+        ]
+
+
+def test_hour_evolution_time_travel_and_pruning(cat, spark):
+    """The lake_hour_partition_evolution invariants, moved out of the
+    query builder (r14 verdict Next #5, same discipline as the r6
+    tag-pinned move): (a) time travel to the pre-evolution snapshot
+    reproduces the spec-0 state across the spec change; (b) an
+    hour-range scan prunes BOTH spec generations to a strict subset."""
+    rows = [
+        (i, f"2024-01-{1 + i % 12:02d} {i % 24:02d}:30:00", float(i))
+        for i in range(200)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, ts_s string, value double"
+    ).selectExpr("event_id", "CAST(ts_s AS timestamp_ntz) AS ts", "value")
+    t = cat.create_table(
+        "db.hour_evo_gate", "event_id bigint, ts timestamp_ntz, value double"
+    )
+    early = ev.filter("ts < TIMESTAMP '2024-01-07 00:00:00'")
+    t.append(early)
+    pre_evolution = t.meta.current_snapshot_id
+    t.add_partition_field("hour(ts)")
+    t.append(ev.filter("ts >= TIMESTAMP '2024-01-07 00:00:00'"))
+    # (a) time travel across the spec change
+    assert t.read(snapshot_id=pre_evolution).count() == early.count()
+    # (b) both generations prune to a strict subset
+    from tutorial_iceberg_spark.lakehouse import metadata as M
+    pred = (
+        "ts >= TIMESTAMP '2024-01-07 03:00:00' "
+        "AND ts < TIMESTAMP '2024-01-07 15:00:00'"
+    )
+    md = t.meta
+    snap = md.snapshot()
+    cands = t._candidates(md, snap, pred)
+    assert 0 < len(cands) < M.entry_count(snap.files)
+    got = sorted(r["event_id"] for r in t.scan(pred).collect())
+    want = sorted(r["event_id"] for r in ev.filter(pred).collect())
+    assert got == want

@@ -1044,11 +1044,11 @@ def lake_txn_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     "via ALTER TABLE ADD PARTITION FIELD on a table that already holds "
     "an UNPARTITIONED snapshot; a second append writes under the hour "
     "layout, so the table holds two spec generations at once. The "
-    "builder asserts (a) time travel to the pre-evolution snapshot "
-    "still reads the spec-0 state across the spec change, and (b) an "
-    "hour-range scan prunes to a strict file subset — spec-1 files via "
-    "hour partition values, spec-0 files via ts min/max stats — then "
-    "returns the pruned scan, value-hash-checked against DuckDB",
+    "builder gates that the hour-range scan prunes to a strict file "
+    "subset — spec-1 files via hour partition values, spec-0 files via "
+    "ts min/max stats — then returns the pruned scan, value-hash-checked "
+    "against DuckDB; the time-travel-across-the-spec-change equality "
+    "lives in tests/test_lakehouse.py (r14 verdict Next #5)",
     tags=("lakehouse", "partition-evolution", "extension"),
 )
 def lake_hour_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1064,7 +1064,6 @@ def lake_hour_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     # spec 0 (unpartitioned): everything before Jan 10
     t.append(ev.filter("ts < TIMESTAMP '2024-01-10 00:00:00'"))
-    pre_evolution = t.meta.current_snapshot_id
     t.add_partition_field("hour(ts)")  # D8: spec evolution, metadata-only
     # spec 1 (hour layout): a 3-day slice — ~72 hour partitions
     t.append(
@@ -1074,20 +1073,27 @@ def lake_hour_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     md = t.meta
-    # (a) time travel ACROSS the spec change: the pre-evolution snapshot
-    # reads back its spec-0 state
-    pre = t.read(snapshot_id=pre_evolution)
-    assert pre.count() == ev.filter(
-        "ts < TIMESTAMP '2024-01-10 00:00:00'"
-    ).count(), "time travel across partition evolution lost rows"
-    # (b) the hour-range scan prunes BOTH generations to a strict subset
+    # The hour-range scan must prune BOTH generations to a strict subset
+    # (spec-1 files via hour partition values, spec-0 files via ts
+    # min/max stats). Metadata-only plan gate — cheap, and an explicit
+    # raise so `python -O` cannot strip it; the time-travel-across-the-
+    # spec-change count equality lives in pytest
+    # (tests/test_lakehouse.py::test_hour_evolution_time_travel_and_pruning,
+    # r14 verdict Next #5 — it cost two extra Spark jobs per run here).
     pred = (
         "ts >= TIMESTAMP '2024-01-10 03:00:00' "
         "AND ts < TIMESTAMP '2024-01-10 15:00:00'"
     )
+    from tutorial_iceberg_spark.lakehouse import metadata as _M
+
     snap = md.snapshot()
     cands = t._candidates(md, snap, pred)
-    assert 0 < len(cands) < len(snap.files), (len(cands), len(snap.files))
+    total = _M.entry_count(snap.files)
+    if not 0 < len(cands) < total:
+        raise AssertionError(
+            f"hour-range pruning degenerated: {len(cands)} candidates of "
+            f"{total} files"
+        )
     return t.scan(pred)
 
 
@@ -1134,12 +1140,67 @@ def lake_rest_catalog_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         t = cat.load_table("db.orders_http")
         rest_append(client, t, "db", "orders_http", _orders_mod(spark, sf_dir, 4, 0))
         rest_append(client, t, "db", "orders_http", _orders_mod(spark, sf_dir, 4, 1))
-        # both snapshots were constructed server-side
-        md = t.meta
-        assert [s.summary.get("via") for s in md.snapshots] == [
-            "rest-catalog",
-            "rest-catalog",
-        ], [s.summary for s in md.snapshots]
+    return t.read()
+
+
+@register(
+    "lake_merge_rest",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice * 2
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders
+        WHERE o_orderkey % 2 = 0
+           OR (o_orderkey % 2 = 1 AND o_orderkey % 5 = 0)
+    """,
+    doc="D4 MERGE INTO committed THROUGH the catalog service (r14 verdict "
+    "Next #3; reference EP3 topology README.md:1036-1088): the engine runs "
+    "the same key-bounds-pruned CoW merge computation as lake_merge_upsert, "
+    "stages the rewritten rows + one unstamped manifest, and the service "
+    "constructs the overwrite snapshot (carried minus replaced plus staged) "
+    "behind assert-ref-snapshot-id CAS with 409 -> rebase. Same oracle as "
+    "lake_merge_upsert — HTTP-committed row-level snapshots are "
+    "value-equivalent to native ones.",
+    tags=("lakehouse", "rest", "extension"),
+)
+def lake_merge_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tutorial_iceberg_spark.lakehouse.catalog import LakeCatalog
+    from tutorial_iceberg_spark.lakehouse.rest_catalog import (
+        RestCatalogClient,
+        RestCatalogServer,
+        rest_append,
+        rest_merge,
+    )
+
+    wh = _scratch.defer_cleanup(
+        _scratch.scratch_dir("tis_lake", "rest_merge", unique=True)
+    )
+    cat = LakeCatalog(spark, wh)
+    with RestCatalogServer(cat) as srv:
+        client = RestCatalogClient(srv.base_url)
+        client.create_namespace("db")
+        client.create_table(
+            "db",
+            "orders_m",
+            [
+                {"name": n.strip().split(" ")[0], "type": n.strip().split(" ", 1)[1]}
+                for n in ORDERS_DDL.split(",")
+            ],
+        )
+        t = cat.load_table("db.orders_m")
+        rest_append(client, t, "db", "orders_m", _orders_mod(spark, sf_dir, 2, 0))
+        orders = load_table(spark, sf_dir, "orders")
+        updates = orders.filter(F.col("o_orderkey") % 4 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        )
+        inserts = orders.filter(
+            ((F.col("o_orderkey") % 2) == 1) & ((F.col("o_orderkey") % 5) == 0)
+        )
+        rest_merge(
+            client, t, "db", "orders_m",
+            updates.unionByName(inserts), on="o_orderkey",
+        )
     return t.read()
 
 

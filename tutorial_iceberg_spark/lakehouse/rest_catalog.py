@@ -244,6 +244,92 @@ class _Handler(BaseHTTPRequestHandler):
                     elif action == "remove-properties":
                         for k in upd.get("removals", []):
                             md.properties.pop(k, None)
+                    elif action in ("overwrite-files", "delete-files"):
+                        # Row-level commits through the front door (r14
+                        # verdict Next #3): real Iceberg REST commits
+                        # overwrite/delete snapshots exactly like
+                        # appends — the writer stages rewritten data
+                        # files + one unstamped manifest, names the
+                        # replaced originals, and the catalog service
+                        # constructs the snapshot and owns the CAS. A
+                        # removed path absent from the current snapshot
+                        # means the client planned against a state a
+                        # rival already rewrote — 409, rebase, retry
+                        # (assert-ref-snapshot-id catches the same race
+                        # one hop earlier).
+                        import re
+
+                        from tutorial_iceberg_spark.lakehouse.table import (
+                            LakeTable,
+                        )
+
+                        removed = upd.get("removed_paths", [])
+                        if not isinstance(removed, list) or not all(
+                            isinstance(p, str) for p in removed
+                        ):
+                            self._send(
+                                400, {"error": "removed_paths must be a list of strings"}
+                            )
+                            return
+                        entries: tuple = ()
+                        if action == "overwrite-files":
+                            ref = upd.get("manifest", "")
+                            if not re.fullmatch(
+                                r"manifest-[0-9a-f]{40}\.json", ref
+                            ):
+                                self._send(400, {"error": f"bad manifest ref {ref!r}"})
+                                return
+                            try:
+                                entries = M._load_manifest(
+                                    M.metadata_dir(loc), ref
+                                )
+                            except OSError:
+                                self._send(
+                                    400, {"error": f"manifest {ref} not staged"}
+                                )
+                                return
+                            if any(e.manifest_id != 0 for e in entries):
+                                self._send(
+                                    400,
+                                    {"error": "staged manifest must be unstamped (id 0)"},
+                                )
+                                return
+                        cur = md.snapshot()
+                        if cur is None:
+                            self._send(409, {"error": "table has no snapshot"})
+                            return
+                        if cur.delete_files:
+                            # row-level MoR deletes pending: whole-file
+                            # replacement math is ambiguous — compact
+                            # first (the same guard merge()'s pruning
+                            # uses locally)
+                            self._send(
+                                409,
+                                {"error": "MoR delete files pending; compact before "
+                                 "committing file-level overwrites"},
+                            )
+                            return
+                        removed_set = set(removed)
+                        cur_paths = {f.path for f in cur.files}
+                        if not removed_set <= cur_paths:
+                            self._send(
+                                409,
+                                {"error": "removed file not in current snapshot "
+                                 "(stale client view — re-read and retry)"},
+                            )
+                            return
+                        kept = [f for f in cur.files if f.path not in removed_set]
+                        t = LakeTable.__new__(LakeTable)
+                        t.spark = None
+                        t.location = loc
+                        t._new_snapshot(
+                            md,
+                            "overwrite" if action == "overwrite-files" else "delete",
+                            kept + list(entries),
+                            [],
+                            {"via": "rest-catalog", "op": action},
+                            commit=False,
+                        )
                     elif action == "append-files":
                         # the engine-as-REST-writer path (r14 verdict
                         # Next #5, the reference's EP3 topology,
@@ -484,4 +570,71 @@ def rest_append(
             if e.code != 409:
                 raise
             last = e  # CAS lost or stale base: re-read and retry
+    raise last  # type: ignore[misc]
+
+
+def rest_merge(
+    client: RestCatalogClient,
+    table,
+    namespace: str,
+    name: str,
+    source,
+    on,
+    retries: int = 10,
+    **merge_kwargs,
+) -> dict:
+    """MERGE INTO through the catalog service (r14 verdict Next #3 — the
+    row-level extension of rest_append; reference EP3 topology,
+    README.md:1036-1088): the engine runs the SAME merge computation as
+    LakeTable.merge (key-bounds file pruning + CoW rewrite of only the
+    overlapping files), stages the rewritten rows as data files plus ONE
+    unstamped manifest sidecar in shared storage, then commits
+    server-side via the ``overwrite-files`` update — the catalog
+    constructs the snapshot (carried files minus the replaced originals
+    plus the staged manifest) and owns the CAS. Any 409 (CAS lost,
+    stale assert-ref-snapshot-id, or a replaced file a rival already
+    rewrote) rebases: the merge re-plans against fresh state and
+    retries; a losing attempt's staged files are orphans the sweep
+    collects, exactly like a losing native optimistic writer."""
+    import urllib.error
+
+    from tutorial_iceberg_spark.lakehouse import metadata as M
+
+    last: Exception | None = None
+    for _ in range(retries):
+        md = table.meta
+        snap = md.snapshot()
+        untouched, result = table._merge_compute(
+            md, source, on, **merge_kwargs
+        )
+        files = table._write_files(table._align(result, md.schema()), md)
+        ref = M.write_manifest(M.metadata_dir(table.location), 0, files)
+        untouched_paths = {f.path for f in untouched}
+        removed = (
+            [f.path for f in snap.files if f.path not in untouched_paths]
+            if snap
+            else []
+        )
+        try:
+            return client.commit_table(
+                namespace,
+                name,
+                updates=[
+                    {
+                        "action": "overwrite-files",
+                        "manifest": ref,
+                        "removed_paths": removed,
+                    }
+                ],
+                requirements=[
+                    {
+                        "type": "assert-ref-snapshot-id",
+                        "snapshot-id": md.current_snapshot_id,
+                    }
+                ],
+            )
+        except urllib.error.HTTPError as e:
+            if e.code != 409:
+                raise
+            last = e  # rebase: re-plan the merge on fresh state
     raise last  # type: ignore[misc]

@@ -1489,16 +1489,21 @@ class LakeTable:
         )
 
     # -- D4 MERGE INTO -------------------------------------------------------
-    def merge(
+    def _merge_compute(
         self,
+        md: M.TableMetadata,
         source: DataFrame,
         on: str | list[str],
         when_matched: str = "update_all",  # update_all | delete | none
         when_not_matched: str = "insert_all",  # insert_all | none
         matched_condition: str | None = None,
         when_not_matched_by_source: str = "none",  # none | delete
-    ) -> None:
-        """D4 MERGE INTO t USING s ON t.k=s.k WHEN MATCHED THEN UPDATE SET *
+    ) -> tuple[list[M.DataFile], DataFrame]:
+        """The MERGE computation: returns (untouched carried files, the
+        rewritten-rows DataFrame). Split from the commit (r15) so the
+        local path and the REST front-door path share one merge brain.
+
+        D4 MERGE INTO t USING s ON t.k=s.k WHEN MATCHED THEN UPDATE SET *
         WHEN NOT MATCHED THEN INSERT * — README.md:963-967 — extended with
         the ANSI/Iceberg arms the reference stops short of:
 
@@ -1522,7 +1527,6 @@ class LakeTable:
         re-checked) or when MoR delete files are pending (carried-over
         files would escape the materialization).
         """
-        md = self.meta
         keys = [on] if isinstance(on, str) else list(on)
         src = self._align(source, md.schema())
         if src.select(*keys).distinct().count() != src.count():
@@ -1604,6 +1608,32 @@ class LakeTable:
         result = parts[0]
         for p in parts[1:]:
             result = result.unionByName(p)
+        return untouched, result
+
+    def merge(
+        self,
+        source: DataFrame,
+        on: str | list[str],
+        when_matched: str = "update_all",
+        when_not_matched: str = "insert_all",
+        matched_condition: str | None = None,
+        when_not_matched_by_source: str = "none",
+    ) -> None:
+        """D4 MERGE INTO — see _merge_compute for semantics/scale; this
+        wrapper writes the rewritten rows and commits locally. The REST
+        twin (rest_catalog.rest_merge) runs the SAME computation but
+        commits through the catalog service's overwrite-files action."""
+        md = self.meta
+        snap = md.snapshot()
+        untouched, result = self._merge_compute(
+            md,
+            source,
+            on,
+            when_matched,
+            when_not_matched,
+            matched_condition,
+            when_not_matched_by_source,
+        )
         files = self._write_files(self._align(result, md.schema()), md)
         self._new_snapshot(
             md,
