@@ -791,6 +791,136 @@ def x_stream_lakehouse_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def make_idempotent_rest_ingest(client, table, namespace, name, retries=10):
+    """foreachBatch sink whose micro-batch commits go THROUGH the catalog
+    service (r14 verdict Next #4 — the streaming composition of the REST
+    front door): each batch's data files + ONE unstamped manifest are
+    staged in shared storage by the engine, then a single commit-table
+    POST carries BOTH the ``append-files`` snapshot construction AND the
+    ``set-properties`` batch-id stamp — the service applies them to one
+    metadata document and commits once, so the exactly-once contract
+    (batch id atomically WITH the snapshot) survives the HTTP hop. A 409
+    (rival writer or replayed self racing the CAS) re-reads table state,
+    re-checks the committed batch id (the rival may have BEEN this
+    batch), and retries the same staged manifest — data files are
+    written exactly once regardless of commit attempts."""
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        import urllib.error
+
+        from tutorial_iceberg_spark.lakehouse import metadata as M
+
+        md = table.meta
+        last = md.properties.get(BATCH_PROP)
+        if last is not None and int(last) >= batch_id:
+            return  # replayed micro-batch: already committed atomically
+        files = table._write_files(table._align(batch_df, md.schema()), md)
+        ref = M.write_manifest(M.metadata_dir(table.location), 0, files)
+        err = None
+        for _ in range(retries):
+            try:
+                client.commit_table(
+                    namespace,
+                    name,
+                    updates=[
+                        {"action": "append-files", "manifest": ref},
+                        {
+                            "action": "set-properties",
+                            "updates": {BATCH_PROP: str(batch_id)},
+                        },
+                    ],
+                    requirements=[
+                        {
+                            "type": "assert-ref-snapshot-id",
+                            "snapshot-id": md.current_snapshot_id,
+                        }
+                    ],
+                )
+                return
+            except urllib.error.HTTPError as e:
+                if e.code != 409:
+                    raise
+                err = e
+                md = table.meta  # rebase on the winner's state
+                last = md.properties.get(BATCH_PROP)
+                if last is not None and int(last) >= batch_id:
+                    return  # the winner WAS this batch (replayed commit)
+        raise err  # type: ignore[misc]
+
+    return ingest
+
+
+@register(
+    "x_stream_lakehouse_rest_sink",
+    oracle=f"""
+        SELECT event_type, COUNT(*) AS cnt,
+               {o_dsum('value', 'total_value')}
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    doc="x_stream_lakehouse_sink composed with the REST front door (r14 "
+    "verdict Next #4): every micro-batch snapshot is committed by the "
+    "CATALOG SERVICE — one commit-table POST carries append-files plus "
+    "the set-properties batch-id stamp, applied to one metadata document "
+    "under the server-owned CAS, so exactly-once holds across the HTTP "
+    "hop (mid-stream 409 + replay recovery pytest-gated in "
+    "tests/test_streaming_multimodal.py). Batch-parity oracle: the final "
+    "table aggregate must equal the all-at-once batch aggregate",
+    tags=("streaming", "lakehouse", "rest", "extension"),
+)
+def x_stream_lakehouse_rest_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from tutorial_iceberg_spark import scratch as _scratch
+    from tutorial_iceberg_spark.lakehouse.catalog import LakeCatalog
+    from tutorial_iceberg_spark.lakehouse.rest_catalog import (
+        RestCatalogClient,
+        RestCatalogServer,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    root = _scratch.defer_cleanup(
+        _scratch.scratch_dir("tis_stream_rest_sink", unique=True)
+    )
+    wh = os.path.join(root, "wh")
+    os.makedirs(wh, exist_ok=True)
+    cat = LakeCatalog(spark, wh)
+    with RestCatalogServer(cat) as srv:
+        client = RestCatalogClient(srv.base_url)
+        client.create_namespace("stream")
+        client.create_table(
+            "stream",
+            "events_ingest",
+            [
+                {"name": "event_id", "type": "bigint"},
+                {"name": "ts", "type": "timestamp_ntz"},
+                {"name": "user_id", "type": "bigint"},
+                {"name": "event_type", "type": "string"},
+                {"name": "value", "type": "double"},
+                {"name": "props", "type": "string"},
+            ],
+        )
+        table = cat.load_table("stream.events_ingest")
+        ingest = make_idempotent_rest_ingest(
+            client, table, "stream", "events_ingest"
+        )
+        q = (
+            ev.writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", os.path.join(root, "_chk"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = (
+            table.read()
+            .groupBy("event_type")
+            .agg(F.count("*").alias("cnt"), dsum("value", "total_value"))
+            .orderBy("event_type")
+        )
+    return out
+
+
 ATTRIBUTION_WINDOW_MIN = 60
 
 
