@@ -2244,7 +2244,10 @@ class LakeTable:
         Iceberg's own remove_orphan_files carries the same older_than
         guard (default 3 days) for exactly this reason. The window only
         needs to exceed the write-to-commit gap (seconds), so 1 h is
-        conservative."""
+        conservative. Deployment floor: keep ``grace_s`` AT OR ABOVE
+        resolve_expired's grace_sec — a multi-table transaction the
+        reaper still tolerates may not have its staged files referenced
+        by any prepare yet (README "Maintenance grace floors")."""
         import time
 
         md = self.meta

@@ -475,7 +475,15 @@ class LakeTransaction:
            collected BEFORE this sweep's settles take effect on the set,
            so a record survives at least one full sweep past its last
            claim's settle; the age floor independently guarantees the
-           owner has already observed the outcome (see GC_MIN_AGE)."""
+           owner has already observed the outcome (see GC_MIN_AGE).
+
+        Deployment floor (r14 verdict note): ``grace_sec`` must exceed
+        the longest REAL prepare->decide span — practical minimum ~60 s,
+        default 3600 s. Zero grace is an adversarial atomicity gauntlet
+        only: sharded metadata made this sweep's walk near-instant, so
+        a zero-grace reaper aborts healthy sub-10 ms decide windows
+        (probes/r14 level-1). Align remove_orphan_files' grace_s AT OR
+        ABOVE this value — see README "Maintenance grace floors"."""
         resolved = []
         referenced: set[str] = set()
         now = time.time()
