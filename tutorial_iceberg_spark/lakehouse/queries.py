@@ -1204,6 +1204,39 @@ def lake_merge_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read()
 
 
+@register(
+    "lake_datasource_scan",
+    oracle=f"""
+        SELECT {ORDERS_COLS} FROM orders
+        WHERE o_orderdate >= DATE '1995-01-01'
+          AND o_orderdate <  DATE '1996-01-01'
+    """,
+    doc="S10 read path as a REGISTERED SPARK SOURCE (r14 verdict Next "
+    "#7; Spark 4 Python Data Source API): spark.read.format('tis_lake')"
+    ".load(location) over a year(o_orderdate)-partitioned table, with "
+    "the date-range predicate pushed via pushFilters into the engine's "
+    "manifest/partition/stats pruning — one InputPartition per "
+    "SURVIVING file, Arrow-batched reads, field-id column resolution. "
+    "Pruned-file plan gates live in tests/test_lakehouse.py (reader "
+    "partitions() directly + pruned files deleted from disk).",
+    tags=("lakehouse", "datasource", "extension"),
+)
+def lake_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tutorial_iceberg_spark.lakehouse.datasource import LakeDataSource
+    from tutorial_iceberg_spark.session import apply_engine_conf
+
+    apply_engine_conf(spark)  # python filter pushdown is runtime-settable
+    spark.dataSource.register(LakeDataSource)
+    t = _fresh_table(
+        spark, "ds_scan", partition_by=["year(o_orderdate)"]
+    )
+    t.append(load_table(spark, sf_dir, "orders"))
+    df = spark.read.format("tis_lake").load(t.location)
+    return df.filter(
+        "o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'"
+    ).select([c.strip() for c in ORDERS_COLS.split(",")])
+
+
 # Bench setup/op split (VERDICT r7 #3): the lake_* headline entries spend
 # most of their wall time creating a fresh temp-dir table and seeding
 # snapshots — fixture work a real deployment has already paid. bench.py

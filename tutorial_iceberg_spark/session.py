@@ -31,6 +31,10 @@ ENGINE_RUNTIME_CONF: dict[str, str] = {
     # splitting. Essential at 100 TB, harmless at sf0.001.
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # Python Data Source filter pushdown (Spark 4.1): lets the tis_lake
+    # source (lakehouse/datasource.py) receive Catalyst conjuncts and
+    # prune files at plan time. Off by default upstream; runtime-settable.
+    "spark.sql.python.filterPushdown.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for any pandas_udf / mapInPandas path (vector + multimodal ops).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
