@@ -187,7 +187,9 @@ class _LakeReader(DataSourceReader):
         n = pf.metadata.num_rows
         if len(want) == 0:
             # count(*)-style scan: Spark needs row multiplicity only
-            return (() for _ in range(n))
+            import itertools
+
+            return itertools.repeat((), n)
         colmap = {cur: (w, d) for cur, w, d in partition.columns}
         fnames = set(pf.schema_arrow.names)
         present = [
