@@ -2050,3 +2050,52 @@ def test_datasource_prunes_files(cat, spark):
         raise AssertionError("expected MoR refusal")
     except Exception as e:
         assert "merge-on-read" in str(e)
+
+
+def test_datasource_writer_contract(cat, spark):
+    """tis_lake write path (r15): append + overwrite land through the
+    rec-driven CAS with footer stats; empty tasks ship no manifest
+    entry; partitioned tables and misaligned frames are refused."""
+    from tutorial_iceberg_spark.lakehouse.datasource import LakeDataSource
+
+    spark.dataSource.register(LakeDataSource)
+    t = cat.create_table("db.ds_write_gate", "k bigint, v string")
+    t.append(spark.createDataFrame([(1, "a")], "k bigint, v string"))
+    # many partitions, most empty: zero-row tasks must leave no entry
+    df = spark.createDataFrame(
+        [(2, "b"), (3, "c")], "k bigint, v string"
+    ).repartition(8)
+    df.write.format("tis_lake").mode("append").save(t.location)
+    md = t.meta
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 2, 3]
+    assert md.snapshot().summary.get("via") == "datasource"
+    assert all(f.rows > 0 for f in md.snapshot().files)
+    # footer stats present on the DS-written entries -> pruning works
+    ds_files = [f for f in md.snapshot().files if "ds-" in f.path]
+    assert ds_files and all("k" in f.stats for f in ds_files)
+    # overwrite replaces the table in one snapshot
+    spark.createDataFrame([(9, "z")], "k bigint, v string").write.format(
+        "tis_lake"
+    ).mode("overwrite").save(t.location)
+    assert [r["k"] for r in t.read().collect()] == [9]
+    assert t.meta.snapshot().operation == "overwrite"
+    # refusals: partitioned table; misaligned frame
+    tp = cat.create_table(
+        "db.ds_write_part", "k bigint, d date", partition_by=["month(d)"]
+    )
+    try:
+        spark.createDataFrame(
+            [(1, "2024-01-01")], "k bigint, d string"
+        ).selectExpr("k", "CAST(d AS date) AS d").write.format(
+            "tis_lake"
+        ).mode("append").save(tp.location)
+        raise AssertionError("expected partitioned-table refusal")
+    except Exception as e:
+        assert "partitioned" in str(e)
+    try:
+        spark.createDataFrame([(1,)], "wrong bigint").write.format(
+            "tis_lake"
+        ).mode("append").save(t.location)
+        raise AssertionError("expected schema refusal")
+    except Exception as e:
+        assert "columns" in str(e)

@@ -44,6 +44,7 @@ from typing import Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     EqualTo,
     Filter,
@@ -52,6 +53,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 
 _SQL_OPS = {
@@ -220,6 +222,146 @@ def _no_snapshot(sid):
     raise ValueError(f"tis_lake: no snapshot {sid}")
 
 
+@dataclass
+class _WrittenFile(WriterCommitMessage):
+    """One executor task's staged parquet file + its manifest entry
+    ingredients (footer stats, rows, bytes) — computed task-side so the
+    commit is pure metadata."""
+
+    rel_path: str
+    rows: int
+    bytes: int
+    stats: dict
+
+
+class _LakeWriter(DataSourceArrowWriter):
+    """``df.write.format("tis_lake").mode("append"|"overwrite")`` — the
+    distributed write path, shaped like real Iceberg's Spark writer:
+
+    - each executor TASK streams its Arrow batches into one parquet
+      file under ``data/`` (staged: invisible until the metadata
+      commit; a failed job's files are orphans the sweep collects),
+      extracts footer stats locally, and ships only a tiny commit
+      message;
+    - ``commit()`` is pure metadata: it builds the manifest entries
+      from the messages and runs the SAME optimistic rec-driven commit
+      as LakeTable.append (CAS + rebase-restamp retries), or an
+      "overwrite" snapshot for mode("overwrite");
+    - ``abort()`` unlinks the staged files (best-effort — the orphan
+      sweep is the backstop).
+
+    Partitioned tables are refused (the engine's partition transforms
+    run in Spark SQL at LakeTable.append; recomputing them task-side in
+    Python would fork the transform semantics). Zero-row tasks ship no
+    message — the manifest never carries unprunable empty files."""
+
+    RETRIES = 10
+
+    def __init__(self, schema, options, overwrite: bool):
+        from tutorial_iceberg_spark.lakehouse import metadata as M
+
+        self._spark_schema = schema
+        self._location = options.get("path")
+        if not self._location:
+            raise ValueError("tis_lake: .save(<table location>) is required")
+        self._overwrite = overwrite
+        md = M.read_metadata(self._location)
+        if md.spec().fields:
+            raise ValueError(
+                "tis_lake: writing to a partitioned table is not supported "
+                "through the DataSource — use LakeTable.append (partition "
+                "transforms run in Spark SQL there)"
+            )
+        want = {f.name: f.type for f in md.schema().fields}
+        have = {f.name for f in schema.fields}
+        if have != set(want):
+            raise ValueError(
+                f"tis_lake: frame columns {sorted(have)} != table columns "
+                f"{sorted(want)} — align the frame to the table schema"
+            )
+
+    def write(self, iterator):
+        import os
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from tutorial_iceberg_spark.lakehouse.table import footer_stats
+
+        batches = [b for b in iterator if b.num_rows]
+        if not batches:
+            # empty task: no file, no manifest entry (the runtime
+            # requires a WriterCommitMessage, so ship an empty sentinel)
+            return _WrittenFile(rel_path="", rows=0, bytes=0, stats={})
+        rel = os.path.join("data", f"ds-{uuid.uuid4().hex[:12]}.parquet")
+        fpath = os.path.join(self._location, rel)
+        os.makedirs(os.path.dirname(fpath), exist_ok=True)
+        pq.write_table(pa.Table.from_batches(batches), fpath)
+        nrows, stats = footer_stats(fpath)
+        return _WrittenFile(
+            rel_path=rel,
+            rows=nrows,
+            bytes=os.path.getsize(fpath),
+            stats=stats,
+        )
+
+    def commit(self, messages):
+        from tutorial_iceberg_spark.lakehouse import metadata as M
+        from tutorial_iceberg_spark.lakehouse.table import LakeTable
+
+        t = LakeTable.__new__(LakeTable)
+        t.spark = None
+        t.location = self._location
+        md = t.meta
+        entries = [
+            M.DataFile(
+                path=m.rel_path,
+                rows=m.rows,
+                bytes=m.bytes,
+                schema_id=md.current_schema_id,
+                spec_id=md.current_spec_id,
+                stats=m.stats,
+            )
+            for m in messages
+            if m is not None and m.rel_path
+        ]
+        last = None
+        for _ in range(self.RETRIES):
+            try:
+                if self._overwrite:
+                    t._new_snapshot(
+                        md, "overwrite", list(entries), [],
+                        {"via": "datasource", "mode": "overwrite"},
+                    )
+                else:
+                    cur = md.snapshot()
+                    t._new_snapshot(
+                        md,
+                        "append",
+                        t._carried_plus(md, cur, entries),
+                        list(cur.delete_files) if cur else [],
+                        {"via": "datasource"},
+                    )
+                return
+            except M.CommitConflictError as e:
+                last = e
+                md = t.meta  # rebase; restamp under the winner's counter
+                for f in entries:
+                    f.manifest_id = 0
+        raise last  # type: ignore[misc]
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is not None and m.rel_path:
+                try:
+                    os.unlink(os.path.join(self._location, m.rel_path))
+                except OSError:
+                    pass
+
+
 class LakeDataSource(DataSource):
     """``spark.read.format("tis_lake")`` — register once per session:
     ``spark.dataSource.register(LakeDataSource)``."""
@@ -244,3 +386,6 @@ class LakeDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return _LakeReader(schema, self.options)
+
+    def writer(self, schema, overwrite: bool) -> _LakeWriter:
+        return _LakeWriter(schema, self.options, overwrite)

@@ -55,6 +55,37 @@ def _json_safe(v: Any):
     return str(v)
 
 
+def footer_stats(fpath: str) -> tuple[int, dict[str, list]]:
+    """(num_rows, {written column name: [min, max]}) from a parquet
+    FOOTER — zero data IO. The single stats producer for every manifest
+    entry (engine writes AND the tis_lake DataSource writer), so
+    pruning compares values of one provenance."""
+    stats: dict[str, list] = {}
+    meta = pq.ParquetFile(fpath).metadata
+    nrows = meta.num_rows
+    for rg in range(meta.num_row_groups):
+        g = meta.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            try:
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                lo, hi = _json_safe(st.min), _json_safe(st.max)
+            except Exception:
+                # pyarrow can't surface stats for every physical type
+                # (e.g. decimals); planning just won't prune on those
+                continue
+            cur = stats.get(col.path_in_schema)
+            if cur is None:
+                stats[col.path_in_schema] = [lo, hi]
+            else:
+                stats[col.path_in_schema] = [
+                    min(cur[0], lo), max(cur[1], hi),
+                ]
+    return nrows, stats
+
+
 class MergeConflictError(Exception):
     """A diverged branch's delta cannot be replayed onto current main
     without risking row-level damage (non-append ops in the delta) —
@@ -158,37 +189,14 @@ class LakeTable:
                     if "=" in part:
                         k, v = part.split("=", 1)
                         partition[k.removeprefix("_p_")] = v
-                stats: dict[str, list] = {}
                 try:
-                    meta = pq.ParquetFile(fpath).metadata
-                    nrows = meta.num_rows
-                    for rg in range(meta.num_row_groups):
-                        g = meta.row_group(rg)
-                        for ci in range(g.num_columns):
-                            col = g.column(ci)
-                            try:
-                                st = col.statistics
-                                if st is None or not st.has_min_max:
-                                    continue
-                                lo, hi = _json_safe(st.min), _json_safe(st.max)
-                            except Exception:
-                                # pyarrow can't surface stats for every
-                                # physical type (e.g. decimals); planning
-                                # just won't prune on those columns
-                                continue
-                            cur = stats.get(col.path_in_schema)
-                            if cur is None:
-                                stats[col.path_in_schema] = [lo, hi]
-                            else:
-                                stats[col.path_in_schema] = [
-                                    min(cur[0], lo), max(cur[1], hi),
-                                ]
+                    nrows, stats = footer_stats(fpath)
                 except Exception:
                     # pyarrow rejects footers with logical types it doesn't
                     # know (Spark's VARIANT); count via Spark instead and
                     # carry no column stats — the file is still fully
                     # readable, it just never prunes
-                    nrows = self.spark.read.parquet(fpath).count()
+                    nrows, stats = self.spark.read.parquet(fpath).count(), {}
                 if nrows == 0:
                     # Spark emits an empty schema-carrier part file when a
                     # write task has no rows. A zero-row file carries NO
