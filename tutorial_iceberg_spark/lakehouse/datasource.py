@@ -284,20 +284,30 @@ class _LakeWriter(DataSourceArrowWriter):
         import os
         import uuid
 
-        import pyarrow as pa
         import pyarrow.parquet as pq
 
         from tutorial_iceberg_spark.lakehouse.table import footer_stats
 
-        batches = [b for b in iterator if b.num_rows]
-        if not batches:
+        # STREAM batches into the parquet writer — the task's memory
+        # footprint is one Arrow batch, never the whole partition
+        rel = os.path.join("data", f"ds-{uuid.uuid4().hex[:12]}.parquet")
+        fpath = os.path.join(self._location, rel)
+        writer = None
+        try:
+            for b in iterator:
+                if b.num_rows == 0:
+                    continue
+                if writer is None:
+                    os.makedirs(os.path.dirname(fpath), exist_ok=True)
+                    writer = pq.ParquetWriter(fpath, b.schema)
+                writer.write_batch(b)
+        finally:
+            if writer is not None:
+                writer.close()
+        if writer is None:
             # empty task: no file, no manifest entry (the runtime
             # requires a WriterCommitMessage, so ship an empty sentinel)
             return _WrittenFile(rel_path="", rows=0, bytes=0, stats={})
-        rel = os.path.join("data", f"ds-{uuid.uuid4().hex[:12]}.parquet")
-        fpath = os.path.join(self._location, rel)
-        os.makedirs(os.path.dirname(fpath), exist_ok=True)
-        pq.write_table(pa.Table.from_batches(batches), fpath)
         nrows, stats = footer_stats(fpath)
         return _WrittenFile(
             rel_path=rel,
