@@ -376,3 +376,61 @@ def test_rest_sink_midstream_409_and_replay_exactly_once(spark, sf_dir):
         assert all(
             s.summary.get("via") == "rest-catalog" for s in t.meta.snapshots
         )
+
+
+def test_native_stream_sink_replay_and_batch_prop_parity(spark, sf_dir):
+    """The tis_lake NATIVE streaming sink (r15): a replayed micro-batch
+    must be skipped AND its freshly staged duplicate files unlinked;
+    the batch-prop key matches the foreachBatch sink's so the two sinks
+    share one exactly-once ledger."""
+    import glob
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql.types import StructType
+
+    from tutorial_iceberg_spark.lakehouse.datasource import (
+        _BATCH_PROP,
+        _LakeStreamWriter,
+    )
+    from tutorial_iceberg_spark.lakehouse.table import LakeTable
+    from tutorial_iceberg_spark.streaming.events_stream import BATCH_PROP
+
+    assert _BATCH_PROP == BATCH_PROP  # one ledger across both sinks
+
+    root = os.path.join(
+        tempfile.gettempdir(), "tis_native_sink_test", uuid.uuid4().hex[:8]
+    )
+    os.makedirs(root, exist_ok=True)
+    t = LakeTable.create(spark, os.path.join(root, "t"), "k bigint, v bigint")
+    schema = StructType.fromDDL("k bigint, v bigint")
+    w = _LakeStreamWriter(schema, {"path": t.location}, overwrite=False)
+
+    def batch_msgs(rows):
+        import pyarrow as pa
+
+        batch = pa.record_batch(
+            {"k": [r[0] for r in rows], "v": [r[1] for r in rows]}
+        )
+        return [w.write(iter([batch]))]
+
+    m0 = batch_msgs([(1, 10), (2, 20)])
+    w.commit(m0, 0)
+    assert t.read().count() == 2
+    assert t.meta.properties[_BATCH_PROP] == "0"
+    m1 = batch_msgs([(3, 30)])
+    w.commit(m1, 1)
+    assert t.read().count() == 3
+    # REPLAY of batch 1 after a checkpoint-lag crash: freshly staged
+    # duplicates exist on disk, the commit must skip AND unlink them
+    m1_replay = batch_msgs([(3, 30)])
+    staged = os.path.join(t.location, m1_replay[0].rel_path)
+    assert os.path.exists(staged)
+    w.commit(m1_replay, 1)
+    assert t.read().count() == 3  # not double-appended
+    assert not os.path.exists(staged)  # duplicate unlinked
+    assert t.meta.properties[_BATCH_PROP] == "1"
+    # data files on disk == manifest entries (no stranded dupes)
+    n_files = len(glob.glob(os.path.join(t.location, "data", "**", "*.parquet"), recursive=True))
+    assert n_files == len(list(t.meta.snapshot().files))

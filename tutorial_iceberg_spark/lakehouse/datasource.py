@@ -46,6 +46,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -316,7 +317,24 @@ class _LakeWriter(DataSourceArrowWriter):
             stats=stats,
         )
 
-    def commit(self, messages):
+    def _unlink_staged(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and m.rel_path:
+                try:
+                    os.unlink(os.path.join(self._location, m.rel_path))
+                except OSError:
+                    pass
+
+    def _commit_entries(
+        self, messages, summary: dict, properties=None, skip_if=None
+    ) -> None:
+        """The shared metadata-only commit: manifest entries from the
+        task messages, optimistic CAS + rebase-restamp retries, the same
+        rec-driven carry as LakeTable.append. ``skip_if(md)`` True means
+        another attempt already landed this logical write (streaming
+        replay) — staged duplicates are unlinked, nothing commits."""
         from tutorial_iceberg_spark.lakehouse import metadata as M
         from tutorial_iceberg_spark.lakehouse.table import LakeTable
 
@@ -324,6 +342,9 @@ class _LakeWriter(DataSourceArrowWriter):
         t.spark = None
         t.location = self._location
         md = t.meta
+        if skip_if is not None and skip_if(md):
+            self._unlink_staged(messages)
+            return
         entries = [
             M.DataFile(
                 path=m.rel_path,
@@ -338,11 +359,13 @@ class _LakeWriter(DataSourceArrowWriter):
         ]
         last = None
         for _ in range(self.RETRIES):
+            if properties:
+                md.properties.update(properties)
             try:
                 if self._overwrite:
                     t._new_snapshot(
                         md, "overwrite", list(entries), [],
-                        {"via": "datasource", "mode": "overwrite"},
+                        {**summary, "mode": "overwrite"},
                     )
                 else:
                     cur = md.snapshot()
@@ -351,25 +374,59 @@ class _LakeWriter(DataSourceArrowWriter):
                         "append",
                         t._carried_plus(md, cur, entries),
                         list(cur.delete_files) if cur else [],
-                        {"via": "datasource"},
+                        summary,
                     )
                 return
             except M.CommitConflictError as e:
                 last = e
                 md = t.meta  # rebase; restamp under the winner's counter
+                if skip_if is not None and skip_if(md):
+                    self._unlink_staged(messages)
+                    return  # the winner WAS this logical write (replay)
                 for f in entries:
                     f.manifest_id = 0
         raise last  # type: ignore[misc]
 
-    def abort(self, messages):
-        import os
+    def commit(self, messages):
+        self._commit_entries(messages, {"via": "datasource"})
 
-        for m in messages:
-            if m is not None and m.rel_path:
-                try:
-                    os.unlink(os.path.join(self._location, m.rel_path))
-                except OSError:
-                    pass
+    def abort(self, messages):
+        self._unlink_staged(messages)
+
+
+# The exactly-once micro-batch marker, atomically committed WITH each
+# snapshot. Same property key as streaming.events_stream.BATCH_PROP
+# (duplicated literal: the streaming module pulls the full engine import
+# graph, which the DataSource planning worker should not pay for;
+# equality is pinned by a pytest).
+_BATCH_PROP = "streaming.last-committed-batch-id"
+
+
+class _LakeStreamWriter(_LakeWriter, DataSourceStreamArrowWriter):
+    """``df.writeStream.format("tis_lake")`` — the NATIVE streaming sink
+    twin of streaming.events_stream.make_idempotent_ingest: each
+    micro-batch's tasks stage parquet + footer stats (inherited
+    _LakeWriter.write), and commit(batchId) records the batch id in
+    table properties in the SAME atomic metadata commit as the
+    snapshot. A batch replayed after a crash between the table commit
+    and the streaming checkpoint is detected (committed id >= batchId)
+    and its freshly staged duplicates are unlinked instead of
+    re-appended — exactly-once end to end, now without foreachBatch."""
+
+    def commit(self, messages, batchId):  # noqa: N803 (API contract)
+        def already_committed(md) -> bool:
+            last = md.properties.get(_BATCH_PROP)
+            return last is not None and int(last) >= batchId
+
+        self._commit_entries(
+            messages,
+            {"via": "datasource-stream", "batch-id": batchId},
+            properties={_BATCH_PROP: str(batchId)},
+            skip_if=already_committed,
+        )
+
+    def abort(self, messages, batchId):  # noqa: N803 (API contract)
+        self._unlink_staged(messages)
 
 
 class LakeDataSource(DataSource):
@@ -399,3 +456,6 @@ class LakeDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> _LakeWriter:
         return _LakeWriter(schema, self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> _LakeStreamWriter:  # noqa: N802
+        return _LakeStreamWriter(schema, self.options, overwrite)

@@ -921,6 +921,60 @@ def x_stream_lakehouse_rest_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@register(
+    "x_stream_lakehouse_native_sink",
+    oracle=f"""
+        SELECT event_type, COUNT(*) AS cnt,
+               {o_dsum('value', 'total_value')}
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    doc="The NATIVE streaming sink (r15): ev.writeStream.format('tis_lake') "
+    "— no foreachBatch. Spark 4's DataSourceStreamWriter stages each "
+    "micro-batch's parquet + footer stats task-side, and commit(batchId) "
+    "records the batch id in table properties in the SAME atomic metadata "
+    "commit as the snapshot; a replayed batch is detected and its staged "
+    "duplicates unlinked (exactly-once, pytest-gated replay in "
+    "tests/test_streaming_multimodal.py). Batch-parity oracle as the "
+    "foreachBatch and REST sinks.",
+    tags=("streaming", "lakehouse", "datasource", "extension"),
+)
+def x_stream_lakehouse_native_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from tutorial_iceberg_spark import scratch as _scratch
+    from tutorial_iceberg_spark.lakehouse.datasource import LakeDataSource
+    from tutorial_iceberg_spark.lakehouse.table import LakeTable
+
+    spark.dataSource.register(LakeDataSource)
+    ev = read_events_stream(spark, sf_dir)
+    root = _scratch.defer_cleanup(
+        _scratch.scratch_dir("tis_stream_native_sink", unique=True)
+    )
+    table = LakeTable.create(
+        spark,
+        os.path.join(root, "events_ingest"),
+        "event_id bigint, ts timestamp_ntz, user_id bigint, "
+        "event_type string, value double, props string",
+        name="events_ingest",
+    )
+    q = (
+        ev.writeStream.format("tis_lake")
+        .option("path", table.location)
+        .option("checkpointLocation", os.path.join(root, "_chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        table.read()
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"), dsum("value", "total_value"))
+        .orderBy("event_type")
+    )
+
+
 ATTRIBUTION_WINDOW_MIN = 60
 
 
