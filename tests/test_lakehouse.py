@@ -2099,3 +2099,40 @@ def test_datasource_writer_contract(cat, spark):
         raise AssertionError("expected schema refusal")
     except Exception as e:
         assert "columns" in str(e)
+
+
+def test_datasource_writer_rebases_on_cas_conflict(cat, spark, monkeypatch):
+    """A rival native append lands between the DS writer's metadata read
+    and its CAS — the commit loop must rebase, restamp, and land both
+    writers' rows exactly once."""
+    from pyspark.sql.types import StructType
+
+    from tutorial_iceberg_spark.lakehouse import metadata as M
+    from tutorial_iceberg_spark.lakehouse.datasource import _LakeWriter
+
+    t = cat.create_table("db.ds_cas_race", "k bigint, v bigint")
+    t.append(spark.createDataFrame([(1, 10)], "k bigint, v bigint"))
+    w = _LakeWriter(
+        StructType.fromDDL("k bigint, v bigint"), {"path": t.location}, False
+    )
+    import pyarrow as pa
+
+    msg = w.write(iter([pa.record_batch({"k": [2], "v": [20]})]))
+    rival_df = spark.createDataFrame([(9, 90)], "k bigint, v bigint")
+    orig = M.commit_metadata
+    fired = {}
+
+    def racing(loc, md, pending_txn=None):
+        if loc == t.location and "r" not in fired:
+            fired["r"] = True
+            t.append(rival_df)  # rival wins the slot first
+        return orig(loc, md, pending_txn)
+
+    monkeypatch.setattr(M, "commit_metadata", racing)
+    w.commit([msg])
+    monkeypatch.undo()
+    assert fired
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 2, 9]
+    # exactly one DS snapshot, exactly one manifest entry for it
+    snaps = t.meta.snapshots
+    assert [s.summary.get("via") for s in snaps].count("datasource") == 1
