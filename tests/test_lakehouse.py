@@ -2136,3 +2136,156 @@ def test_datasource_writer_rebases_on_cas_conflict(cat, spark, monkeypatch):
     # exactly one DS snapshot, exactly one manifest entry for it
     snaps = t.meta.snapshots
     assert [s.summary.get("via") for s in snaps].count("datasource") == 1
+
+
+def test_datasource_writer_refuses_mistyped_frame(cat, spark):
+    """ADVICE r15 (medium): the tis_lake writer must compare TYPES, not
+    just names — a name-matching frame of the wrong type would stage
+    parquet whose physical types diverge from the table schema and fail
+    (or miscast) far from the writing job. Spelling synonyms (long vs
+    bigint) must still pass."""
+    from tutorial_iceberg_spark.lakehouse.datasource import (
+        LakeDataSource,
+        _norm_type,
+    )
+
+    spark.dataSource.register(LakeDataSource)
+    t = cat.create_table("db.ds_type_gate", "k bigint, v double")
+    try:
+        spark.createDataFrame([(1, "oops")], "k bigint, v string").write.format(
+            "tis_lake"
+        ).mode("append").save(t.location)
+        raise AssertionError("expected type refusal")
+    except Exception as e:
+        assert "types" in str(e) and "v" in str(e)
+    # the table stayed untouched by the refused write
+    assert t.meta.snapshot() is None
+    # correct types (and spelling synonyms) pass
+    spark.createDataFrame([(1, 2.5)], "k long, v double").write.format(
+        "tis_lake"
+    ).mode("append").save(t.location)
+    assert [(r["k"], r["v"]) for r in t.read().collect()] == [(1, 2.5)]
+    assert _norm_type("long") == _norm_type("bigint")
+    assert _norm_type("array<integer>") == _norm_type("array<int>")
+    assert _norm_type("decimal") == _norm_type("decimal(10, 0)")
+    assert _norm_type("int") != _norm_type("bigint")
+
+
+def test_datasource_writer_stamps_write_time_schema_id(cat, spark):
+    """ADVICE r15 (low): entries must carry the schema id the files were
+    WRITTEN under (captured at writer init), not whatever
+    current_schema_id says at commit time — a rename/evolution landing
+    mid-write would otherwise silently materialize read-time defaults
+    instead of the written data."""
+    import pyarrow as pa
+    from pyspark.sql.types import StructType
+
+    from tutorial_iceberg_spark.lakehouse.datasource import _LakeWriter
+
+    t = cat.create_table("db.ds_schema_stamp", "k bigint, v double")
+    t.append(spark.createDataFrame([(1, 1.0)], "k bigint, v double"))
+    w = _LakeWriter(
+        StructType.fromDDL("k bigint, v double"), {"path": t.location}, False
+    )
+    written_sid = t.meta.current_schema_id
+    msg = w.write(iter([pa.record_batch({"k": [2], "v": [2.5]})]))
+    t.rename_column("v", "w")  # evolution lands while the write job runs
+    w.commit([msg])
+    md = t.meta
+    ds_entries = [f for f in md.snapshot().files if "ds-" in f.path]
+    assert ds_entries and all(f.schema_id == written_sid for f in ds_entries)
+    # field-id resolution finds the written data under the OLD name
+    assert sorted((r["k"], r["w"]) for r in t.read().collect()) == [
+        (1, 1.0), (2, 2.5),
+    ]
+
+
+def test_datasource_schema_pin_survives_concurrent_evolution(cat, spark):
+    """ADVICE r15 (low): schema() and partitions() must plan against ONE
+    metadata resolution — a rename committing between them used to make
+    read() resolve columns against the newer schema and KeyError
+    task-side. The pin rides the pickled DataSource instance."""
+    from pyspark.sql.types import StructType
+
+    from tutorial_iceberg_spark.lakehouse.datasource import LakeDataSource
+
+    t = cat.create_table("db.ds_pin", "k bigint, v string")
+    t.append(spark.createDataFrame([(1, "a")], "k bigint, v string"))
+    ds = LakeDataSource({"path": t.location})
+    ddl = ds.schema()  # pins (snapshot, schema) here
+    t.rename_column("v", "w")  # evolution lands before planning
+    rdr = ds.reader(StructType.fromDDL(ddl))
+    parts = rdr.partitions()
+    assert len(parts) == 1
+    rows = []
+    for batch in rdr.read(parts[0]):
+        rows.extend(batch.to_pylist())
+    assert rows == [{"k": 1, "v": "a"}]
+
+
+def test_datasource_reads_mor_position_and_vector(cat, spark):
+    """r15 verdict Next #3: position deletes and V3 deletion vectors are
+    readable through spark.read.format('tis_lake') — resolved at
+    planning, applied as an Arrow row mask — and compose with both the
+    count(*) fast path and pushed-filter pruning. Equality deletes stay
+    refused (covered in test_datasource_prunes_files)."""
+    from tutorial_iceberg_spark.lakehouse.datasource import LakeDataSource
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(LakeDataSource)
+    rows = [(i, float(i), f"v{i}") for i in range(20)]
+    ddl = "k bigint, x double, v string"
+
+    t = cat.create_table("db.ds_mor_pos_rd", ddl)
+    t.append(spark.createDataFrame(rows, ddl))
+    t.set_property("write.delete.mode", "merge-on-read")
+    t.set_property("write.delete.flavor", "position")
+    t.delete("k >= 15")
+    out = spark.read.format("tis_lake").load(t.location)
+    assert sorted(r["k"] for r in out.collect()) == list(range(15))
+    assert out.count() == 15  # zero-column count(*) path applies the mask
+
+    t2 = cat.create_table("db.ds_mor_dv_rd", ddl)
+    t2.append(spark.createDataFrame(rows, ddl))
+    t2.set_property("write.delete.mode", "merge-on-read")
+    t2.set_property("write.delete.flavor", "vector")
+    t2.delete("k IN (0, 3, 64)")  # 64: beyond the first bitmap word
+    out2 = spark.read.format("tis_lake").load(t2.location)
+    want = [i for i in range(20) if i not in (0, 3)]
+    assert sorted(r["k"] for r in out2.collect()) == want
+    # mask composes with a pushed filter (pruning never resurrects rows)
+    got = sorted(
+        r["k"] for r in out2.filter("x >= 2.0").collect()
+    )
+    assert got == [i for i in want if i >= 2]
+
+
+def test_rest_merge_into_empty_table(cat, spark):
+    """ADVICE r15 (low): an insert-only MERGE into a table with NO
+    snapshot must land (as an append through the front door), not loop
+    all 10 retries against the server's unconditional 409."""
+    from tutorial_iceberg_spark.lakehouse.rest_catalog import (
+        RestCatalogClient,
+        RestCatalogServer,
+        rest_merge,
+    )
+
+    with RestCatalogServer(cat) as srv:
+        client = RestCatalogClient(srv.base_url)
+        client.create_namespace("em")
+        client.create_table(
+            "em", "t",
+            [{"name": "k", "type": "bigint"}, {"name": "v", "type": "string"}],
+        )
+        t = cat.load_table("em.t")
+        rest_merge(
+            client, t, "em", "t",
+            spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string"),
+            on="k",
+        )
+        assert sorted((r["k"], r["v"]) for r in t.read().collect()) == [
+            (1, "a"), (2, "b"),
+        ]
+        md = t.meta
+        assert md.snapshot().summary.get("via") == "rest-catalog"
+        assert md.snapshot().operation == "append"

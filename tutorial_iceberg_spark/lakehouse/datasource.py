@@ -31,9 +31,14 @@ Scale stance — the planning mirrors LakeTable.scan exactly:
   against the file's written schema, so renames/promotes/read-time
   defaults all land — the same evolution contract as LakeTable.read.
 
-Honest boundary: snapshots carrying MoR delete files are refused with
-a clear error (apply-side delete merging is a Spark-plan concern —
-LakeSQL / LakeTable.read handle it); CoW tables, time travel, and
+MoR reads (r15 verdict Next #3): position deletes and V3 deletion
+vectors are per-file structures, so they resolve at PLANNING time and
+ride each ``_FileSlice`` as a compact position/bitmap payload that
+``read()`` applies as a vectorized Arrow row mask — same semantics as
+LakeTable._read_snapshot's anti-join/bit test, no join needed.
+Honest boundary: EQUALITY deletes are refused with a clear error
+(applying them genuinely needs an anti-join — a Spark-plan concern;
+LakeSQL / LakeTable.read handle them); CoW tables, time travel, and
 both partition-spec generations are fully served.
 """
 
@@ -93,16 +98,34 @@ class _FileSlice(InputPartition):
 
     abs_path: str
     columns: list  # [(cur_name, written_name | None, default)]
+    # Planning-resolved MoR deletes for THIS file (r15 verdict Next #3):
+    # [("pos", [row positions])] from position-delete files and
+    # [("dv", (word_offset, words))] from V3 deletion vectors — applied
+    # in read() as an Arrow row mask. Position/vector deletes are
+    # per-file structures, so resolving them at planning time keeps the
+    # worker read a pure local filter (no join); equality deletes
+    # genuinely need a join and stay refused. A position list is
+    # O(deleted rows in this file); a DV stays in its compact bitmap
+    # form (64 rows/word), so the pickled partition stays small.
+    deletes: list = None
 
 
 class _LakeReader(DataSourceReader):
-    def __init__(self, schema, options):
+    def __init__(self, schema, options, pinned=None):
         self._spark_schema = schema
         self._location = options.get("path")
         if not self._location:
             raise ValueError("tis_lake: .load(<table location>) is required")
         sid = options.get("snapshot_id")
         self._snapshot_id = int(sid) if sid is not None else None
+        # (snapshot_id | None, schema_id) resolved by DataSource.schema()
+        # — the SAME metadata read Spark's schema came from (ADVICE r15:
+        # schema() and partitions() each read metadata independently, so
+        # a schema-evolving commit landing in between made read() resolve
+        # columns against a newer schema than the one Spark holds and
+        # KeyError task-side). None when the caller supplied an explicit
+        # schema (schema() never ran) — partitions() then resolves fresh.
+        self._pinned = pinned
         self._pred_sql: str | None = None
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:  # noqa: N802
@@ -129,30 +152,40 @@ class _LakeReader(DataSourceReader):
         t.spark = None
         t.location = self._location
         md = t.meta
-        snap = md.snapshot(self._snapshot_id)
-        if snap is None:
-            return [] if self._snapshot_id is None else _no_snapshot(self._snapshot_id)
-        if snap.delete_files:
-            # NOT NotImplementedError: the DataSource API treats that as
-            # "source defines no partitioning" and silently hands read()
-            # a single None partition
-            raise ValueError(
-                "tis_lake: snapshot carries merge-on-read delete files; "
-                "read it through LakeSQL / LakeTable.read (which apply "
-                "them), or compact first"
+        if self._pinned is not None:
+            # plan against the SAME metadata resolution Spark's schema
+            # came from (ADVICE r15): schema() recorded (snapshot id,
+            # schema id); a commit landing between schema() and here can
+            # neither shift the column resolution nor surface rows the
+            # declared schema can't describe
+            psid, pschema_id = self._pinned
+            if psid is None:
+                return []  # table was empty when the schema resolved
+            snap = md.snapshot(psid)
+            if snap is None:
+                raise ValueError(
+                    f"tis_lake: snapshot {psid} resolved at schema time "
+                    "was expired before planning — retry the read"
+                )
+            current = md.schema(pschema_id).fields
+        else:
+            # explicit user-supplied schema: schema() never ran
+            snap = md.snapshot(self._snapshot_id)
+            if snap is None:
+                return [] if self._snapshot_id is None else _no_snapshot(self._snapshot_id)
+            # mirror schema(): a pinned snapshot reads under ITS schema
+            # (time travel shows the past shape); an unpinned read shows
+            # the current schema even when the last snapshot predates it
+            current = (
+                md.schema(snap.schema_id).fields
+                if self._snapshot_id is not None
+                else md.schema().fields
             )
+        deletes_by_file = self._plan_deletes(snap)
         if self._pred_sql:
             cands = t._candidates(md, snap, self._pred_sql)
         else:
             cands = list(snap.files)
-        # mirror schema(): a pinned snapshot reads under ITS schema
-        # (time travel shows the past shape); an unpinned read shows the
-        # current schema even when the last snapshot predates it
-        current = (
-            md.schema(snap.schema_id).fields
-            if self._snapshot_id is not None
-            else md.schema().fields
-        )
         slices = []
         by_written: dict[int, dict] = {}
         for f in cands:
@@ -172,9 +205,57 @@ class _LakeReader(DataSourceReader):
                 _FileSlice(
                     abs_path=os.path.join(self._location, f.path),
                     columns=cols,
+                    deletes=deletes_by_file.get(f.path) or None,
                 )
             )
         return slices
+
+    def _plan_deletes(self, snap) -> dict:
+        """Resolve the snapshot's MoR delete files into per-data-file
+        row-position structures (r15 verdict Next #3): position deletes
+        and V3 deletion vectors name (file, position) coordinates, so
+        they attach to each surviving file's slice and apply worker-side
+        as a pure Arrow row mask — pruning composes soundly because
+        deletes only REMOVE rows (a pruned file's coordinates simply go
+        unused). Equality deletes stay refused: applying them needs an
+        anti-join, which is a Spark-plan concern (LakeSQL / LakeTable
+        .read handle them)."""
+        if not snap.delete_files:
+            return {}
+        eq = [d for d in snap.delete_files if d.content == "equality"]
+        if eq:
+            # NOT NotImplementedError: the DataSource API treats that as
+            # "source defines no partitioning" and silently hands read()
+            # a single None partition
+            raise ValueError(
+                "tis_lake: snapshot carries merge-on-read EQUALITY "
+                "delete files (an anti-join concern); read it through "
+                "LakeSQL / LakeTable.read (which apply them), or "
+                "compact first"
+            )
+        import os
+
+        import pyarrow.parquet as pq
+
+        out: dict[str, list] = {}
+        for d in snap.delete_files:
+            tb = pq.read_table(os.path.join(self._location, d.path))
+            if d.content == "position":
+                pos_acc: dict[str, list[int]] = {}
+                for fp, p in zip(
+                    tb["file_path"].to_pylist(), tb["pos"].to_pylist()
+                ):
+                    pos_acc.setdefault(fp, []).append(p)
+                for fp, ps in pos_acc.items():
+                    out.setdefault(fp, []).append(("pos", ps))
+            else:  # "vector": one trimmed bitmap row per touched file
+                for fp, off, words in zip(
+                    tb["file_path"].to_pylist(),
+                    tb["offset"].to_pylist(),
+                    tb["words"].to_pylist(),
+                ):
+                    out.setdefault(fp, []).append(("dv", (off, words)))
+        return out
 
     def read(self, partition: _FileSlice):
         import pyarrow as pa
@@ -188,11 +269,13 @@ class _LakeReader(DataSourceReader):
         want = to_arrow_schema(self._spark_schema)
         pf = pq.ParquetFile(partition.abs_path)
         n = pf.metadata.num_rows
+        mask = self._delete_mask(partition, n)
         if len(want) == 0:
             # count(*)-style scan: Spark needs row multiplicity only
             import itertools
 
-            return itertools.repeat((), n)
+            alive = n if mask is None else int(mask.sum())
+            return itertools.repeat((), alive)
         colmap = {cur: (w, d) for cur, w, d in partition.columns}
         fnames = set(pf.schema_arrow.names)
         present = [
@@ -216,11 +299,67 @@ class _LakeReader(DataSourceReader):
                 arr = pa.chunked_array([pa.array([default] * n).cast(f.type)])
             arrays.append(arr)
         out = pa.table(dict(zip(want.names, arrays))).cast(want)
+        if mask is not None:
+            # MoR deletes as a vectorized row mask — position semantics
+            # identical to LakeTable._read_snapshot's anti-join / bit test
+            out = out.filter(pa.array(mask))
         return iter(out.combine_chunks().to_batches())
+
+    @staticmethod
+    def _delete_mask(partition: _FileSlice, n: int):
+        """Boolean keep-mask over the file's n rows from its planning-
+        resolved MoR deletes; None when the file has none. DV bit math
+        mirrors LakeTable._read_snapshot: words[i] covers row positions
+        [(offset+i)*64, (offset+i)*64+63], bit (pos % 64) set = deleted;
+        little-endian unpack makes the expansion one vectorized pass."""
+        if not partition.deletes:
+            return None
+        import numpy as np
+
+        mask = np.ones(n, dtype=bool)
+        for kind, payload in partition.deletes:
+            if kind == "pos":
+                idx = np.asarray(payload, dtype=np.int64)
+                idx = idx[(idx >= 0) & (idx < n)]
+                mask[idx] = False
+            else:  # "dv"
+                off, words = payload
+                w = np.asarray(words, dtype=np.int64).astype(np.uint64)
+                bits = np.unpackbits(w.view(np.uint8), bitorder="little")
+                hit = np.nonzero(bits)[0] + int(off) * 64
+                hit = hit[hit < n]
+                mask[hit] = False
+        return mask
 
 
 def _no_snapshot(sid):
     raise ValueError(f"tis_lake: no snapshot {sid}")
+
+
+# Spark DDL type synonyms: tables created from frames store
+# simpleString() forms ("int", "bigint"); DDL-created tables may carry
+# the long spellings. Both normalize to one token set so the writer's
+# type gate compares VALUES, not spellings (nested types too — the
+# substitution is token-wise inside array<...>/map<...>/struct<...>).
+_TYPE_SYNONYMS = {
+    "integer": "int",
+    "long": "bigint",
+    "short": "smallint",
+    "byte": "tinyint",
+    "real": "float",
+    "numeric": "decimal",
+    "dec": "decimal",
+    "bool": "boolean",
+}
+
+
+def _norm_type(t: str) -> str:
+    import re
+
+    s = re.sub(r"\s+", "", str(t).lower())
+    s = re.sub(r"[a-z_]+", lambda m: _TYPE_SYNONYMS.get(m.group(0), m.group(0)), s)
+    # bare decimal defaults to decimal(10,0) in Spark DDL
+    return re.sub(r"decimal(?![(])", "decimal(10,0)", s)
 
 
 @dataclass
@@ -274,12 +413,39 @@ class _LakeWriter(DataSourceArrowWriter):
                 "transforms run in Spark SQL there)"
             )
         want = {f.name: f.type for f in md.schema().fields}
-        have = {f.name for f in schema.fields}
-        if have != set(want):
+        have = {f.name: f.dataType.simpleString() for f in schema.fields}
+        if set(have) != set(want):
             raise ValueError(
                 f"tis_lake: frame columns {sorted(have)} != table columns "
                 f"{sorted(want)} — align the frame to the table schema"
             )
+        # ADVICE r15 (medium): names alone let a mistyped frame stage
+        # parquet whose physical types diverge from the table schema —
+        # wrong-typed footer stats then enter manifests (stats_may_match
+        # can raise or mis-compare) and reads fail far from the writing
+        # job. Refuse at write time instead.
+        bad = {
+            n: (have[n], want[n])
+            for n in have
+            if _norm_type(have[n]) != _norm_type(want[n])
+        }
+        if bad:
+            detail = ", ".join(
+                f"{n}: frame {f!r} vs table {t!r}" for n, (f, t) in sorted(bad.items())
+            )
+            raise ValueError(
+                f"tis_lake: frame column types do not match the table "
+                f"schema ({detail}) — cast the frame before writing"
+            )
+        # ADVICE r15 (low): stamp entries with the schema/spec the files
+        # were WRITTEN (and validated) under, captured here — not
+        # whatever current_schema_id says at commit time. A schema
+        # evolution landing mid-write would otherwise label the entries
+        # with the new id, and field-id resolution at read time would
+        # silently materialize defaults instead of the written data.
+        # Fixed across CAS rebases, like LakeTable._write_files.
+        self._schema_id = md.current_schema_id
+        self._spec_id = md.current_spec_id
 
     def write(self, iterator):
         import os
@@ -350,8 +516,11 @@ class _LakeWriter(DataSourceArrowWriter):
                 path=m.rel_path,
                 rows=m.rows,
                 bytes=m.bytes,
-                schema_id=md.current_schema_id,
-                spec_id=md.current_spec_id,
+                # the ids captured when the frame was validated (ADVICE
+                # r15): the files on disk ARE that schema generation,
+                # whatever evolved since
+                schema_id=self._schema_id,
+                spec_id=self._spec_id,
                 stats=m.stats,
             )
             for m in messages
@@ -445,14 +614,29 @@ class LakeDataSource(DataSource):
             raise ValueError("tis_lake: .load(<table location>) is required")
         md = M.read_metadata(loc)
         sid = self.options.get("snapshot_id")
+        # Pin (snapshot, schema) HERE so partitions()/read() plan against
+        # the same metadata resolution Spark's schema came from (ADVICE
+        # r15: independent reads let a schema-evolving commit land in
+        # between, crashing read()'s column resolution task-side). The
+        # instance is pickled after this call, so the pin rides along to
+        # the planning worker.
         if sid is not None:
             snap = md.snapshot(int(sid))
             if snap is not None:
+                self._pinned = (snap.snapshot_id, snap.schema_id)
                 return md.schema(snap.schema_id).ddl()
+            # missing explicit snapshot: leave unpinned so partitions()
+            # raises the clear no-such-snapshot error
+            return md.schema().ddl()
+        snap = md.snapshot()
+        self._pinned = (
+            snap.snapshot_id if snap is not None else None,
+            md.current_schema_id,
+        )
         return md.schema().ddl()
 
     def reader(self, schema) -> DataSourceReader:
-        return _LakeReader(schema, self.options)
+        return _LakeReader(schema, self.options, getattr(self, "_pinned", None))
 
     def writer(self, schema, overwrite: bool) -> _LakeWriter:
         return _LakeWriter(schema, self.options, overwrite)

@@ -1266,6 +1266,64 @@ def lake_datasource_write_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.format("tis_lake").load(t.location)
 
 
+@register(
+    "lake_datasource_mor_position",
+    oracle=f"""
+        SELECT {ORDERS_COLS} FROM orders
+        WHERE o_orderkey % 3 IN (0, 1)
+          AND o_orderpriority <> '1-URGENT'
+    """,
+    doc="MoR POSITION deletes through the registered source (r15 verdict "
+    "Next #3): write.delete.mode=merge-on-read + flavor=position, then "
+    "spark.read.format('tis_lake') — the position-delete coordinates "
+    "resolve at PLANNING time and apply worker-side as a vectorized "
+    "Arrow row mask (no join), value-identical to LakeTable.read's "
+    "anti-join. Equality deletes stay refused (pytest-gated).",
+    tags=("lakehouse", "datasource", "extension"),
+)
+def lake_datasource_mor_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tutorial_iceberg_spark.lakehouse.datasource import LakeDataSource
+    from tutorial_iceberg_spark.session import apply_engine_conf
+
+    apply_engine_conf(spark)
+    spark.dataSource.register(LakeDataSource)
+    t = _fresh_table(spark, "ds_mor_pos")
+    t.append(_orders_mod(spark, sf_dir, 3, 0, 1))
+    t.set_property("write.delete.mode", "merge-on-read")
+    t.set_property("write.delete.flavor", "position")
+    t.delete("o_orderpriority = '1-URGENT'")
+    return spark.read.format("tis_lake").load(t.location)
+
+
+@register(
+    "lake_datasource_mor_vector",
+    oracle=f"""
+        SELECT {ORDERS_COLS} FROM orders
+        WHERE o_orderkey % 3 IN (0, 1)
+          AND o_orderstatus <> 'F'
+    """,
+    doc="V3 DELETION VECTORS through the registered source (r15 verdict "
+    "Next #3): flavor=vector writes one trimmed position bitmap per "
+    "touched file; the DataSource attaches each file's (offset, words) "
+    "to its InputPartition at planning and expands the bitmap with one "
+    "vectorized little-endian unpack in read() — the same bit semantics "
+    "as LakeTable.read's codegen bit test.",
+    tags=("lakehouse", "datasource", "extension"),
+)
+def lake_datasource_mor_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tutorial_iceberg_spark.lakehouse.datasource import LakeDataSource
+    from tutorial_iceberg_spark.session import apply_engine_conf
+
+    apply_engine_conf(spark)
+    spark.dataSource.register(LakeDataSource)
+    t = _fresh_table(spark, "ds_mor_dv")
+    t.append(_orders_mod(spark, sf_dir, 3, 0, 1))
+    t.set_property("write.delete.mode", "merge-on-read")
+    t.set_property("write.delete.flavor", "vector")
+    t.delete("o_orderstatus = 'F'")
+    return spark.read.format("tis_lake").load(t.location)
+
+
 # Bench setup/op split (VERDICT r7 #3): the lake_* headline entries spend
 # most of their wall time creating a fresh temp-dir table and seeding
 # snapshots — fixture work a real deployment has already paid. bench.py

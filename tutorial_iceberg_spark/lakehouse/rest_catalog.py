@@ -609,23 +609,29 @@ def rest_merge(
         )
         files = table._write_files(table._align(result, md.schema()), md)
         ref = M.write_manifest(M.metadata_dir(table.location), 0, files)
-        untouched_paths = {f.path for f in untouched}
-        removed = (
-            [f.path for f in snap.files if f.path not in untouched_paths]
-            if snap
-            else []
-        )
+        if snap is None:
+            # ADVICE r15: an insert-only merge into an EMPTY table is
+            # well-defined — the overwrite-files route would 409 "no
+            # snapshot" on all retries and strand 10 generations of
+            # staged files. Degenerate to the append-files action (the
+            # merge computation IS insert-all here). If a rival's first
+            # snapshot lands concurrently, the assert fails with 409 and
+            # the retry re-plans down the overwrite path.
+            update = {"action": "append-files", "manifest": ref}
+        else:
+            untouched_paths = {f.path for f in untouched}
+            update = {
+                "action": "overwrite-files",
+                "manifest": ref,
+                "removed_paths": [
+                    f.path for f in snap.files if f.path not in untouched_paths
+                ],
+            }
         try:
             return client.commit_table(
                 namespace,
                 name,
-                updates=[
-                    {
-                        "action": "overwrite-files",
-                        "manifest": ref,
-                        "removed_paths": removed,
-                    }
-                ],
+                updates=[update],
                 requirements=[
                     {
                         "type": "assert-ref-snapshot-id",
