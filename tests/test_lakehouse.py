@@ -2289,3 +2289,77 @@ def test_rest_merge_into_empty_table(cat, spark):
         md = t.meta
         assert md.snapshot().summary.get("via") == "rest-catalog"
         assert md.snapshot().operation == "append"
+
+
+def test_rest_row_level_commit_is_rec_driven(cat, spark):
+    """r15 verdict Next #1: overwrite-files/delete-files named by
+    manifest must parse ONLY the touched manifests server-side —
+    untouched manifests carry by record, kept entries of the touched
+    manifest survive. Gated by the manifest-entry read counter (same
+    instrument as the warm-append zero-reads gate)."""
+    from tutorial_iceberg_spark.lakehouse import metadata as M_
+    from tutorial_iceberg_spark.lakehouse.rest_catalog import (
+        RestCatalogClient,
+        RestCatalogServer,
+    )
+
+    with RestCatalogServer(cat) as srv:
+        client = RestCatalogClient(srv.base_url)
+        client.create_namespace("rd")
+        client.create_table(
+            "rd", "t",
+            [{"name": "k", "type": "bigint"}, {"name": "v", "type": "string"}],
+        )
+        t = cat.load_table("rd.t")
+        # one append with 2 files (the touched manifest must keep a
+        # survivor), then several single-file appends (the untouched
+        # manifests that must never be parsed)
+        t.append(
+            spark.createDataFrame(
+                [(1, "a"), (2, "b")], "k bigint, v string"
+            ).repartition(2)
+        )
+        for i in range(3, 8):
+            t.append(spark.createDataFrame([(i, f"v{i}")], "k bigint, v string"))
+        md = t.meta
+        snap = md.snapshot()
+        n_manifests = len({f.manifest_id for f in snap.files})
+        assert n_manifests >= 4
+        doomed = next(
+            f for f in snap.files if str(f.stats.get("k", ["", ""])[0]) == "1"
+        )
+        M_._manifest_cache.clear()
+        reads0 = M_.manifest_file_reads
+        client.commit_table(
+            "rd", "t",
+            updates=[{
+                "action": "delete-files",
+                "removed_by_manifest": {str(doomed.manifest_id): [doomed.path]},
+            }],
+            requirements=[{
+                "type": "assert-ref-snapshot-id",
+                "snapshot-id": md.current_snapshot_id,
+            }],
+        )
+        server_reads = M_.manifest_file_reads - reads0
+        # exactly the ONE touched manifest, never the whole table
+        assert server_reads == 1, server_reads
+        assert sorted(r["k"] for r in t.read().collect()) == [2, 3, 4, 5, 6, 7]
+        assert t.meta.snapshot().operation == "delete"
+        # stale claims 409 in the rec path too: wrong manifest id, and
+        # a path missing from its named manifest
+        import urllib.error
+
+        md2 = t.meta
+        for bad in (
+            {"999": ["data/nope.parquet"]},
+            {str(doomed.manifest_id): [doomed.path]},  # already removed
+        ):
+            try:
+                client.commit_table(
+                    "rd", "t",
+                    updates=[{"action": "delete-files", "removed_by_manifest": bad}],
+                )
+                raise AssertionError("expected 409 for stale rec claim")
+            except urllib.error.HTTPError as e:
+                assert e.code == 409

@@ -302,6 +302,122 @@ def probe_million() -> dict:
         }
 
 
+def _build_big(wh: str, name: str, total: int, groups: int = 20) -> str:
+    """A table with ``total`` manifest entries across ``groups``
+    manifests, written directly (the state appends converge to under
+    merging) — the probe_million builder, parameterized."""
+    loc = _mk(wh, name)
+    md = M.read_metadata(loc)
+    per = total // groups
+    files: list[M.DataFile] = []
+    for g in range(groups):
+        md.last_manifest_id += 1
+        entries = _fake(md, per, g * per)
+        for f in entries:
+            f.manifest_id = md.last_manifest_id
+        files.extend(entries)
+    md.last_snapshot_id += 1
+    md.snapshots.append(
+        M.Snapshot(
+            snapshot_id=md.last_snapshot_id,
+            parent_id=md.current_snapshot_id,
+            timestamp_ms=M.now_ms(),
+            operation="append",
+            schema_id=md.current_schema_id,
+            spec_id=md.current_spec_id,
+            files=files,
+        )
+    )
+    md.current_snapshot_id = md.last_snapshot_id
+    M.commit_metadata(loc, md)
+    return loc
+
+
+def probe_rest_row_level() -> list[dict]:
+    """r15 verdict Next #1 measurement: a row-level commit through the
+    REST front door, named BY MANIFEST, must be O(touched manifests) —
+    flat wall and flat entry reads as table size ladders 100k -> 10^6
+    entries. The legacy flat removed_paths form at the same sizes shows
+    the cost class the rec-driven protocol removed (it materializes
+    every entry server-side, the ~14 s class the r15 probe measured for
+    the pre-rec append)."""
+    from tutorial_iceberg_spark.lakehouse.catalog import LakeCatalog
+    from tutorial_iceberg_spark.lakehouse.rest_catalog import (
+        RestCatalogClient,
+        RestCatalogServer,
+    )
+
+    out = []
+    for total in (100_000, 1_000_000):
+        with tempfile.TemporaryDirectory() as wh:
+            # converged shape (20 manifests — what the commit-time merge
+            # policy maintains): entry READS must stay flat (staged +
+            # the one touched manifest); wall is bounded by the touched
+            # manifest's entry count (loaded, subtracted, rewritten) —
+            # recorded explicitly so the bound is visible, never by the
+            # table's total entry count (the legacy contrast pays that)
+            loc = _build_big(wh, "r", total)
+            mdir = M.metadata_dir(loc)
+            cat = LakeCatalog(None, wh)
+            with RestCatalogServer(cat) as srv:
+                client = RestCatalogClient(srv.base_url)
+                md = M.read_metadata(loc)
+                # rec-driven: replace 3 files of ONE touched manifest
+                # (id 1 holds paths 0..per-1 by construction) with 2
+                # staged files
+                removed = [f"data/fake/{i:09d}.parquet" for i in range(3)]
+                ref = M.write_manifest(mdir, 0, _fake(md, 2, 10_000_000))
+                M._manifest_cache.clear()
+                reads0 = M.manifest_file_reads
+                t0 = time.perf_counter()
+                client.commit_table(
+                    "db", "r",
+                    updates=[{
+                        "action": "overwrite-files",
+                        "manifest": ref,
+                        "removed_by_manifest": {"1": removed},
+                    }],
+                    requirements=[{
+                        "type": "assert-ref-snapshot-id",
+                        "snapshot-id": md.current_snapshot_id,
+                    }],
+                )
+                rec_wall = time.perf_counter() - t0
+                rec_reads = M.manifest_file_reads - reads0
+                # legacy flat-path contrast on the SAME table state
+                md = M.read_metadata(loc)
+                removed2 = [f"data/fake/{i:09d}.parquet" for i in range(3, 6)]
+                ref2 = M.write_manifest(mdir, 0, _fake(md, 2, 11_000_000))
+                M._manifest_cache.clear()
+                reads0 = M.manifest_file_reads
+                t0 = time.perf_counter()
+                client.commit_table(
+                    "db", "r",
+                    updates=[{
+                        "action": "overwrite-files",
+                        "manifest": ref2,
+                        "removed_paths": removed2,
+                    }],
+                    requirements=[{
+                        "type": "assert-ref-snapshot-id",
+                        "snapshot-id": md.current_snapshot_id,
+                    }],
+                )
+                legacy_wall = time.perf_counter() - t0
+                legacy_reads = M.manifest_file_reads - reads0
+            m = {
+                "table_files": total,
+                "touched_manifest_entries": total // 20,
+                "rec_commit_wall_s": round(rec_wall, 4),
+                "rec_manifest_entry_files_parsed": rec_reads,
+                "legacy_commit_wall_s": round(legacy_wall, 4),
+                "legacy_manifest_entry_files_parsed": legacy_reads,
+            }
+            out.append(m)
+            print("rest-row-level:", m, flush=True)
+    return out
+
+
 def main() -> None:
     result = {
         "probe": "meta_probe",
@@ -311,6 +427,7 @@ def main() -> None:
         "burned_slots": probe_burned_slots(),
         "plan_cost": probe_plan_cost(),
         "million": probe_million(),
+        "rest_row_level": probe_rest_row_level(),
     }
     fs = result["file_scale"]
     result["flat_in_table_size"] = (
