@@ -434,3 +434,121 @@ def test_native_stream_sink_replay_and_batch_prop_parity(spark, sf_dir):
     # data files on disk == manifest entries (no stranded dupes)
     n_files = len(glob.glob(os.path.join(t.location, "data", "**", "*.parquet"), recursive=True))
     assert n_files == len(list(t.meta.snapshot().files))
+
+
+def _mk_lake(spark, tmp_path, name):
+    import os
+
+    from tutorial_iceberg_spark.lakehouse.table import LakeTable
+
+    return LakeTable.create(
+        spark, os.path.join(str(tmp_path), name), "k bigint, v string", name=name
+    )
+
+
+def test_native_stream_source_resumes_from_checkpoint(spark, tmp_path):
+    """r15 verdict Next #4: the tis_lake streaming SOURCE checkpoints
+    {'snapshot_id'} offsets — a restarted query resumes at the committed
+    snapshot, emits only the delta, and an idle restart emits nothing
+    (exactly-once across the query's life)."""
+    import os
+
+    from tutorial_iceberg_spark.lakehouse.datasource import LakeDataSource
+
+    spark.dataSource.register(LakeDataSource)
+    t = _mk_lake(spark, tmp_path, "src_resume")
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string"))
+    t.append(spark.createDataFrame([(3, "c")], "k bigint, v string"))
+    chk = os.path.join(str(tmp_path), "chk")
+    out = os.path.join(str(tmp_path), "out")
+
+    def run():
+        q = (
+            spark.readStream.format("tis_lake")
+            .load(t.location)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    assert sorted(r["k"] for r in spark.read.parquet(out).collect()) == [1, 2, 3]
+    t.append(spark.createDataFrame([(4, "d"), (5, "e")], "k bigint, v string"))
+    run()  # resumes at the checkpointed snapshot: only the delta lands
+    assert sorted(r["k"] for r in spark.read.parquet(out).collect()) == [1, 2, 3, 4, 5]
+    run()  # idle restart: no duplicates
+    assert sorted(r["k"] for r in spark.read.parquet(out).collect()) == [1, 2, 3, 4, 5]
+
+
+def test_native_stream_source_plans_only_changed_manifests(spark, tmp_path):
+    """The per-batch changelog diff is REC-driven: planning a one-append
+    range on a many-manifest table parses only the manifests that
+    CHANGED in that range, never the whole table (same counter gate as
+    the warm-append and REST row-level instruments)."""
+    from pyspark.sql.types import StructType
+
+    from tutorial_iceberg_spark.lakehouse import metadata as M_
+    from tutorial_iceberg_spark.lakehouse.datasource import _LakeStreamReader
+
+    t = _mk_lake(spark, tmp_path, "src_rec")
+    for i in range(6):
+        t.append(spark.createDataFrame([(i, f"v{i}")], "k bigint, v string"))
+    md = t.meta
+    sids = sorted(s.snapshot_id for s in md.snapshots)
+    rdr = _LakeStreamReader(
+        StructType.fromDDL("k bigint, v string"), {"path": t.location}
+    )
+    M_._manifest_cache.clear()
+    reads0 = M_.manifest_file_reads
+    parts = rdr.partitions(
+        {"snapshot_id": sids[-2]}, {"snapshot_id": sids[-1]}
+    )
+    assert len(parts) == 1  # the one appended file
+    assert M_.manifest_file_reads - reads0 == 1  # only the changed manifest
+    rows = []
+    for b in rdr.read(parts[0]):
+        rows.extend(b.to_pylist())
+    assert rows == [{"k": 5, "v": "v5"}]
+    # full-genesis range covers everything exactly once
+    all_parts = rdr.partitions({"snapshot_id": 0}, {"snapshot_id": sids[-1]})
+    assert len(all_parts) == 6
+    # starting_snapshot_id option shifts the initial offset
+    rdr2 = _LakeStreamReader(
+        StructType.fromDDL("k bigint, v string"),
+        {"path": t.location, "starting_snapshot_id": str(sids[2])},
+    )
+    assert rdr2.initialOffset() == {"snapshot_id": sids[2]}
+    assert rdr2.latestOffset() == {"snapshot_id": sids[-1]}
+    assert len(rdr2.partitions(rdr2.initialOffset(), rdr2.latestOffset())) == 3
+
+
+def test_native_stream_source_honest_refusals(spark, tmp_path):
+    """Non-append snapshots in range and expired start offsets both fail
+    loudly — a silent partial changelog would feed wrong rows downstream
+    (the incremental_read honesty contract, mirrored)."""
+    from pyspark.sql.types import StructType
+
+    from tutorial_iceberg_spark.lakehouse.datasource import _LakeStreamReader
+
+    t = _mk_lake(spark, tmp_path, "src_refuse")
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string"))
+    first = t.meta.current_snapshot_id
+    t.delete("k = 1")  # CoW rewrite: not an append
+    rdr = _LakeStreamReader(
+        StructType.fromDDL("k bigint, v string"), {"path": t.location}
+    )
+    with pytest.raises(ValueError, match="non-append"):
+        rdr.partitions(
+            {"snapshot_id": first},
+            {"snapshot_id": t.meta.current_snapshot_id},
+        )
+    t.append(spark.createDataFrame([(9, "z")], "k bigint, v string"))
+    t.expire_snapshots(keep_last=1)
+    with pytest.raises(ValueError, match="expired"):
+        rdr.partitions(
+            {"snapshot_id": first},
+            {"snapshot_id": t.meta.current_snapshot_id},
+        )

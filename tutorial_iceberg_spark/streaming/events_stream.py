@@ -975,6 +975,66 @@ def x_stream_lakehouse_native_sink(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@register(
+    "x_stream_lakehouse_native_source",
+    oracle=f"""
+        SELECT event_type, COUNT(*) AS cnt,
+               {o_dsum('value', 'total_value')}
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    doc="The NATIVE streaming SOURCE (r15 verdict Next #4): "
+    "spark.readStream.format('tis_lake') over an appending lakehouse "
+    "table — Spark 4's DataSourceStreamReader plans snapshot-range "
+    "micro-batches over the append changelog (the incremental_read "
+    "semantics, rec-driven so each batch parses only CHANGED manifests), "
+    "with {'snapshot_id': N} offsets checkpointed for exactly-once "
+    "resume (restart pytest in tests/test_streaming_multimodal.py). "
+    "Three appends stream through a parquet spill and the aggregate "
+    "must equal the all-at-once batch aggregate.",
+    tags=("streaming", "lakehouse", "datasource", "extension"),
+)
+def x_stream_lakehouse_native_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from tutorial_iceberg_spark import scratch as _scratch
+    from tutorial_iceberg_spark.lakehouse.datasource import LakeDataSource
+    from tutorial_iceberg_spark.lakehouse.table import LakeTable
+
+    spark.dataSource.register(LakeDataSource)
+    ev = load_table(spark, sf_dir, "events")
+    root = _scratch.defer_cleanup(
+        _scratch.scratch_dir("tis_stream_native_source", unique=True)
+    )
+    table = LakeTable.create(
+        spark,
+        os.path.join(root, "events_src"),
+        "event_id bigint, ts timestamp_ntz, user_id bigint, "
+        "event_type string, value double, props string",
+        name="events_src",
+    )
+    for r in (0, 1, 2):  # three append snapshots = three changelog steps
+        table.append(ev.filter(F.col("event_id") % 3 == r))
+    spill = os.path.join(root, "spill")
+    q = (
+        spark.readStream.format("tis_lake")
+        .load(table.location)
+        .writeStream.format("parquet")
+        .option("path", spill)
+        .option("checkpointLocation", os.path.join(root, "_chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(spill)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"), dsum("value", "total_value"))
+        .orderBy("event_type")
+    )
+
+
 ATTRIBUTION_WINDOW_MIN = 60
 
 
