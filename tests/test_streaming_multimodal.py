@@ -552,3 +552,61 @@ def test_native_stream_source_honest_refusals(spark, tmp_path):
             {"snapshot_id": first},
             {"snapshot_id": t.meta.current_snapshot_id},
         )
+
+
+def test_native_stream_sink_rest_exactly_once(spark, tmp_path):
+    """The native streaming SINK routed through the REST front door: the
+    batch-id stamp rides the SAME commit-table POST as append-files, so
+    a replayed micro-batch is detected from table properties and its
+    staged duplicates unlink — exactly-once across the HTTP hop without
+    foreachBatch."""
+    import os
+
+    import pyarrow as pa
+    from pyspark.sql.types import StructType
+
+    from tutorial_iceberg_spark.lakehouse import metadata as M_
+    from tutorial_iceberg_spark.lakehouse.catalog import LakeCatalog
+    from tutorial_iceberg_spark.lakehouse.datasource import (
+        _BATCH_PROP,
+        _LakeStreamWriter,
+    )
+    from tutorial_iceberg_spark.lakehouse.rest_catalog import (
+        RestCatalogClient,
+        RestCatalogServer,
+    )
+
+    wh = os.path.join(str(tmp_path), "wh")
+    cat = LakeCatalog(spark, wh)
+    with RestCatalogServer(cat) as srv:
+        client = RestCatalogClient(srv.base_url)
+        client.create_namespace("st")
+        client.create_table(
+            "st", "t",
+            [{"name": "k", "type": "bigint"}, {"name": "v", "type": "bigint"}],
+        )
+        t = cat.load_table("st.t")
+        opts = {
+            "path": t.location,
+            "catalog_uri": srv.base_url,
+            "namespace": "st",
+            "table": "t",
+        }
+        schema = StructType.fromDDL("k bigint, v bigint")
+        w = _LakeStreamWriter(schema, opts, False)
+        w.commit([w.write(iter([pa.record_batch({"k": [1], "v": [10]})]))], 0)
+        md = M_.read_metadata(t.location)
+        assert md.properties.get(_BATCH_PROP) == "0"
+        assert md.snapshot().summary.get("via") == "rest-catalog"
+        n_snaps = len(md.snapshots)
+        # replayed batch 0: detected, staged duplicate unlinked, no commit
+        msg = w.write(iter([pa.record_batch({"k": [1], "v": [10]})]))
+        w.commit([msg], 0)
+        md = M_.read_metadata(t.location)
+        assert len(md.snapshots) == n_snaps
+        assert not os.path.exists(os.path.join(t.location, msg.rel_path))
+        # next batch appends normally
+        w2 = _LakeStreamWriter(schema, opts, False)
+        w2.commit([w2.write(iter([pa.record_batch({"k": [2], "v": [20]})]))], 1)
+        assert sorted(r["k"] for r in t.read().collect()) == [1, 2]
+        assert M_.read_metadata(t.location).properties.get(_BATCH_PROP) == "1"

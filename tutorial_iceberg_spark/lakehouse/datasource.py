@@ -602,6 +602,30 @@ class _LakeWriter(DataSourceArrowWriter):
         if not self._location:
             raise ValueError("tis_lake: .save(<table location>) is required")
         self._overwrite = overwrite
+        # REST front door (r15 verdict Next #6): with option("catalog_uri")
+        # the commit ships as the append-files action — the catalog
+        # SERVICE constructs the snapshot and owns the CAS (the EP3
+        # topology where the catalog, not the writer, is the commit
+        # authority). Data files + one unstamped manifest are staged in
+        # shared storage either way; only the commit authority moves.
+        self._catalog_uri = options.get("catalog_uri")
+        self._namespace = options.get("namespace")
+        self._table = options.get("table")
+        if self._catalog_uri:
+            if not (self._namespace and self._table):
+                raise ValueError(
+                    "tis_lake: option('catalog_uri') needs "
+                    "option('namespace') and option('table') to route the "
+                    "commit"
+                )
+            if overwrite:
+                raise ValueError(
+                    "tis_lake: mode('overwrite') through the REST catalog "
+                    "is not supported (the front door's replace protocol "
+                    "is row-level overwrite-files, driven by rest_merge) "
+                    "— commit overwrites locally or merge through "
+                    "rest_merge"
+                )
         md = M.read_metadata(self._location)
         if md.spec().fields:
             raise ValueError(
@@ -723,6 +747,9 @@ class _LakeWriter(DataSourceArrowWriter):
             for m in messages
             if m is not None and m.rel_path
         ]
+        if self._catalog_uri:
+            self._commit_rest(md, entries, messages, properties, skip_if)
+            return
         last = None
         for _ in range(self.RETRIES):
             if properties:
@@ -751,6 +778,50 @@ class _LakeWriter(DataSourceArrowWriter):
                     return  # the winner WAS this logical write (replay)
                 for f in entries:
                     f.manifest_id = 0
+        raise last  # type: ignore[misc]
+
+    def _commit_rest(self, md, entries, messages, properties, skip_if) -> None:
+        """Commit through the catalog service: ONE commit-table POST
+        carries append-files (the staged unstamped manifest) plus any
+        set-properties stamp (the streaming batch id rides ATOMICALLY
+        with the snapshot, so exactly-once survives the HTTP hop — the
+        same composition make_idempotent_rest_ingest proved). 409 = CAS
+        lost or stale assert: re-read, re-check replay, retry the SAME
+        staged manifest — data files are written exactly once regardless
+        of commit attempts."""
+        import urllib.error
+
+        from tutorial_iceberg_spark.lakehouse import metadata as M
+        from tutorial_iceberg_spark.lakehouse.rest_catalog import (
+            RestCatalogClient,
+        )
+
+        client = RestCatalogClient(self._catalog_uri)
+        ref = M.write_manifest(M.metadata_dir(self._location), 0, entries)
+        updates: list[dict] = [{"action": "append-files", "manifest": ref}]
+        if properties:
+            updates.append({"action": "set-properties", "updates": properties})
+        last: Exception | None = None
+        for _ in range(self.RETRIES):
+            try:
+                client.commit_table(
+                    self._namespace,
+                    self._table,
+                    updates=updates,
+                    requirements=[{
+                        "type": "assert-ref-snapshot-id",
+                        "snapshot-id": md.current_snapshot_id,
+                    }],
+                )
+                return
+            except urllib.error.HTTPError as e:
+                if e.code != 409:
+                    raise
+                last = e
+                md = M.read_metadata(self._location)  # rebase on winner
+                if skip_if is not None and skip_if(md):
+                    self._unlink_staged(messages)
+                    return  # the winner WAS this logical write (replay)
         raise last  # type: ignore[misc]
 
     def commit(self, messages):

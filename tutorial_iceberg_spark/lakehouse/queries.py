@@ -1267,6 +1267,49 @@ def lake_datasource_write_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lake_datasource_write_rest",
+    oracle=f"""
+        SELECT {ORDERS_COLS} FROM orders WHERE o_orderkey % 3 IN (0, 1)
+    """,
+    doc="The DataSource write path routed through the REST front door "
+    "(r15 verdict Next #6): df.write.format('tis_lake')"
+    ".option('catalog_uri', ...) — executor tasks stage parquet + footer "
+    "stats exactly as the local path, but the commit ships as ONE "
+    "commit-table POST (append-files + assert-ref-snapshot-id) and the "
+    "catalog SERVICE constructs the snapshot and owns the CAS, unifying "
+    "all three write paths behind one commit authority. A second batch "
+    "lands via the local-CAS DataSource path and both snapshots carry "
+    "mutually; 409-rebase race pytest in tests/test_lakehouse.py.",
+    tags=("lakehouse", "datasource", "rest", "extension"),
+)
+def lake_datasource_write_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tutorial_iceberg_spark.lakehouse.catalog import LakeCatalog
+    from tutorial_iceberg_spark.lakehouse.datasource import LakeDataSource
+    from tutorial_iceberg_spark.lakehouse.rest_catalog import RestCatalogServer
+    from tutorial_iceberg_spark.session import apply_engine_conf
+
+    apply_engine_conf(spark)
+    spark.dataSource.register(LakeDataSource)
+    wh = _scratch.defer_cleanup(
+        _scratch.scratch_dir("tis_lake", "ds_write_rest", unique=True)
+    )
+    cat = LakeCatalog(spark, wh)
+    t = cat.create_table("db.orders_dsr", ORDERS_DDL)
+    with RestCatalogServer(cat) as srv:
+        _orders_mod(spark, sf_dir, 3, 0).write.format("tis_lake").option(
+            "catalog_uri", srv.base_url
+        ).option("namespace", "db").option("table", "orders_dsr").mode(
+            "append"
+        ).save(t.location)
+    # local-CAS DataSource write interleaves: both commit authorities
+    # produce mutually-carried snapshots
+    _orders_mod(spark, sf_dir, 3, 1).write.format("tis_lake").mode(
+        "append"
+    ).save(t.location)
+    return spark.read.format("tis_lake").load(t.location)
+
+
+@register(
     "lake_datasource_mor_position",
     oracle=f"""
         SELECT {ORDERS_COLS} FROM orders
