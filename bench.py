@@ -58,6 +58,7 @@ HEADLINE = (
     "lake_changelog",  # CDC snapshot diff: full-outer key join + 4-way split
     "x_embed_outliers",  # per-label centroid audit: ordered-fold exact means
     "x_stream_session_window",  # native merging session windows, stateful
+    "lake_datasource_scan",  # registered-source read: pushFilters pruning + Arrow workers (r15 Next #5)
 )
 # NOT in the headline: x_triangle_count / x_knn_classify_loo. At bench SF
 # their pair source is the deliberately-EXACT all-pairs cosine baseline

@@ -1204,6 +1204,35 @@ def lake_merge_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read()
 
 
+def _ds_scan_setup(spark: SparkSession, sf_dir: str):
+    """Fixture phase (bench-split): register the source, create the
+    year-partitioned table, seed one snapshot. The parquet seed write
+    dominates wall at bench SF and says nothing about the DataSource
+    read path — time it separately."""
+    from tutorial_iceberg_spark.lakehouse.datasource import LakeDataSource
+    from tutorial_iceberg_spark.session import apply_engine_conf
+
+    apply_engine_conf(spark)  # python filter pushdown is runtime-settable
+    spark.dataSource.register(LakeDataSource)
+    t = _fresh_table(spark, "ds_scan", partition_by=["year(o_orderdate)"])
+    t.append(load_table(spark, sf_dir, "orders"))
+    return t
+
+
+def _ds_scan_op(state) -> DataFrame:
+    """Measured phase: the registered-source read — schema resolution +
+    pushFilters -> manifest/partition/stats pruning in the planning
+    worker, Arrow-batched Python-worker reads of the surviving files.
+    This is exactly where a Python-DataSource regression would hide
+    (r15 verdict Next #5), so it's benched round-over-round."""
+    t = state
+    spark = t.spark
+    df = spark.read.format("tis_lake").load(t.location)
+    return df.filter(
+        "o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'"
+    ).select([c.strip() for c in ORDERS_COLS.split(",")])
+
+
 @register(
     "lake_datasource_scan",
     oracle=f"""
@@ -1222,19 +1251,7 @@ def lake_merge_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("lakehouse", "datasource", "extension"),
 )
 def lake_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from tutorial_iceberg_spark.lakehouse.datasource import LakeDataSource
-    from tutorial_iceberg_spark.session import apply_engine_conf
-
-    apply_engine_conf(spark)  # python filter pushdown is runtime-settable
-    spark.dataSource.register(LakeDataSource)
-    t = _fresh_table(
-        spark, "ds_scan", partition_by=["year(o_orderdate)"]
-    )
-    t.append(load_table(spark, sf_dir, "orders"))
-    df = spark.read.format("tis_lake").load(t.location)
-    return df.filter(
-        "o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'"
-    ).select([c.strip() for c in ORDERS_COLS.split(",")])
+    return _ds_scan_op(_ds_scan_setup(spark, sf_dir))
 
 
 @register(
@@ -1381,4 +1398,5 @@ BENCH_SPLIT = {
         _sorted_compaction_setup,
         _sorted_compaction_op,
     ),
+    "lake_datasource_scan": (_ds_scan_setup, _ds_scan_op),
 }
