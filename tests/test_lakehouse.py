@@ -1883,12 +1883,21 @@ def test_rest_overwrite_and_delete_files_front_door(cat, spark):
             raise AssertionError("expected 409 for stale removed path")
         except urllib.error.HTTPError as e:
             assert e.code == 409
-        # delete-files happy path: drop exactly the file(s) holding k=3
+        # delete-files happy path: append a dedicated file for k=5, then
+        # drop exactly that file. (The r16 single-join merge writes its
+        # output as one coalesced file, so the merge result no longer
+        # guarantees a k=3-only file — the fixture now creates the
+        # whole-file granularity this action needs instead of relying on
+        # the merge's physical layout.)
+        rest_append(
+            client, t, "od", "t",
+            spark.createDataFrame([(5, "e")], "k bigint, v string"),
+        )
         md = t.meta
         doomed = [
             f.path
             for f in md.snapshot().files
-            if str(f.stats.get("k", ["", ""])[0]) == "3"
+            if str(f.stats.get("k", ["", ""])[0]) == "5"
         ]
         assert doomed
         client.commit_table(
@@ -1900,7 +1909,7 @@ def test_rest_overwrite_and_delete_files_front_door(cat, spark):
             }],
         )
         assert sorted((r["k"], r["v"]) for r in t.read().collect()) == [
-            (1, "a"), (2, "B"), (4, "d"),
+            (1, "a"), (2, "B"), (3, "c"), (4, "d"),
         ]
         assert t.meta.snapshot().operation == "delete"
 

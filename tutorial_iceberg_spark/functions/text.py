@@ -630,9 +630,6 @@ def x_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = tok.groupBy("doc_id", "term").agg(
         F.max("dl").alias("dl"), F.count("*").alias("tf")
     )
-    # df from the tf table (rows unique per (doc, term)): |query|-row frame,
-    # provably bounded -> hard broadcast is safe (see tests/test_plans.py)
-    term_df = tf.groupBy("term").agg(F.count("*").alias("df"))
     tf_d = F.col("tf").cast("double")
     df_d = F.col("df").cast("double")
     idf = ((F.col("n_docs").cast("double") - df_d) + F.lit(0.5)) / (
@@ -645,8 +642,14 @@ def x_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             + (F.lit(BM25_B) * (F.col("dl").cast("double") / F.col("avgdl")))
         )
     )
+    # df as a COUNT window over tf (rows unique per (doc, term)): the old
+    # broadcast-join form recomputed the whole scan->explode->tf subtree a
+    # second time just to aggregate the |query|-row df census
+    # (plans/r16/x_bm25_search_before.txt). The window costs one exchange
+    # of the already-query-filtered tf rows (<= |query| x matching docs)
+    # and removes a full corpus tokenize pass (guide §2.4).
     scored = (
-        tf.join(F.broadcast(term_df), "term")
+        tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
         .crossJoin(F.broadcast(corpus_stats))
         .select(
             "doc_id",
@@ -760,14 +763,20 @@ def x_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = tok.groupBy("doc_id", "term").agg(
         F.max("dl").alias("dl"), F.count("*").alias("tf")
     )
-    term_df = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
     score = (F.col("tf").cast("double") / F.col("dl").cast("double")) * (
         ((F.col("n_docs").cast("double") - F.col("df").cast("double")) + 0.5)
         / (F.col("df").cast("double") + 0.5)
     )
+    # df as a COUNT window over the tf table (rows unique per (doc, term),
+    # so COUNT(*) OVER (PARTITION BY term) IS the document frequency —
+    # the x_keyword_extract idiom). The old groupBy+join built the whole
+    # scan->explode->tf subtree TWICE (once for tf, once for the df
+    # census: plans/r16/x_tfidf_terms_before.txt); this is one tokenize
+    # pass and one exchange on term instead (guide §2.4). Still no
+    # broadcast of the vocabulary — unbounded at 100 TB.
     scored = (
-        tf.join(term_df, "term")
+        tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
         .crossJoin(F.broadcast(n))
         .select("doc_id", "term", "tf", "df", score.alias("score"))
     )

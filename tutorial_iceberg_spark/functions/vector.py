@@ -242,7 +242,14 @@ def x_embed_outliers(
     spark: SparkSession, sf_dir: str, bitexact: bool | None = None
 ) -> DataFrame:
     bitexact = _bitexact_auto(sf_dir, "embeddings", bitexact)
-    emb = load_table(spark, sf_dir, "embeddings")
+    # spread: the single-file fixture scans as ONE task, so without it the
+    # unit-normalize HOF fold AND the checkpointed frame's downstream
+    # posexplode + partial collect_list aggregation all run serialized on
+    # one core (the r16-before plan shows UnknownPartitioning(0) with one
+    # upstream partition). Safe for bit-exactness: every downstream fold
+    # is vec_id-keyed (array_sort before aggregate), so the result is
+    # partition-invariant by construction.
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
     # u feeds BOTH the centroid fold and the scoring pass; materialize it
     # once (the per-row unit fold is interpreted HOF work worth reusing)
     u = emb.select(

@@ -531,8 +531,15 @@ def snapshot_changelog(
     consumers expect).
 
     Shape: ONE full-outer sort-merge join of the two snapshot reads on
-    the key, then four narrow filtered projections unioned together.
-    Both sides shuffle once on the key; at 100 TB the join is the
+    the key, then a single projection that emits 0-2 change rows per
+    joined pair via an array explode. The earlier union-of-four-filters
+    form LOOKED like one join but decomposed under Catalyst into four
+    independent joins (column pruning specialized each branch, so no
+    exchange was reused): 2 full-outer SortMergeJoins + 2 inner
+    BroadcastHashJoins re-scanning both snapshots 4x
+    (plans/r16/lake_changelog_before.txt). This form keeps the diff at
+    its first-principles floor — each snapshot is read once and shuffled
+    once on the key (optimization guide §2.4). At 100 TB the join is the
     unavoidable cost of a point-in-time diff (Iceberg's native changelog
     reads manifest diffs instead — with the emulation's metadata the
     equivalent shortcut would be diffing file lists, but a row-accurate
@@ -552,22 +559,33 @@ def snapshot_changelog(
     same = F.struct(*[F.col(f"o.{c}") for c in compare]).eqNullSafe(
         F.struct(*[F.col(f"n.{c}") for c in compare])
     )
-    o_cols = [F.col(f"o.{c}").alias(c) for c in old.columns]
-    n_cols = [F.col(f"n.{c}").alias(c) for c in new.columns]
-    inserts = j.filter(okey.isNull()).select(
-        F.lit("INSERT").alias("change_type"), *n_cols
+    empty = F.array().cast("array<string>")
+    # concat of three independently-gated arrays reproduces the original
+    # union semantics exactly (including a NULL join key appearing on
+    # both sides, which emitted both an INSERT and a DELETE)
+    kinds = F.concat(
+        F.when(okey.isNull(), F.array(F.lit("INSERT"))).otherwise(empty),
+        F.when(nkey.isNull(), F.array(F.lit("DELETE"))).otherwise(empty),
+        F.when(
+            okey.isNotNull() & nkey.isNotNull() & ~same,
+            F.array(F.lit("UPDATE_BEFORE"), F.lit("UPDATE_AFTER")),
+        ).otherwise(empty),
     )
-    deletes = j.filter(nkey.isNull()).select(
-        F.lit("DELETE").alias("change_type"), *o_cols
+    rows = j.select(
+        F.explode(kinds).alias("change_type"),
+        F.struct(*[F.col(f"o.{c}").alias(c) for c in old.columns]).alias("__o"),
+        F.struct(*[F.col(f"n.{c}").alias(c) for c in new.columns]).alias("__n"),
     )
-    changed = j.filter(okey.isNotNull() & nkey.isNotNull() & ~same)
-    before = changed.select(
-        F.lit("UPDATE_BEFORE").alias("change_type"), *o_cols
+    use_new = F.col("change_type").isin("INSERT", "UPDATE_AFTER")
+    return rows.select(
+        "change_type",
+        *[
+            F.when(use_new, F.col(f"__n.{c}"))
+            .otherwise(F.col(f"__o.{c}"))
+            .alias(c)
+            for c in new.columns
+        ],
     )
-    after = changed.select(
-        F.lit("UPDATE_AFTER").alias("change_type"), *n_cols
-    )
-    return inserts.unionByName(deletes).unionByName(before).unionByName(after)
 
 
 def _changelog_setup(spark: SparkSession, sf_dir: str):

@@ -1537,8 +1537,6 @@ class LakeTable:
         """
         keys = [on] if isinstance(on, str) else list(on)
         src = self._align(source, md.schema())
-        if src.select(*keys).distinct().count() != src.count():
-            raise ValueError("MERGE source has duplicate join keys (ambiguous match)")
         if when_matched not in ("update_all", "delete", "none"):
             raise ValueError(f"unsupported matched action {when_matched!r}")
         if when_not_matched not in ("insert_all", "none"):
@@ -1555,8 +1553,6 @@ class LakeTable:
             if matched_condition
             else F.lit(True)
         )
-        src_armed = src.filter(cond)  # source rows whose matched arm fires
-        src_unarmed = src.filter(~cond)
 
         snap = md.snapshot()
         untouched: list[M.DataFile] = []
@@ -1565,11 +1561,21 @@ class LakeTable:
             and snap is not None
             and not snap.delete_files
         )
+        # ONE aggregation job over the source computes duplicate-key
+        # validation AND the pruning key bounds (guide §1.2/§2.4: the old
+        # form paid three full source passes — count, distinct-count,
+        # min/max — before any merge work). count_distinct over a struct
+        # matches select(keys).distinct().count() exactly: grouping
+        # treats NULL keys as equal, and a struct is never NULL itself.
+        bounds = src.agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.count_distinct(F.struct(*[F.col(k) for k in keys])).alias("__nd"),
+            *[F.min(k).alias(f"mn_{i}") for i, k in enumerate(keys)],
+            *[F.max(k).alias(f"mx_{i}") for i, k in enumerate(keys)],
+        ).first()
+        if bounds["__nd"] != bounds["__n"]:
+            raise ValueError("MERGE source has duplicate join keys (ambiguous match)")
         if prunable:
-            bounds = src.agg(
-                *[F.min(k).alias(f"mn_{i}") for i, k in enumerate(keys)],
-                *[F.max(k).alias(f"mx_{i}") for i, k in enumerate(keys)],
-            ).first()
             current_by_name = {f.name: f.id for f in md.schema().fields}
             candidates: list[M.DataFile] = []
             for f in snap.files:
@@ -1599,23 +1605,56 @@ class LakeTable:
             )
         else:
             target = self.read()
-        tkeys = target.select(*keys).distinct()
-        parts = []
-        if when_not_matched_by_source != "delete":
-            parts.append(target.join(src, on=keys, how="left_anti"))
+        # ONE full-outer join on the keys, then a per-row arm decision.
+        # The earlier anti/semi/semi/anti union was 4 joins re-scanning
+        # the candidate files and the source up to 4x each (guide §2.4);
+        # a full-outer join visits every (matched, target-only,
+        # source-only) row exactly once, so each side is read and
+        # shuffled once. Join-key NULL semantics are identical: a NULL
+        # key never matches, so NULL-key target rows surface as
+        # target-only (kept/dropped exactly as the anti-join did) and
+        # NULL-key source rows as source-only (inserted).
+        cols = target.columns
+        t = target.select(
+            *[F.col(k) for k in keys],
+            F.struct(*[F.col(c) for c in cols]).alias("__trow"),
+        )
+        s = src.select(
+            *[F.col(k) for k in keys],
+            F.struct(*[F.col(c) for c in cols]).alias("__srow"),
+            cond.alias("__armed"),
+        )
+        j = t.join(s, on=keys, how="full_outer")
+        # matched arm: condition TRUE -> source action, else keep target
         if when_matched == "none":
-            parts.append(target.join(src, on=keys, how="left_semi"))
-        else:
-            # matched pairs failing the condition keep the TARGET row
-            parts.append(target.join(src_unarmed, on=keys, how="left_semi"))
-            if when_matched == "update_all":
-                parts.append(src_armed.join(tkeys, on=keys, how="left_semi"))
-            # when_matched == "delete": armed matched rows simply vanish
-        if when_not_matched == "insert_all":
-            parts.append(src.join(tkeys, on=keys, how="left_anti"))
-        result = parts[0]
-        for p in parts[1:]:
-            result = result.unionByName(p)
+            matched_row = F.col("__trow")
+        elif when_matched == "update_all":
+            matched_row = F.when(F.col("__armed"), F.col("__srow")).otherwise(
+                F.col("__trow")
+            )
+        else:  # delete: armed matched rows vanish (NULL row filtered below)
+            matched_row = F.when(~F.col("__armed"), F.col("__trow"))
+        # unmatched arms (a when() with no otherwise yields NULL = drop)
+        target_only = (
+            F.col("__trow")
+            if when_not_matched_by_source != "delete"
+            else F.when(F.lit(False), F.col("__trow"))
+        )
+        source_only = (
+            F.col("__srow")
+            if when_not_matched == "insert_all"
+            else F.when(F.lit(False), F.col("__srow"))
+        )
+        pick = (
+            F.when(F.col("__trow").isNull(), source_only)
+            .when(F.col("__srow").isNull(), target_only)
+            .otherwise(matched_row)
+        )
+        result = (
+            j.select(pick.alias("__row"))
+            .where(F.col("__row").isNotNull())
+            .select("__row.*")
+        )
         return untouched, result
 
     def merge(

@@ -20,7 +20,7 @@ the LSH index uses crc32 (deterministic, C-speed in the Arrow batch path).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tutorial_iceberg_spark.io import load_table
@@ -656,15 +656,24 @@ def incremental_dedup_verdicts(spark: SparkSession, docs: DataFrame) -> DataFram
         docs.repartition(n_part, "doc_id")
         .select("doc_id", "is_batch", F.explode(shingles()).alias("s"))
     )
-    # df cap: one hash agg on the shingle key, then a broadcast-averse
-    # semi filter expressed as an inner join onto the surviving keys
-    rare = (
-        post.groupBy("s")
-        .agg(F.count("*").alias("df"))
+    # df cap as a COUNT window over the shingle key: one shuffle of the
+    # posting list instead of the old groupBy-then-join form (which
+    # shuffled post twice and, worse, left `capped` as an unshared
+    # subtree). capped feeds FOUR consumers below (sizes, batch side,
+    # corpus side via sizes x2), and without materialization Catalyst
+    # re-derived each one from the scan — the r16-before plan shows the
+    # 3-gram tokenize Generate running 8x per query
+    # (plans/r16/x_dedup_incremental_before.txt). localCheckpoint
+    # computes the capped posting list ONCE and shares it (guide §2.4;
+    # same idiom as x_cooccur_pairs' tok). At 100 TB that is 1 corpus
+    # tokenize pass instead of 8.
+    w_df = Window.partitionBy("s")
+    capped = (
+        post.withColumn("df", F.count("*").over(w_df))
         .filter(F.col("df") <= SHINGLE_DF_CAP)
-        .select("s")
+        .drop("df")
+        .localCheckpoint(eager=False)
     )
-    capped = post.join(rare, "s")
     sz = capped.groupBy("doc_id").agg(F.count("*").alias("n"))
     b = capped.filter(F.col("is_batch")).select(
         F.col("doc_id").alias("batch_id"), "s"
