@@ -2061,6 +2061,51 @@ def test_datasource_prunes_files(cat, spark):
         assert "merge-on-read" in str(e)
 
 
+def test_datasource_infile_filter_pushdown(cat, spark):
+    """r16 optimization gate: pushed comparisons reach INSIDE surviving
+    files — _read_slice hands them to the pyarrow reader (row-group
+    pruning + vectorized row filtering), so a file kept alive by one
+    matching row no longer decodes every row. Result-neutral by
+    construction (Spark re-evaluates all filters above the scan); this
+    pins (1) the slice actually carries resolved filters, (2) the worker
+    read returns exactly the predicate-matching subset, (3) a slice with
+    MoR deletes skips in-file filtering (positions must not shift)."""
+    import datetime
+
+    from pyspark.sql.types import StructType
+    from pyspark.sql.datasource import GreaterThanOrEqual
+
+    from tutorial_iceberg_spark.lakehouse.datasource import (
+        _LakeReader,
+        _read_slice,
+    )
+
+    t = cat.create_table("db.ds_infile", "k bigint, d date, v string")
+    rows = [(i, f"2024-0{1 + i % 4}-10", f"v{i}") for i in range(120)]
+    df = spark.createDataFrame(rows, "k bigint, d string, v string").selectExpr(
+        "k", "CAST(d AS date) AS d", "v"
+    )
+    t.append(df)
+    schema = StructType.fromDDL("k bigint, d date, v string")
+    rdr = _LakeReader(schema, {"path": t.location})
+    rdr.pushFilters([GreaterThanOrEqual(("d",), datetime.date(2024, 3, 1))])
+    parts = rdr.partitions()
+    assert parts and all(p.filters for p in parts), "slices carry filters"
+    got = sum(
+        b.num_rows for p in parts for b in _read_slice(schema, p)
+    )
+    want = df.filter("d >= DATE '2024-03-01'").count()
+    total = df.count()
+    assert got == want < total, (got, want, total)
+    # a slice with MoR deletes must NOT filter in-file (mask positions)
+    import dataclasses
+
+    p0 = dataclasses.replace(parts[0], deletes=[("pos", [0])])
+    full_minus_one = sum(b.num_rows for b in _read_slice(schema, p0))
+    file_rows = sum(b.num_rows for b in _read_slice(schema, dataclasses.replace(parts[0], deletes=None, filters=None)))
+    assert full_minus_one == file_rows - 1
+
+
 def test_datasource_writer_contract(cat, spark):
     """tis_lake write path (r15): append + overwrite land through the
     rec-driven CAS with footer stats; empty tasks ship no manifest

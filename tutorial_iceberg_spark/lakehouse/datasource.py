@@ -108,6 +108,16 @@ class _FileSlice(InputPartition):
     # O(deleted rows in this file); a DV stays in its compact bitmap
     # form (64 rows/word), so the pickled partition stays small.
     deletes: list = None
+    # Pushed comparisons resolved to WRITTEN column names:
+    # [(written_name, op, value)]. read() turns them into a pyarrow
+    # dataset filter so predicate pushdown reaches INSIDE the surviving
+    # files (row-group stats pruning + vectorized row filtering) —
+    # file-level pruning alone still decodes every row of a file one
+    # matching row keeps alive (guide §6). Sound because pushFilters
+    # returns every filter to Spark for re-evaluation: in-file filtering
+    # only drops rows Spark's own Filter would drop anyway. Skipped when
+    # the slice carries MoR deletes (row positions must not shift).
+    filters: list = None
 
 
 class _LakeReader(DataSourceReader):
@@ -127,9 +137,11 @@ class _LakeReader(DataSourceReader):
         # schema (schema() never ran) — partitions() then resolves fresh.
         self._pinned = pinned
         self._pred_sql: str | None = None
+        self._pushed: list = []
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:  # noqa: N802
         parts = []
+        pushed = []
         for f in filters:
             op = _SQL_OPS.get(type(f))
             if op is None or len(f.attribute) != 1:
@@ -138,7 +150,11 @@ class _LakeReader(DataSourceReader):
             if lit is None:
                 continue
             parts.append(f"{f.attribute[0]} {op} {lit}")
+            pushed.append((f.attribute[0], op, f.value))
         self._pred_sql = " AND ".join(parts) if parts else None
+        # structured copies of the same conjuncts, for the in-file
+        # (row-group) pushdown each _FileSlice carries
+        self._pushed = pushed
         # file-level pruning only: every filter still needs Spark-side
         # row evaluation inside the surviving files
         return filters
@@ -188,6 +204,8 @@ class _LakeReader(DataSourceReader):
             cands = list(snap.files)
         slices = []
         by_written: dict[int, dict] = {}
+        flt_by_written: dict[int, list] = {}
+        cur_by_name = {fl.name: fl for fl in current}
         for f in cands:
             cols = by_written.get(f.schema_id)
             if cols is None:
@@ -201,11 +219,26 @@ class _LakeReader(DataSourceReader):
                     for fl in current
                 ]
                 by_written[f.schema_id] = cols
+                # pushed conjuncts resolved to this generation's WRITTEN
+                # names; a filter on a column the file predates (read-time
+                # default) is dropped — Spark re-evaluates every filter
+                flt = []
+                for attr, op, val in self._pushed:
+                    fl = cur_by_name.get(attr)
+                    wname = (
+                        written[fl.id].name
+                        if fl is not None and fl.id in written
+                        else None
+                    )
+                    if wname is not None:
+                        flt.append((wname, op, val))
+                flt_by_written[f.schema_id] = flt
             slices.append(
                 _FileSlice(
                     abs_path=os.path.join(self._location, f.path),
                     columns=cols,
                     deletes=deletes_by_file.get(f.path) or None,
+                    filters=flt_by_written[f.schema_id] or None,
                 )
             )
         return slices
@@ -278,7 +311,10 @@ def _read_slice(spark_schema, partition: _FileSlice):
     n = pf.metadata.num_rows
     mask = _delete_mask(partition, n)
     if len(want) == 0:
-        # count(*)-style scan: Spark needs row multiplicity only
+        # count(*)-style scan: Spark needs row multiplicity only. (An
+        # empty read schema implies no Filter survives above the scan —
+        # a filter's column would be in the schema — so the in-file
+        # pushdown below is irrelevant to this path.)
         import itertools
 
         alive = n if mask is None else int(mask.sum())
@@ -290,11 +326,47 @@ def _read_slice(spark_schema, partition: _FileSlice):
         for f in want
         if colmap[f.name][0] is not None and colmap[f.name][0] in fnames
     ]
-    tbl = (
-        pq.read_table(partition.abs_path, columns=present)
-        if present
-        else None
-    )
+    # In-file predicate pushdown (guide §6): hand the pushed conjuncts to
+    # the pyarrow dataset reader for row-group stats pruning + vectorized
+    # row filtering. Only when the slice carries no MoR deletes (the
+    # delete mask indexes physical row positions, which filtering would
+    # shift). Spark re-evaluates every filter above the scan, so dropping
+    # rows here never changes the result; on any expression/type mismatch
+    # fall back to the unfiltered read.
+    expr = None
+    if partition.filters and mask is None and present:
+        try:
+            import pyarrow.compute as pc
+
+            ops = {
+                "=": pc.equal,
+                ">": pc.greater,
+                ">=": pc.greater_equal,
+                "<": pc.less,
+                "<=": pc.less_equal,
+            }
+            for wname, op, val in partition.filters:
+                if wname not in fnames:
+                    continue
+                e = ops[op](pc.field(wname), pa.scalar(val))
+                expr = e if expr is None else pc.and_(expr, e)
+        except Exception:
+            expr = None
+    if expr is not None:
+        try:
+            tbl = pq.read_table(
+                partition.abs_path, columns=present, filters=expr
+            )
+        except Exception:
+            tbl = pq.read_table(partition.abs_path, columns=present)
+    else:
+        tbl = (
+            pq.read_table(partition.abs_path, columns=present)
+            if present
+            else None
+        )
+    # read-time defaults must match the (possibly filtered) row count
+    n_out = tbl.num_rows if tbl is not None else n
     arrays = []
     for f in want:
         wname, default = colmap[f.name]
@@ -303,7 +375,7 @@ def _read_slice(spark_schema, partition: _FileSlice):
             arr = col.cast(f.type) if col.type != f.type else col
         else:
             # pre-column file: materialize the read-time default
-            arr = pa.chunked_array([pa.array([default] * n).cast(f.type)])
+            arr = pa.chunked_array([pa.array([default] * n_out).cast(f.type)])
         arrays.append(arr)
     out = pa.table(dict(zip(want.names, arrays))).cast(want)
     if mask is not None:

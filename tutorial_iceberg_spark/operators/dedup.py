@@ -638,7 +638,10 @@ INCREMENTAL_DEDUP_ORACLE = rf"""
     tags=("dedup", "incremental", "extension"),
 )
 def x_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents", spread=True).withColumn(
+    # no spread: incremental_dedup_verdicts hash-repartitions on doc_id
+    # immediately, so the round-robin fan-out was a redundant exchange
+    # stacked under it (r16 before-plan: RoundRobin + hash back-to-back)
+    docs = load_table(spark, sf_dir, "documents").withColumn(
         "is_batch", F.col("doc_id") % BATCH_MOD == 0
     )
     return incremental_dedup_verdicts(spark, docs)
