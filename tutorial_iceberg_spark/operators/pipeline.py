@@ -421,10 +421,14 @@ MIX_WEIGHTS = {"en": 0.5, "de": 0.15, "es": 0.15, "fr": 0.1, "zh": 0.1}
 def x_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", spread=True)
     ntok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    # stats feeds BOTH the total and the rate frame; without
+    # materialization the corpus tokenize census runs twice (r16). The
+    # frame is |langs| rows — the checkpoint is metadata-sized.
     stats = (
         docs.select("lang", ntok.alias("ntok"))
         .groupBy("lang")
         .agg(F.count("*").alias("n_docs"), F.sum("ntok").alias("n_tokens"))
+        .localCheckpoint(eager=False)
     )
     tot = stats.agg(F.sum("n_tokens").alias("total_tokens"))
     w = F.when(F.col("lang") == "en", F.lit(0.5))
@@ -925,18 +929,28 @@ def x_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*") - F.countDistinct("doc_id"),
         ).alias("c")
     ).select("c")
-    fk_orders = (
-        orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti")
-        .agg(F.count("*").alias("v"))
-        .crossJoin(orders.agg(F.count("*").alias("n")))
-        .select(row("orders_fk_customer", F.col("n"), F.col("v")).alias("c"))
-    )
-    fk_lines = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
-        .agg(F.count("*").alias("v"))
-        .crossJoin(li.agg(F.count("*").alias("n")))
-        .select(row("lineitem_fk_orders", F.col("n"), F.col("v")).alias("c"))
-    )
+    # FK checks as ONE left-outer pass per fact table: the old
+    # anti-join + separate COUNT scanned each fact twice (r16). The
+    # build side is the distinct key set, so a (hypothetically)
+    # duplicated dimension key cannot multiply fact rows — violation
+    # count stays exactly the anti-join's (NULL fact keys match nothing
+    # on either form and count as violations on both).
+    def fk_check(name, fact, fkey, dim, dkey):
+        keys = dim.select(F.col(dkey).alias("__k")).distinct()
+        return (
+            fact.join(keys, fact[fkey] == F.col("__k"), "left")
+            .agg(
+                row(
+                    name,
+                    F.count("*"),
+                    F.sum(F.when(F.col("__k").isNull(), 1).otherwise(0)),
+                ).alias("c")
+            )
+            .select("c")
+        )
+
+    fk_orders = fk_check("orders_fk_customer", orders, "o_custkey", cust, "c_custkey")
+    fk_lines = fk_check("lineitem_fk_orders", li, "l_orderkey", orders, "o_orderkey")
     return (
         ev_checks.unionByName(doc_checks)
         .unionByName(fk_orders)
@@ -997,10 +1011,20 @@ FUNNEL = ("view", "click", "purchase")
 )
 def x_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    # v and c each feed the NEXT stage's join AND their own stage count;
+    # without materialization each stage subtree recomputes downstream
+    # (the doc's "one pushed-filter scan per stage" held only per
+    # consumer — 6 event scans, not 3). localCheckpoint pins each
+    # per-user stage frame so it is computed exactly once (r16).
+    # eager=True: the stage frames CHAIN (c's checkpoint consumes v's),
+    # and materializing a lazy checkpoint inside the job that
+    # materializes another checkpoint deadlocked once in a long-session
+    # gate — eager materialization is sequential and race-free.
     v = (
         ev.filter(F.col("event_type") == FUNNEL[0])
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
+        .localCheckpoint(eager=True)
     )
     c = (
         ev.filter(F.col("event_type") == FUNNEL[1])
@@ -1008,6 +1032,7 @@ def x_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
+        .localCheckpoint(eager=True)
     )
     p = (
         ev.filter(F.col("event_type") == FUNNEL[2])
@@ -1178,7 +1203,14 @@ def x_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x_crosstab_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    cells = docs.groupBy("lang", "source").agg(F.count("*").alias("obs"))
+    # cells feeds FOUR consumers (row marginals, column marginals, the
+    # total, and the left join back); without materialization the corpus
+    # scan+agg runs 4x (r16). |langs x sources| rows — metadata-sized.
+    cells = (
+        docs.groupBy("lang", "source")
+        .agg(F.count("*").alias("obs"))
+        .localCheckpoint(eager=False)
+    )
     rm = cells.groupBy("lang").agg(F.sum("obs").alias("row_tot"))
     cm = cells.groupBy("source").agg(F.sum("obs").alias("col_tot"))
     tot = cells.agg(F.sum("obs").alias("n"))
@@ -1347,10 +1379,14 @@ FUNNEL_STEP2_HOURS = 24  # purchase must follow that click within this
 )
 def x_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    # v/c feed the next stage AND their own count — localCheckpoint pins
+    # each stage frame to one computation (same fix as x_funnel_conversion;
+    # eager for the same chained-checkpoint deadlock reason)
     v = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
+        .localCheckpoint(eager=True)
     )
     c = (
         ev.filter(F.col("event_type") == "click")
@@ -1364,6 +1400,7 @@ def x_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
+        .localCheckpoint(eager=True)
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
@@ -1451,10 +1488,14 @@ def x_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", spread=True)
     ntok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    # stats feeds BOTH the total and the rate frame; without
+    # materialization the corpus tokenize census runs twice (r16). The
+    # frame is |langs| rows — the checkpoint is metadata-sized.
     stats = (
         docs.select("lang", ntok.alias("ntok"))
         .groupBy("lang")
         .agg(F.count("*").alias("n_docs"), F.sum("ntok").alias("n_tokens"))
+        .localCheckpoint(eager=False)
     )
     tot = stats.agg(F.sum("n_tokens").alias("total_tokens"))
     w = F.when(F.col("lang") == "en", F.lit(0.5))
