@@ -1432,26 +1432,33 @@ def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY numwait DESC, s.s_name
     """,
     doc="TPC-H Q21 shape: EXISTS + NOT EXISTS self-correlations on the fact "
-    "table, rewritten as ONE order-level aggregate (distinct suppliers, "
-    "distinct returning suppliers) joined back — one extra shuffle of "
-    "lineitem instead of the naive plan's two self-joins. EXISTS(other "
-    "supplier) == n_supp >= 2; NOT EXISTS(other returning supplier) == "
-    "n_ret_supp == 1, since l1 itself returns. The distinct counts are "
-    "computed as a two-level agg (per (order,supplier) partial, then per "
-    "order) rather than countDistinct, which would Expand the fact table "
-    "2x before the shuffle",
+    "table, rewritten as ONE order-level aggregate over a SINGLE lineitem "
+    "scan. EXISTS(other supplier) == n_supp >= 2; NOT EXISTS(other "
+    "returning supplier) == n_ret_supp == 1, since l1 itself returns; and "
+    "because the sole returning supplier owns EVERY returning row of a "
+    "qualifying order, numwait == SUM(per-order returning-row count) for "
+    "that supplier — so the row-level l1 pass (a second fact scan + join "
+    "back) is unnecessary. Two-level agg (per (order,supplier) partial, "
+    "then per order) rather than countDistinct, which would Expand the "
+    "fact table 2x before the shuffle; the second level also carries "
+    "max(returning suppkey), which for n_ret_supp == 1 orders IS the "
+    "supplier to credit",
     tags=("join", "semi", "anti", "agg"),
 )
 def q21_sole_returning_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max(
+        F.sum(
             F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
-        ).alias("is_ret")
+        ).alias("ret_rows")
     )
     ordstats = per_supp.groupBy("l_orderkey").agg(
         F.count("*").alias("n_supp"),
-        F.sum("is_ret").alias("n_ret_supp"),
+        F.sum((F.col("ret_rows") > 0).cast("int")).alias("n_ret_supp"),
+        F.sum("ret_rows").alias("n_ret_rows"),
+        F.max(
+            F.when(F.col("ret_rows") > 0, F.col("l_suppkey"))
+        ).alias("ret_suppkey"),
     )
     fin_orders = (
         load_table(spark, sf_dir, "orders")
@@ -1459,20 +1466,16 @@ def q21_sole_returning_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey")
     )
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    l1 = li.filter(F.col("l_returnflag") == "R").select(
-        "l_orderkey", "l_suppkey"
+    sole = ordstats.filter(
+        (F.col("n_supp") >= 2) & (F.col("n_ret_supp") == 1)
     )
     return (
-        l1.join(
-            ordstats.filter(
-                (F.col("n_supp") >= 2) & (F.col("n_ret_supp") == 1)
-            ).select("l_orderkey"),
-            "l_orderkey",
+        sole.join(
+            fin_orders, sole.l_orderkey == fin_orders.o_orderkey, "left_semi"
         )
-        .join(fin_orders, l1.l_orderkey == fin_orders.o_orderkey, "left_semi")
-        .join(supp, l1.l_suppkey == supp.s_suppkey)
+        .join(supp, sole.ret_suppkey == supp.s_suppkey)
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("n_ret_rows").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
     )
 
