@@ -379,19 +379,32 @@ def x_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"),
     )
-    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    # df as a window over the tf table: tf rows are unique per (doc, term),
-    # so COUNT(*) OVER (PARTITION BY term) IS the document frequency. One
-    # corpus pass feeds both tf and df — no second aggregation of the
-    # exploded stream and no vocabulary-sized self-join back onto tf (the
-    # former df-join recomputed the whole explode+agg subtree for the
-    # build side). The only broadcast is the 1-row corpus count.
-    wdf = Window.partitionBy("term")
-    wr = Window.partitionBy("doc_id").orderBy(F.desc("tf"), "term")
-    return (
-        tf.withColumn("df", F.count("*").over(wdf))
+    # tf materialized ONCE (localCheckpoint), df derived from it by
+    # groupBy — tf rows are unique per (doc, term), so COUNT(*) per term
+    # IS the document frequency — then joined back. One corpus tokenize
+    # pass (the checkpoint stops Catalyst re-deriving the explode+agg
+    # subtree for the census), WITH map-side partial aggregation for the
+    # df census — the r16 COUNT(*) OVER (PARTITION BY term) form funneled
+    # every posting of a hot term into one window task (guide §2.5; r16
+    # VERDICT item 2 — same fix as x_tfidf_terms). The stopword filter
+    # (df > 50% of docs) is applied to the vocabulary-sized df frame
+    # BEFORE the join, so the hottest keys never reach the join at all
+    # and stopword tf rows drop via the inner join — identical keep set.
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf")
+    ).localCheckpoint(eager=False)
+    keep_terms = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
         .crossJoin(F.broadcast(n_docs))
         .filter(F.col("df") * 2 <= F.col("n_docs"))
+        .select("term", "df")
+    )
+    # merge hint: same stats-less-LogicalRDD reason as x_tfidf_terms —
+    # unhinted, the static planner BROADCAST the corpus-sized tf side.
+    wr = Window.partitionBy("doc_id").orderBy(F.desc("tf"), "term")
+    return (
+        tf.join(keep_terms.hint("merge"), "term")
         .withColumn("rk", F.row_number().over(wr))
         .filter(F.col("rk") <= 3)
         .select("doc_id", "term", "tf", "df")
@@ -760,23 +773,34 @@ def x_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).alias("dl"),
         F.explode(toks).alias("term"),
     )
+    # tf materialized ONCE (localCheckpoint — the x_cooccur_pairs /
+    # x_dedup_incremental idiom), then df derived from it by groupBy+join.
+    # History: the r15 groupBy+join form built the scan->explode->tf
+    # subtree TWICE (Catalyst re-derives unmaterialized subtrees, column
+    # pruning specializes each copy — plans/r16/x_tfidf_terms_before.txt);
+    # the r16 fix used COUNT(*) OVER (PARTITION BY term), which keeps one
+    # tokenize pass but is a skew trap at 100 TB: a window partitioned on
+    # a natural-language key has NO map-side partial aggregation and
+    # forces every posting of a hot term (stopwords) into ONE task (guide
+    # §2.5; r16 VERDICT item 2). The materialize+groupBy+join form keeps
+    # both properties: one tokenize pass AND partial aggregation for the
+    # df census; the term join is AQE-skew-splittable where the window
+    # was not. Still no broadcast of the vocabulary — unbounded at 100 TB.
     tf = tok.groupBy("doc_id", "term").agg(
         F.max("dl").alias("dl"), F.count("*").alias("tf")
-    )
+    ).localCheckpoint(eager=False)
+    term_df = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
     score = (F.col("tf").cast("double") / F.col("dl").cast("double")) * (
         ((F.col("n_docs").cast("double") - F.col("df").cast("double")) + 0.5)
         / (F.col("df").cast("double") + 0.5)
     )
-    # df as a COUNT window over the tf table (rows unique per (doc, term),
-    # so COUNT(*) OVER (PARTITION BY term) IS the document frequency —
-    # the x_keyword_extract idiom). The old groupBy+join built the whole
-    # scan->explode->tf subtree TWICE (once for tf, once for the df
-    # census: plans/r16/x_tfidf_terms_before.txt); this is one tokenize
-    # pass and one exchange on term instead (guide §2.4). Still no
-    # broadcast of the vocabulary — unbounded at 100 TB.
+    # merge hint: the checkpointed tf is a stats-less LogicalRDD, so the
+    # static planner's size estimates here are garbage — unhinted it chose
+    # to BROADCAST the vocabulary-sized df frame (unbounded at 100 TB).
+    # SMJ is the scale-safe strategy and AQE can skew-split it.
     scored = (
-        tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
+        tf.join(term_df.hint("merge"), "term")
         .crossJoin(F.broadcast(n))
         .select("doc_id", "term", "tf", "df", score.alias("score"))
     )

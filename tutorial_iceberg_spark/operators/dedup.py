@@ -20,7 +20,7 @@ the LSH index uses crc32 (deterministic, C-speed in the Arrow batch path).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tutorial_iceberg_spark.io import load_table
@@ -655,28 +655,40 @@ def incremental_dedup_verdicts(spark: SparkSession, docs: DataFrame) -> DataFram
     append introduced, via incremental_read) — the two must agree
     bit-for-bit when their splits coincide (pytest-gated)."""
     n_part = spark.sparkContext.defaultParallelism
-    post = (
-        docs.repartition(n_part, "doc_id")
-        .select("doc_id", "is_batch", F.explode(shingles()).alias("s"))
+    post = docs.repartition(n_part, "doc_id").select(
+        "doc_id", "is_batch", F.explode(shingles()).alias("s")
     )
-    # df cap as a COUNT window over the shingle key: one shuffle of the
-    # posting list instead of the old groupBy-then-join form (which
-    # shuffled post twice and, worse, left `capped` as an unshared
-    # subtree). capped feeds FOUR consumers below (sizes, batch side,
-    # corpus side via sizes x2), and without materialization Catalyst
-    # re-derived each one from the scan — the r16-before plan shows the
-    # 3-gram tokenize Generate running 8x per query
-    # (plans/r16/x_dedup_incremental_before.txt). localCheckpoint
-    # computes the capped posting list ONCE and shares it (guide §2.4;
-    # same idiom as x_cooccur_pairs' tok). At 100 TB that is 1 corpus
-    # tokenize pass instead of 8.
-    w_df = Window.partitionBy("s")
-    capped = (
-        post.withColumn("df", F.count("*").over(w_df))
-        .filter(F.col("df") <= SHINGLE_DF_CAP)
-        .drop("df")
-        .localCheckpoint(eager=False)
+    # df cap as hot-set anti-join, NOT a COUNT window over the shingle
+    # key: the r16 window form shuffled EVERY posting row by shingle with
+    # no map-side partial aggregation and funneled all postings of a hot
+    # shingle (boilerplate 3-grams) into ONE task — the guide §2.5 skew
+    # failure (r16 VERDICT item 2). Here the census aggregates with
+    # map-side partials (the shuffle carries (shingle, count) partials,
+    # not posting rows), the over-cap set is its SMALL complement (at
+    # most total_postings / CAP shingles), and the anti-join drops
+    # capped-out postings — broadcast when the hot set is small, AQE-
+    # skew-splittable SMJ otherwise; both branches keep their parquet
+    # lineage so the planner's size estimates stay input-proportional.
+    # Same keep set as df <= CAP exactly. The census branch re-derives
+    # the tokenize (2 Generate passes total, still not the r15 form's 8)
+    # — measured cheaper at every SF than materializing the UNCAPPED
+    # posting list just to share one pass (tools/noop_pair_probe.py).
+    # Downstream keeps its bounds: every surviving shingle has <= CAP
+    # postings per side, so the b|><|c pair join stays skew-bounded by
+    # construction, and capped inherits post's doc_id partitioning so
+    # the sizes groupBy needs no exchange.
+    hot = (
+        post.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > SHINGLE_DF_CAP)
+        .select("s")
     )
+    # capped is materialized ONCE (localCheckpoint): it feeds FOUR
+    # consumers below (sizes, batch side, corpus side via sizes x2), and
+    # without materialization Catalyst re-derived each one from the scan
+    # — the r16-before plan shows the 3-gram tokenize Generate running 8x
+    # per query (plans/r16/x_dedup_incremental_before.txt).
+    capped = post.join(hot, "s", "left_anti").localCheckpoint(eager=False)
     sz = capped.groupBy("doc_id").agg(F.count("*").alias("n"))
     b = capped.filter(F.col("is_batch")).select(
         F.col("doc_id").alias("batch_id"), "s"

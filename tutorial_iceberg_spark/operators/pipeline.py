@@ -1002,49 +1002,45 @@ FUNNEL = ("view", "click", "purchase")
     doc="Ordered funnel analysis (view -> click -> purchase): a user "
     "advances a stage only with an event STRICTLY AFTER their previous "
     "stage's first event — the classic product-analytics conversion "
-    "funnel. Plan: one pushed-filter scan per stage, three groupBys and "
-    "two equi-joins ALL keyed on user_id, so every shuffle reuses the "
-    "same hash partitioning (co-partitioned chain, no re-shuffle); "
-    "per-stage user sets shrink monotonically. The 3-row summary with "
-    "lag-based step conversion is driver-free",
+    "funnel. Plan: ONE pushed-filter scan of the funnel event types and "
+    "ONE shuffle on user_id — per user, t1 = MIN(view ts) and the "
+    "click/purchase timestamps collected as per-user arrays (partial "
+    "aggregation merges map-side; array size is bounded by one user's "
+    "funnel events, the same per-user bound x_sessionize's window "
+    "carries), then t2/t3 fall out of array_min over a filtered array. "
+    "COUNT(t_i) over the per-user frame gives all three stage counts in "
+    "one row — no per-stage join chain, no checkpoint of any "
+    "user-cardinality frame (r16 VERDICT item 4). The 3-row summary "
+    "with lag-based step conversion is driver-free",
     tags=("pipeline", "analytics", "extension"),
 )
 def x_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    # v and c each feed the NEXT stage's join AND their own stage count;
-    # without materialization each stage subtree recomputes downstream
-    # (the doc's "one pushed-filter scan per stage" held only per
-    # consumer — 6 event scans, not 3). localCheckpoint pins each
-    # per-user stage frame so it is computed exactly once (r16).
-    # eager=True: the stage frames CHAIN (c's checkpoint consumes v's),
-    # and materializing a lazy checkpoint inside the job that
-    # materializes another checkpoint deadlocked once in a long-session
-    # gate — eager materialization is sequential and race-free.
-    v = (
-        ev.filter(F.col("event_type") == FUNNEL[0])
+    per_user = (
+        ev.filter(F.col("event_type").isin(*FUNNEL))
         .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
-        .localCheckpoint(eager=True)
+        .agg(
+            F.min(F.when(F.col("event_type") == FUNNEL[0], F.col("ts"))).alias("t1"),
+            F.collect_list(
+                F.when(F.col("event_type") == FUNNEL[1], F.col("ts"))
+            ).alias("cts"),
+            F.collect_list(
+                F.when(F.col("event_type") == FUNNEL[2], F.col("ts"))
+            ).alias("pts"),
+        )
     )
-    c = (
-        ev.filter(F.col("event_type") == FUNNEL[1])
-        .join(v, "user_id")
-        .filter(F.col("ts") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
-        .localCheckpoint(eager=True)
+    # t2 = first click strictly after t1; t3 = first purchase strictly
+    # after t2. x > NULL is NULL, so users missing an earlier stage
+    # yield an empty filtered array and array_min(empty) = NULL — the
+    # join-chain semantics exactly (oracle-verified bit-exact).
+    u = per_user.withColumn(
+        "t2", F.array_min(F.filter("cts", lambda x: x > F.col("t1")))
+    ).withColumn("t3", F.array_min(F.filter("pts", lambda x: x > F.col("t2"))))
+    counts = u.agg(
+        F.count("t1").alias("n1"),
+        F.count("t2").alias("n2"),
+        F.count("t3").alias("n3"),
     )
-    p = (
-        ev.filter(F.col("event_type") == FUNNEL[2])
-        .join(c, "user_id")
-        .filter(F.col("ts") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
-    )
-    n1 = v.agg(F.count("*").alias("n1"))
-    n2 = c.agg(F.count("*").alias("n2"))
-    n3 = p.agg(F.count("*").alias("n3"))
-    counts = n1.crossJoin(n2).crossJoin(n3)
     stages = counts.select(
         F.explode(
             F.array(
@@ -1372,53 +1368,52 @@ FUNNEL_STEP2_HOURS = 24  # purchase must follow that click within this
     "form that separates intent-driven conversion from coincidental "
     "later activity, and the form whose state is BOUNDED for the "
     "streaming equivalent (expired windows can be evicted; the "
-    "unbounded funnel cannot). Same co-partitioned user_id chain as "
-    "x_funnel_conversion: per-stage pushed-filter scans, joins and "
-    "groupBys all on one key, monotone-shrinking stage sets",
+    "unbounded funnel cannot). Same single-pass shape as "
+    "x_funnel_conversion: one pushed-filter scan of the funnel types, "
+    "one shuffle on user_id, per-user arrays bounded by one user's "
+    "funnel events, stage counts in one row — no join chain, no "
+    "checkpoint of any user-cardinality frame (r16 VERDICT item 4)",
     tags=("pipeline", "analytics", "extension"),
 )
 def x_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    # v/c feed the next stage AND their own count — localCheckpoint pins
-    # each stage frame to one computation (same fix as x_funnel_conversion;
-    # eager for the same chained-checkpoint deadlock reason)
-    v = (
-        ev.filter(F.col("event_type") == "view")
+    per_user = (
+        ev.filter(F.col("event_type").isin("view", "click", "purchase"))
         .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
-        .localCheckpoint(eager=True)
-    )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(
-            (F.col("ts") > F.col("t1"))
-            & (
-                F.col("ts")
-                <= F.col("t1") + F.expr(f"INTERVAL {FUNNEL_STEP1_HOURS} HOUR")
-            )
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t1"),
+            F.collect_list(
+                F.when(F.col("event_type") == "click", F.col("ts"))
+            ).alias("cts"),
+            F.collect_list(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).alias("pts"),
         )
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
-        .localCheckpoint(eager=True)
     )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(
-            (F.col("ts") > F.col("t2"))
-            & (
-                F.col("ts")
-                <= F.col("t2") + F.expr(f"INTERVAL {FUNNEL_STEP2_HOURS} HOUR")
+    step1 = F.expr(f"INTERVAL {FUNNEL_STEP1_HOURS} HOUR")
+    step2 = F.expr(f"INTERVAL {FUNNEL_STEP2_HOURS} HOUR")
+    # x > NULL / x <= NULL + i are NULL, so a missing earlier stage gives
+    # an empty filtered array and a NULL t — the join-chain semantics
+    # (oracle-verified bit-exact).
+    u = per_user.withColumn(
+        "t2",
+        F.array_min(
+            F.filter(
+                "cts", lambda x: (x > F.col("t1")) & (x <= F.col("t1") + step1)
             )
-        )
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
+        ),
+    ).withColumn(
+        "t3",
+        F.array_min(
+            F.filter(
+                "pts", lambda x: (x > F.col("t2")) & (x <= F.col("t2") + step2)
+            )
+        ),
     )
-    counts = (
-        v.agg(F.count("*").alias("n1"))
-        .crossJoin(c.agg(F.count("*").alias("n2")))
-        .crossJoin(p.agg(F.count("*").alias("n3")))
+    counts = u.agg(
+        F.count("t1").alias("n1"),
+        F.count("t2").alias("n2"),
+        F.count("t3").alias("n3"),
     )
     stages = counts.selectExpr(
         "stack(3, 1, 'view', n1, 2, 'click', n2, 3, 'purchase', n3) "

@@ -1433,25 +1433,39 @@ def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="TPC-H Q21 shape: EXISTS + NOT EXISTS self-correlations on the fact "
     "table, rewritten as ONE order-level aggregate over a SINGLE lineitem "
-    "scan. EXISTS(other supplier) == n_supp >= 2; NOT EXISTS(other "
-    "returning supplier) == n_ret_supp == 1, since l1 itself returns; and "
-    "because the sole returning supplier owns EVERY returning row of a "
-    "qualifying order, numwait == SUM(per-order returning-row count) for "
-    "that supplier — so the row-level l1 pass (a second fact scan + join "
-    "back) is unnecessary. Two-level agg (per (order,supplier) partial, "
-    "then per order) rather than countDistinct, which would Expand the "
-    "fact table 2x before the shuffle; the second level also carries "
+    "scan with ONE fact-sized exchange. EXISTS(other supplier) == n_supp "
+    ">= 2; NOT EXISTS(other returning supplier) == n_ret_supp == 1, since "
+    "l1 itself returns; and because the sole returning supplier owns EVERY "
+    "returning row of a qualifying order, numwait == SUM(per-order "
+    "returning-row count) for that supplier — so the row-level l1 pass (a "
+    "second fact scan + join back) is unnecessary. The narrow projection "
+    "is hash-repartitioned on l_orderkey up front: partitioning by a "
+    "SUBSET of the grouping keys satisfies both groupBys, so the "
+    "(order,supplier) level and the order level pipeline in one stage "
+    "with zero further exchanges (guide §2.4) — the r16 form paid two "
+    "fact-sized exchanges back-to-back and measured 28% slower "
+    "(tools/q21_probe.py). Two-level agg rather than countDistinct, which "
+    "would Expand the fact table 2x; the second level also carries "
     "max(returning suppkey), which for n_ret_supp == 1 orders IS the "
     "supplier to credit",
     tags=("join", "semi", "anti", "agg"),
 )
 def q21_sole_returning_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_returnflag")
+        .repartition(F.col("l_orderkey"))
+    )
     per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
         F.sum(
             F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
         ).alias("ret_rows")
     )
+    # NOTE (r16 ADVICE): n_ret_rows sums returning rows across ALL of the
+    # order's suppliers and ret_suppkey is an unconditional max over its
+    # returning suppliers — both are meaningful ONLY under the
+    # n_ret_supp == 1 filter applied below (the sole returning supplier
+    # then owns every returning row). Do not reuse ordstats elsewhere.
     ordstats = per_supp.groupBy("l_orderkey").agg(
         F.count("*").alias("n_supp"),
         F.sum((F.col("ret_rows") > 0).cast("int")).alias("n_ret_supp"),
