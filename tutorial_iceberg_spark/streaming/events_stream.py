@@ -18,6 +18,7 @@ on user_id, all window functions, no Python.
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -75,9 +76,18 @@ def read_events_stream(
 
 # State-store instances are one per shuffle partition, fixed at the query's
 # first micro-batch. For a bounded availableNow replay the window state is
-# tiny, so a low count wins (measured 1.5-2x at sf0.1); a long-lived
-# production stream would instead size this to total executor cores.
-STREAM_SHUFFLE_PARTITIONS = 8
+# tiny and every partition pays per-batch fixed cost (state-store commit
+# fsync, delta file, spill file), so a low count wins: r17 measured
+# 8/4/2 partitions at sf0.1 = 2.96/2.54/2.00 s (tumbling) and
+# 3.09/2.67/2.83 s (session window) — 4 is the balanced default, and the
+# RocksDB provider was measured WORSE at this state size (tumbling flat,
+# session 4.27 s vs 2.67 s HDFS — per-instance init + ingest dominates
+# rows this small). A long-lived production stream with real state volume
+# would instead size this to total executor cores: env-parameterized so
+# clusters can do exactly that without touching code.
+STREAM_SHUFFLE_PARTITIONS = int(
+    os.environ.get("TIS_STREAM_SHUFFLE_PARTITIONS", "4")
+)
 
 # Observability: run_stream records the completed query's state-store
 # footprint here (max across micro-batches / operators). The 10x scale
