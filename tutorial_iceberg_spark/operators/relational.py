@@ -1339,26 +1339,28 @@ def q2_min_price_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="TPC-H Q13 shape: left outer join with a compound join predicate "
     "(customers with zero matching orders survive as count 0), then a "
-    "second aggregation over the first's output. The outer agg input is "
-    "customer-cardinality — tiny relative to the fact table — so the "
-    "second shuffle is negligible at any scale",
+    "second aggregation over the first's output. Orders are aggregated "
+    "to (custkey, count) BEFORE the join (guide §2.3 'aggregate before "
+    "you shuffle'): the fact exchange carries one partially-aggregated "
+    "row per customer instead of every order row — ~10x fewer shuffled "
+    "rows at any scale — and customers with zero matching orders "
+    "coalesce to count 0 after the outer join, exactly the old "
+    "count-over-join semantics (o_orderkey is never NULL inside orders). "
+    "The outer agg input is customer-cardinality — tiny relative to the "
+    "fact table — so the second shuffle is negligible at any scale",
     tags=("join", "outer", "agg"),
 )
 def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select("c_custkey")
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderpriority"
+    counts = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n"))
     )
-    per_cust = (
-        cust.join(
-            orders,
-            (cust.c_custkey == orders.o_custkey)
-            & (orders.o_orderpriority != "1-URGENT"),
-            "left_outer",
-        )
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
-    )
+    per_cust = cust.join(
+        counts, cust.c_custkey == counts.o_custkey, "left_outer"
+    ).select(F.coalesce(F.col("n"), F.lit(0)).alias("c_count"))
     return (
         per_cust.groupBy("c_count")
         .agg(F.count("*").alias("custdist"))
