@@ -10,6 +10,7 @@ vectorized at 100 TB: each operator is a single scan + narrow projection
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -392,7 +393,7 @@ def x_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and stopword tf rows drop via the inner join — identical keep set.
     tf = tok.groupBy("doc_id", "term").agg(
         F.count("*").alias("tf")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     keep_terms = (
         tf.groupBy("term")
         .agg(F.count("*").alias("df"))
@@ -788,7 +789,7 @@ def x_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # was not. Still no broadcast of the vocabulary — unbounded at 100 TB.
     tf = tok.groupBy("doc_id", "term").agg(
         F.max("dl").alias("dl"), F.count("*").alias("tf")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     term_df = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
     score = (F.col("tf").cast("double") / F.col("dl").cast("double")) * (
@@ -864,7 +865,7 @@ def x_cooccur_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialization the explode+distinct runs twice (VERDICT r6 nit).
     # localCheckpoint truncates the lineage and reuses the shuffle files;
     # eager=False defers it to the first action.
-    tok = tok.localCheckpoint(eager=False)
+    tok = tok.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     dfreq = tok.groupBy("tok").agg(F.count("*").alias("df"))
     vocab = dfreq.orderBy(F.desc("df"), "tok").limit(COOCCUR_VOCAB).select("tok")
     tv = tok.join(vocab, "tok")

@@ -20,6 +20,7 @@ the LSH index uses crc32 (deterministic, C-speed in the Arrow batch path).
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -688,7 +689,7 @@ def incremental_dedup_verdicts(spark: SparkSession, docs: DataFrame) -> DataFram
     # without materialization Catalyst re-derived each one from the scan
     # — the r16-before plan shows the 3-gram tokenize Generate running 8x
     # per query (plans/r16/x_dedup_incremental_before.txt).
-    capped = post.join(hot, "s", "left_anti").localCheckpoint(eager=False)
+    capped = post.join(hot, "s", "left_anti").localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     sz = capped.groupBy("doc_id").agg(F.count("*").alias("n"))
     b = capped.filter(F.col("is_batch")).select(
         F.col("doc_id").alias("batch_id"), "s"
@@ -836,5 +837,5 @@ def lake_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the verdict pipeline fans the doc frame into 4 consumers (posting
     # lists, df cap, sizes, batch spine); materialize the snapshot reads
     # once instead of re-planning the lakehouse scan per consumer
-    tagged = batch.unionByName(corpus).localCheckpoint(eager=False)
+    tagged = batch.unionByName(corpus).localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     return incremental_dedup_verdicts(spark, tagged)
